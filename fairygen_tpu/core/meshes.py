@@ -1,0 +1,61 @@
+"""Device-mesh construction and canonical axis names.
+
+Replaces the reference's process-group plumbing
+(``torch.distributed.init_process_group`` +
+``animation/diffsynth/utils/xfuser/xdit_context_parallel.py:12-23``) with a
+single SPMD mesh.  Collectives are compiler-scheduled by XLA over ICI/DCN —
+there is no NCCL/HCCL backend selection to manage.
+
+Axes:
+  data  — data parallel (batch). Gradients psum over this axis.
+  seq   — Ulysses sequence parallel over the flattened (f·h·w) token axis.
+  tensor— reserved for tensor parallelism of the FFN/attention projections.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisNames:
+    data: str = "data"
+    seq: str = "seq"
+    tensor: str = "tensor"
+
+
+AXES = AxisNames()
+
+
+def make_mesh(
+    data: int = -1,
+    seq: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, seq, tensor) mesh.  data=-1 consumes remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % (seq * tensor) == 0, (n, seq, tensor)
+        data = n // (seq * tensor)
+    assert data * seq * tensor == n, (data, seq, tensor, n)
+    arr = np.array(devices).reshape(data, seq, tensor)
+    return Mesh(arr, (AXES.data, AXES.seq, AXES.tensor))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXES.data))
+
+
+def shard_tokens(mesh: Mesh, batch_axis_first: bool = True) -> NamedSharding:
+    """(B, S, D) activations: batch over data axis, tokens over seq axis."""
+    return NamedSharding(mesh, P(AXES.data, AXES.seq))

@@ -1,0 +1,32 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+This is the TPU-native answer to "test multi-device without a cluster"
+(the reference has no such harness — SURVEY.md §4).  Must run before jax
+is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDENS = pathlib.Path(__file__).parent / "goldens"
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    def load(name):
+        path = GOLDENS / f"{name}.npz"
+        if not path.exists():
+            pytest.skip(f"golden file {name}.npz not generated")
+        return np.load(path)
+
+    return load
