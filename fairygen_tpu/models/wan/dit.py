@@ -1,0 +1,491 @@
+"""Wan video DiT (Wan2.1 / Wan2.2 family) — TPU-native functional model.
+
+Re-implements the architecture of the reference ``WanModel``
+(``animation/diffsynth/models/wan_video_dit.py:271-406``) as pure functions
+over a parameter pytree:
+
+  * 3D patch embedding as rearrange + matmul (MXU instead of Conv3d);
+  * per-block AdaLN 6-way modulation from the time MLP;
+  * self-attention with 3D RoPE (fp32 split-real, see ops/rope.py) through
+    the Pallas flash kernel; cross-attention to text (+ optional CLIP image
+    branch, ``has_image_input``);
+  * GELU-tanh FFN; modulated head; per-token ("seperated") timestep path
+    used by Wan2.2-TI2V-5B (reference wan_video.py:1218-1228).
+
+Blocks are stacked on a leading axis and driven by ``lax.scan`` — one
+compiled block body regardless of depth, with optional ``jax.checkpoint``
+rematerialisation for training (replacing
+``torch.utils.checkpoint.checkpoint``, reference wan_video.py:1319-1362).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.attention import attention
+from ...ops.norms import layer_norm, modulate, rms_norm
+from ...ops.rope import build_freqs_grid, precompute_freqs_3d
+
+
+@dataclasses.dataclass(frozen=True)
+class WanDiTConfig:
+    dim: int = 3072
+    in_dim: int = 48
+    ffn_dim: int = 14336
+    out_dim: int = 48
+    text_dim: int = 4096
+    freq_dim: int = 256
+    eps: float = 1e-6
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    num_heads: int = 24
+    num_layers: int = 30
+    has_image_input: bool = False
+    has_image_pos_emb: bool = False
+    has_ref_conv: bool = False
+    seperated_timestep: bool = False
+    require_vae_embedding: bool = True
+    require_clip_embedding: bool = True
+    fuse_vae_embedding_in_latents: bool = False
+
+    @property
+    def head_dim(self):
+        return self.dim // self.num_heads
+
+    @staticmethod
+    def ti2v_5b() -> "WanDiTConfig":
+        """Wan2.2-TI2V-5B — reference configs/model_configs.py (hash
+        1f5ab7703c6fc803fdded85ff040c316)."""
+        return WanDiTConfig(
+            dim=3072, in_dim=48, ffn_dim=14336, out_dim=48, text_dim=4096,
+            freq_dim=256, patch_size=(1, 2, 2), num_heads=24, num_layers=30,
+            has_image_input=False, seperated_timestep=True,
+            require_vae_embedding=False, require_clip_embedding=False,
+            fuse_vae_embedding_in_latents=True,
+        )
+
+    @staticmethod
+    def tiny(**over) -> "WanDiTConfig":
+        base = dict(
+            dim=64, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+            patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        )
+        base.update(over)
+        return WanDiTConfig(**base)
+
+
+# --------------------------------------------------------------------- params
+def _dense(key, d_in, d_out, dtype, bias=True):
+    k1, _ = jax.random.split(key)
+    p = {"w": jax.random.normal(k1, (d_in, d_out), dtype) * (d_in**-0.5)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_dit_params(key, cfg: WanDiTConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 64))
+    D, L = cfg.dim, cfg.num_layers
+    pt, ph, pw = cfg.patch_size
+    params: Dict[str, Any] = {
+        "patch_embed": _dense(next(keys), cfg.in_dim * pt * ph * pw, D, dtype),
+        "text_embed": {
+            "fc1": _dense(next(keys), cfg.text_dim, D, dtype),
+            "fc2": _dense(next(keys), D, D, dtype),
+        },
+        "time_embed": {
+            "fc1": _dense(next(keys), cfg.freq_dim, D, dtype),
+            "fc2": _dense(next(keys), D, D, dtype),
+        },
+        "time_proj": _dense(next(keys), D, D * 6, dtype),
+        "head": {
+            **_dense(next(keys), D, cfg.out_dim * pt * ph * pw, dtype),
+            "modulation": jax.random.normal(next(keys), (2, D), dtype) / D**0.5,
+        },
+    }
+
+    def attn(key, img=False):
+        ks = jax.random.split(key, 8)
+        p = {
+            "q": _dense(ks[0], D, D, dtype),
+            "k": _dense(ks[1], D, D, dtype),
+            "v": _dense(ks[2], D, D, dtype),
+            "o": _dense(ks[3], D, D, dtype),
+            "norm_q": jnp.ones((D,), dtype),
+            "norm_k": jnp.ones((D,), dtype),
+        }
+        if img:
+            p["k_img"] = _dense(ks[4], D, D, dtype)
+            p["v_img"] = _dense(ks[5], D, D, dtype)
+            p["norm_k_img"] = jnp.ones((D,), dtype)
+        return p
+
+    def one_block(key):
+        ks = jax.random.split(key, 5)
+        return {
+            "self_attn": attn(ks[0]),
+            "cross_attn": attn(ks[1], img=cfg.has_image_input),
+            "norm3": {"w": jnp.ones((D,), dtype), "b": jnp.zeros((D,), dtype)},
+            "ffn": {
+                "fc1": _dense(ks[2], D, cfg.ffn_dim, dtype),
+                "fc2": _dense(ks[3], cfg.ffn_dim, D, dtype),
+            },
+            "modulation": jax.random.normal(ks[4], (6, D), dtype) / D**0.5,
+        }
+
+    blocks = [one_block(next(keys)) for _ in range(L)]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    if cfg.has_image_input:
+        ks = jax.random.split(next(keys), 4)
+        params["img_emb"] = {
+            "norm1": {"w": jnp.ones((1280,), dtype), "b": jnp.zeros((1280,), dtype)},
+            "fc1": _dense(ks[0], 1280, 1280, dtype),
+            "fc2": _dense(ks[1], 1280, D, dtype),
+            "norm2": {"w": jnp.ones((D,), dtype), "b": jnp.zeros((D,), dtype)},
+        }
+        if cfg.has_image_pos_emb:
+            params["img_emb"]["pos"] = jnp.zeros((1, 514, 1280), dtype)
+    if cfg.has_ref_conv:
+        params["ref_conv"] = _dense(next(keys), 16 * 2 * 2, D, dtype)
+    return params
+
+
+# ------------------------------------------------------------------ converter
+def convert_dit_state_dict(sd: Dict[str, np.ndarray], cfg: WanDiTConfig, dtype=None):
+    """Torch (civitai layout) state dict -> our param pytree.
+
+    Key names from reference wan_video_dit.py module tree
+    (patch_embedding / text_embedding.{0,2} / time_embedding.{0,2} /
+    time_projection.1 / blocks.N.* / head.head).
+    """
+
+    def t(name):  # linear weight -> (in, out)
+        a = np.asarray(sd[name])
+        return a.T if a.ndim == 2 else a
+
+    def g(name):
+        return np.asarray(sd[name])
+
+    def dense(prefix):
+        p = {"w": t(prefix + ".weight")}
+        if prefix + ".bias" in sd:
+            p["b"] = g(prefix + ".bias")
+        return p
+
+    D = cfg.dim
+    pe_w = g("patch_embedding.weight")  # (D, C, pt, ph, pw)
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "w": pe_w.transpose(1, 2, 3, 4, 0).reshape(-1, D),
+            "b": g("patch_embedding.bias"),
+        },
+        "text_embed": {"fc1": dense("text_embedding.0"), "fc2": dense("text_embedding.2")},
+        "time_embed": {"fc1": dense("time_embedding.0"), "fc2": dense("time_embedding.2")},
+        "time_proj": dense("time_projection.1"),
+        "head": {**dense("head.head"), "modulation": g("head.modulation").reshape(2, D)},
+    }
+
+    def attn(prefix, img=False):
+        p = {
+            "q": dense(prefix + ".q"),
+            "k": dense(prefix + ".k"),
+            "v": dense(prefix + ".v"),
+            "o": dense(prefix + ".o"),
+            "norm_q": g(prefix + ".norm_q.weight"),
+            "norm_k": g(prefix + ".norm_k.weight"),
+        }
+        if img:
+            p["k_img"] = dense(prefix + ".k_img")
+            p["v_img"] = dense(prefix + ".v_img")
+            p["norm_k_img"] = g(prefix + ".norm_k_img.weight")
+        return p
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}"
+        blocks.append(
+            {
+                "self_attn": attn(pre + ".self_attn"),
+                "cross_attn": attn(pre + ".cross_attn", img=cfg.has_image_input),
+                "norm3": {"w": g(pre + ".norm3.weight"), "b": g(pre + ".norm3.bias")},
+                "ffn": {"fc1": dense(pre + ".ffn.0"), "fc2": dense(pre + ".ffn.2")},
+                "modulation": g(pre + ".modulation").reshape(6, D),
+            }
+        )
+    params["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+    if cfg.has_image_input:
+        params["img_emb"] = {
+            "norm1": {"w": g("img_emb.proj.0.weight"), "b": g("img_emb.proj.0.bias")},
+            "fc1": dense("img_emb.proj.1"),
+            "fc2": dense("img_emb.proj.3"),
+            "norm2": {"w": g("img_emb.proj.4.weight"), "b": g("img_emb.proj.4.bias")},
+        }
+        if cfg.has_image_pos_emb:
+            params["img_emb"]["pos"] = g("img_emb.emb_pos")
+    if cfg.has_ref_conv:
+        rc = g("ref_conv.weight")  # (D, 16, 2, 2)
+        params["ref_conv"] = {
+            "w": rc.transpose(1, 2, 3, 0).reshape(-1, D),
+            "b": g("ref_conv.bias"),
+        }
+
+    if dtype is not None:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return params
+
+
+# ------------------------------------------------------------------- forward
+def _apply_dense(p, x):
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """cat([cos, sin]) sinusoid — reference wan_video_dit.py:67-71 (fp32)."""
+    half = dim // 2
+    pos = position.astype(jnp.float32)
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = jnp.outer(pos, freqs)
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=-1)
+
+
+def _gelu_tanh(x):
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jnp.tanh(0.7978845608028654 * (xf + 0.044715 * xf**3)))
+    return y.astype(x.dtype)
+
+
+def _self_attention(p, x, freqs, num_heads, eps):
+    b, s, d = x.shape
+    hd = d // num_heads
+    q = rms_norm(_apply_dense(p["q"], x), p["norm_q"], eps)
+    k = rms_norm(_apply_dense(p["k"], x), p["norm_k"], eps)
+    v = _apply_dense(p["v"], x).reshape(b, s, num_heads, hd)
+    from ...ops.rope import rope_apply
+
+    q = rope_apply(q.reshape(b, s, num_heads, hd), freqs)
+    k = rope_apply(k.reshape(b, s, num_heads, hd), freqs)
+    o = attention(q, k, v).reshape(b, s, d)
+    return _apply_dense(p["o"], o)
+
+
+def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
+    b, s, d = x.shape
+    hd = d // num_heads
+    if has_image_input:
+        img, txt = ctx[:, :257], ctx[:, 257:]
+    else:
+        txt = ctx
+    q = rms_norm(_apply_dense(p["q"], x), p["norm_q"], eps).reshape(b, s, num_heads, hd)
+    k = rms_norm(_apply_dense(p["k"], txt), p["norm_k"], eps)
+    v = _apply_dense(p["v"], txt)
+    lk = txt.shape[1]
+    o = attention(q, k.reshape(b, lk, num_heads, hd), v.reshape(b, lk, num_heads, hd))
+    o = o.reshape(b, s, d)
+    if has_image_input:
+        k_img = rms_norm(_apply_dense(p["k_img"], img), p["norm_k_img"], eps)
+        v_img = _apply_dense(p["v_img"], img)
+        li = img.shape[1]
+        o_img = attention(
+            q, k_img.reshape(b, li, num_heads, hd), v_img.reshape(b, li, num_heads, hd)
+        ).reshape(b, s, d)
+        o = o + o_img
+    return _apply_dense(p["o"], o)
+
+
+def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig):
+    """One DiT block — reference wan_video_dit.py:213-229.
+
+    t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep support).
+    p["modulation"]: (6, D).
+    """
+    mod = (p["modulation"][None, None].astype(jnp.float32) + t_mod.astype(jnp.float32))
+    mod = mod.astype(x.dtype)
+    s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [mod[:, :, i] for i in range(6)]
+
+    y = modulate(layer_norm(x, cfg.eps), s_msa, sc_msa)
+    x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads, cfg.eps)
+    y = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
+    x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads, cfg.eps, cfg.has_image_input)
+    y = modulate(layer_norm(x, cfg.eps), s_mlp, sc_mlp)
+    ff = _apply_dense(p["ffn"]["fc2"], _gelu_tanh(_apply_dense(p["ffn"]["fc1"], y)))
+    x = x + g_mlp * ff
+    return x
+
+
+def blocks_forward(
+    stacked, x, ctx, t_mod, freqs, cfg: WanDiTConfig, remat: bool = False,
+    hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0,
+):
+    """lax.scan over the stacked block params (optionally rematerialized).
+
+    hints: optional (L, B, S, D) per-block additive features (VACE) —
+    reference wan_video.py:1365-1370.
+    """
+
+    def body(carry, layer):
+        if hints is not None:
+            p, hint = layer
+        else:
+            p = layer
+        y = dit_block(p, carry, ctx, t_mod, freqs, cfg)
+        if hints is not None:
+            y = y + hint * hint_scale
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    xs = (stacked, hints) if hints is not None else stacked
+    out, _ = jax.lax.scan(body, x, xs)
+    return out
+
+
+def head_forward(p, x, t, cfg: WanDiTConfig):
+    """Modulated output head — reference wan_video_dit.py:252-268.
+
+    t: (B, D) or (B, S, D) (per-token). modulation: (2, D).
+    """
+    if t.ndim == 2:
+        t = t[:, None]  # (B, 1, D)
+    mod = p["modulation"][None, None].astype(jnp.float32) + t[:, :, None].astype(jnp.float32)
+    mod = mod.astype(x.dtype)
+    shift, scale = mod[:, :, 0], mod[:, :, 1]
+    y = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    return _apply_dense({"w": p["w"], "b": p["b"]}, y)
+
+
+def patchify(params, cfg: WanDiTConfig, x):
+    """(B, C, F, H, W) -> tokens (B, f·h·w, D), grid (f, h, w).
+
+    Conv3d(stride=kernel) as rearrange+matmul (reference
+    wan_video_dit.py:305-306, applied in wan_video.py:1253-1261).
+    """
+    b, c, F, H, W = x.shape
+    pt, ph, pw = cfg.patch_size
+    f, h, w = F // pt, H // ph, W // pw
+    x = x.reshape(b, c, f, pt, h, ph, w, pw)
+    # -> (b, f, h, w, c, pt, ph, pw): patch pixels ordered (c, kt, kh, kw)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(b, f * h * w, c * pt * ph * pw)
+    tokens = _apply_dense(params["patch_embed"], x)
+    return tokens, (f, h, w)
+
+
+def unpatchify(x, grid, cfg: WanDiTConfig):
+    """(B, f·h·w, out·pt·ph·pw) -> (B, C_out, F, H, W).
+
+    Channel packing order (pt, ph, pw, c) matches reference
+    wan_video_dit.py:346-351 rearrange '(x y z c)'.
+    """
+    f, h, w = grid
+    pt, ph, pw = cfg.patch_size
+    b = x.shape[0]
+    x = x.reshape(b, f, h, w, pt, ph, pw, cfg.out_dim)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # b c f pt h ph w pw
+    return x.reshape(b, cfg.out_dim, f * pt, h * ph, w * pw)
+
+
+def time_embedding(params, cfg: WanDiTConfig, timestep):
+    """timestep (B,) or (B, S) -> t (…, D), t_mod (…, 6, D)."""
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, timestep.reshape(-1))
+    emb = emb.reshape(timestep.shape + (cfg.freq_dim,)).astype(params["time_embed"]["fc1"]["w"].dtype)
+    h = _apply_dense(params["time_embed"]["fc1"], emb)
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
+    t = _apply_dense(params["time_embed"]["fc2"], h)
+    tp = jax.nn.silu(t.astype(jnp.float32)).astype(t.dtype)
+    t_mod = _apply_dense(params["time_proj"], tp)
+    return t, t_mod.reshape(t_mod.shape[:-1] + (6, cfg.dim))
+
+
+def text_embedding(params, ctx):
+    h = _apply_dense(params["text_embed"]["fc1"], ctx)
+    return _apply_dense(params["text_embed"]["fc2"], _gelu_tanh(h))
+
+
+def img_embedding(params, cfg: WanDiTConfig, clip_feature):
+    """CLIP feature MLP — reference wan_video_dit.py:232-249."""
+    p = params["img_emb"]
+    x = clip_feature
+    if "pos" in p:
+        x = x + p["pos"]
+    x = layer_norm(x, 1e-5, p["norm1"]["w"], p["norm1"]["b"])
+    x = _apply_dense(p["fc1"], x)
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    x = _apply_dense(p["fc2"], x)
+    return layer_norm(x, 1e-5, p["norm2"]["w"], p["norm2"]["b"])
+
+
+def wan_dit_forward(
+    params,
+    cfg: WanDiTConfig,
+    latents,  # (B, C, F, H, W)
+    timestep,  # (B,) float
+    context,  # (B, L, text_dim)
+    *,
+    clip_feature=None,
+    y=None,
+    fuse_vae_embedding_in_latents: bool = False,
+    freqs=None,
+    remat: bool = False,
+    vace_hints=None,
+    vace_scale: float = 1.0,
+    t_mod_bias=None,  # motion controller additive t_mod (B, 6, D)
+):
+    """Full denoiser forward — mirrors model_fn_wan_video
+    (reference wan_video.py:1122-1388) minus pipeline-level concerns
+    (TeaCache / USP / sliding window live in the pipeline layer).
+    """
+    b = latents.shape[0]
+    B, C, F, H, W = latents.shape
+    pt, ph, pw = cfg.patch_size
+
+    if cfg.seperated_timestep and fuse_vae_embedding_in_latents:
+        # Per-token timestep: first-frame tokens get t=0, the rest σ·1000
+        # (reference wan_video.py:1218-1228).
+        tokens_per_frame = (H // ph) * (W // pw)
+        f = F // pt
+        tok_t = jnp.concatenate(
+            [
+                jnp.zeros((b, tokens_per_frame), latents.dtype),
+                jnp.broadcast_to(
+                    timestep[:, None].astype(latents.dtype), (b, (f - 1) * tokens_per_frame)
+                ),
+            ],
+            axis=1,
+        )
+        t, t_mod = time_embedding(params, cfg, tok_t)  # (B,S,D), (B,S,6,D)
+    else:
+        t, t_mod = time_embedding(params, cfg, timestep)  # (B,D), (B,6,D)
+        t_mod = t_mod[:, None]  # (B,1,6,D)
+        if t_mod_bias is not None:
+            t_mod = t_mod + t_mod_bias[:, None]
+
+    ctx = text_embedding(params, context)
+    x = latents
+    if y is not None and cfg.require_vae_embedding:
+        x = jnp.concatenate([x, y], axis=1)
+    if clip_feature is not None and cfg.require_clip_embedding:
+        clip_emb = img_embedding(params, cfg, clip_feature)
+        ctx = jnp.concatenate([clip_emb, ctx], axis=1)
+
+    x, grid = patchify(params, cfg, x)
+
+    if freqs is None:
+        tables = precompute_freqs_3d(cfg.head_dim)
+        freqs = build_freqs_grid(tables, *grid)
+
+    x = blocks_forward(
+        params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
+        hints=vace_hints, hint_scale=vace_scale,
+    )
+    x = head_forward(params["head"], x, t, cfg)
+    return unpatchify(x, grid, cfg)

@@ -1,0 +1,67 @@
+"""Attention dispatch.
+
+The reference picks FA3 > FA2 > Sage > xformers > SDPA at import time with
+an env override (``animation/diffsynth/core/attention/attention.py:30-45``).
+The TPU-native ladder is: custom Pallas flash kernel (TPU) > XLA
+dot-product attention (CPU / fallback), overridable via
+``FAIRYGEN_ATTENTION_IMPLEMENTATION`` or :func:`set_attention_implementation`.
+
+Convention: q, k, v are (B, S, N, D) (seq-major, heads split), output
+(B, S, N, D). Scale is 1/sqrt(D) unless given.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL = os.environ.get("FAIRYGEN_ATTENTION_IMPLEMENTATION", "auto")
+
+_VALID = ("auto", "pallas", "xla", "splash")
+
+
+def set_attention_implementation(impl: str):
+    global _IMPL
+    assert impl in _VALID, impl
+    _IMPL = impl
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _resolve(impl: Optional[str]) -> str:
+    impl = impl or _IMPL
+    if impl == "auto":
+        return "pallas" if _on_tpu() else "xla"
+    return impl
+
+
+def xla_attention(q, k, v, scale=None):
+    """Reference XLA path — fp32 softmax, works on any backend."""
+    d = q.shape[-1]
+    scale = (d**-0.5) if scale is None else scale
+    # (B,S,N,D) -> einsum over heads
+    logits = jnp.einsum("bsnd,btnd->bnst", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bnst,btnd->bsnd", probs, v)
+
+
+def attention(q, k, v, scale=None, impl: Optional[str] = None):
+    """Scaled dot-product attention, (B, S, N, D) in/out, no mask.
+
+    Video DiT self/cross attention is dense (no causal mask) —
+    reference wan_video_dit.py:27-60.
+    """
+    resolved = _resolve(impl)
+    if resolved == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return xla_attention(q, k, v, scale=scale)

@@ -6,12 +6,18 @@ is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The sandbox's sitecustomize registers the "axon" TPU backend and pins
+# jax_platforms at interpreter start; override back to CPU for tests.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,88 @@
+"""Wan DiT forward parity vs the reference model_fn_wan_video (goldens)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fairygen_tpu.models.wan.dit import (
+    WanDiTConfig,
+    convert_dit_state_dict,
+    init_dit_params,
+    wan_dit_forward,
+)
+
+
+def _sd(g, prefix):
+    plen = len(prefix) + 2
+    return {k[plen:]: g[k] for k in g.files if k.startswith(prefix + "::")}
+
+
+def test_standard_path_with_image_branch(goldens):
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2, has_image_input=True,
+    )
+    params = convert_dit_state_dict(_sd(g, "std"), cfg)
+    out = wan_dit_forward(
+        params, cfg,
+        jnp.asarray(g["std_latents"]),
+        jnp.asarray(g["std_timestep"]),
+        jnp.asarray(g["std_context"]),
+        clip_feature=jnp.asarray(g["std_clip"]),
+        y=jnp.asarray(g["std_y"]),
+    )
+    assert out.shape == g["std_out"].shape
+    np.testing.assert_allclose(np.asarray(out), g["std_out"], atol=2e-4, rtol=1e-3)
+
+
+def test_ti2v_separated_timestep_path(goldens):
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    params = convert_dit_state_dict(_sd(g, "ti"), cfg)
+    out = wan_dit_forward(
+        params, cfg,
+        jnp.asarray(g["ti_latents"]),
+        jnp.asarray(g["ti_timestep"]),
+        jnp.asarray(g["ti_context"]),
+        fuse_vae_embedding_in_latents=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), g["ti_out"], atol=2e-4, rtol=1e-3)
+
+
+def test_init_params_shapes_match_converter(goldens):
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2, has_image_input=True,
+    )
+    import jax
+
+    init = init_dit_params(jax.random.key(0), cfg)
+    conv = convert_dit_state_dict(_sd(g, "std"), cfg)
+    init_shapes = jax.tree.map(lambda x: x.shape, init)
+    conv_shapes = jax.tree.map(lambda x: x.shape, conv)
+    assert init_shapes == conv_shapes
+
+
+def test_remat_matches_plain(goldens):
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    params = convert_dit_state_dict(_sd(g, "ti"), cfg)
+    args = (
+        jnp.asarray(g["ti_latents"]),
+        jnp.asarray(g["ti_timestep"]),
+        jnp.asarray(g["ti_context"]),
+    )
+    a = wan_dit_forward(params, cfg, *args, fuse_vae_embedding_in_latents=True)
+    b = wan_dit_forward(params, cfg, *args, fuse_vae_embedding_in_latents=True, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

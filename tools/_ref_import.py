@@ -16,11 +16,19 @@ def _stub(name, attrs=()):
     return m
 
 def install_stubs():
-    for name in ["torchvision", "imageio", "imageio.v3", "imageio_ffmpeg",
+    for name in ["torchvision", "torchvision.transforms", "imageio", "imageio.v3", "imageio_ffmpeg",
                  "modelscope", "ftfy", "librosa", "pandas"]:
         _stub(name)
     import types as _t
     sys.modules["imageio"].__path__ = []  # mark as package
+    sys.modules["torchvision"].__path__ = []
+    sys.modules["torchvision.transforms"].InterpolationMode = type("IM", (), {"BICUBIC": 3})
+    sys.modules["torchvision.transforms"].Compose = object
+    sys.modules["torchvision.transforms"].Normalize = object
+    sys.modules["torchvision.transforms"].Resize = object
+    sys.modules["torchvision.transforms"].CenterCrop = object
+    sys.modules["torchvision.transforms"].ToTensor = object
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
     sys.modules["imageio"].v3 = sys.modules["imageio.v3"]
     sys.modules["torchvision"].transforms = _t.SimpleNamespace(Compose=object, ToTensor=object)
     sys.modules["ftfy"].fix_text = lambda x: x
