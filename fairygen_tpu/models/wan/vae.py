@@ -1,0 +1,617 @@
+"""Wan causal 3D video VAE (Wan2.1 16-ch and Wan2.2 "VAE38" 48-ch).
+
+Re-implements the reference ``wan_video_vae.py`` (VideoVAE38_:1269-1351,
+Encoder3d_38:620, Decoder3d_38:842, WanVideoVAE38:1354-1382) as pure
+channels-last JAX functions with TWO equivalent execution modes:
+
+1. **full-sequence** — the reference's chunked ``feat_cache`` streaming is
+   mathematically a causal convolution scheme; we run it as one big conv
+   program. Derivation (validated bit-level by goldens):
+     * CausalConv3d + CACHE_T=2 streaming ≡ conv with 2-frame front zero pad;
+     * encoder ``downsample3d`` ≡ concat([spatial(x)[:1],
+       stride-2 time conv over spatial(x) starting at frame 0])
+       (first chunk bypasses the time conv — wan_video_vae.py:162-173);
+     * decoder ``upsample3d`` ≡ concat([x[:1], frame-doubling causal time
+       conv over x[1:]]) (the 'Rep' sentinel is exactly a zero cache —
+       wan_video_vae.py:120-156);
+     * AvgDown3D front-pads to the factor, aligning with chunk boundaries.
+
+2. **streaming** — functional port of the feat_cache machinery: a chunk
+   function with an explicit cache pytree carry (last-2-frame conv inputs),
+   called per temporal chunk ([1, 4, 4, …] pixel frames on encode, one
+   latent frame per step on decode). Memory stays O(chunk), enabling long
+   videos on one chip; the python loop costs two compilations (first chunk
+   + steady state).
+
+Latent normalization: per-channel (z − mean)/std with the constants from
+WanVideoVAE38 (wan_video_vae.py:1359-1377).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# --------------------------------------------------------------------- config
+
+VAE38_MEAN = np.array([
+    -0.2289, -0.0052, -0.1323, -0.2339, -0.2799, 0.0174, 0.1838, 0.1557,
+    -0.1382, 0.0542, 0.2813, 0.0891, 0.1570, -0.0098, 0.0375, -0.1825,
+    -0.2246, -0.1207, -0.0698, 0.5109, 0.2665, -0.2108, -0.2158, 0.2502,
+    -0.2055, -0.0322, 0.1109, 0.1567, -0.0729, 0.0899, -0.2799, -0.1230,
+    -0.0313, -0.1649, 0.0117, 0.0723, -0.2839, -0.2083, -0.0520, 0.3748,
+    0.0152, 0.1957, 0.1433, -0.2944, 0.3573, -0.0548, -0.1681, -0.0667,
+], dtype=np.float32)
+
+VAE38_STD = np.array([
+    0.4765, 1.0364, 0.4514, 1.1677, 0.5313, 0.4990, 0.4818, 0.5013,
+    0.8158, 1.0344, 0.5894, 1.0901, 0.6885, 0.6165, 0.8454, 0.4978,
+    0.5759, 0.3523, 0.7135, 0.6804, 0.5833, 1.4146, 0.8986, 0.5659,
+    0.7069, 0.5338, 0.4889, 0.4917, 0.4069, 0.4999, 0.6866, 0.4093,
+    0.5709, 0.6065, 0.6415, 0.4944, 0.5726, 1.2042, 0.5458, 1.6887,
+    0.3971, 1.0600, 0.3943, 0.5537, 0.5444, 0.4089, 0.7468, 0.7744,
+], dtype=np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class WanVAEConfig:
+    dim: int = 160
+    z_dim: int = 48
+    dec_dim: int = 256
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+    patch_size: int = 2  # pixel-space patchify (VAE38); 1 for the 16-ch VAE
+    in_channels: int = 3
+
+    @property
+    def temperal_upsample(self):
+        return tuple(reversed(self.temperal_downsample))
+
+    @property
+    def enc_dims(self):
+        return [self.dim * u for u in (1,) + tuple(self.dim_mult)]
+
+    @property
+    def dec_dims(self):
+        return [self.dec_dim * u for u in (self.dim_mult[-1],) + tuple(reversed(self.dim_mult))]
+
+    @property
+    def upsampling_factor(self):
+        return 8 * self.patch_size
+
+    @property
+    def conv_in_channels(self):
+        return self.in_channels * self.patch_size**2
+
+    @staticmethod
+    def wan22_38() -> "WanVAEConfig":
+        return WanVAEConfig()
+
+    @staticmethod
+    def tiny(**over) -> "WanVAEConfig":
+        base = dict(dim=8, z_dim=4, dec_dim=8, num_res_blocks=1)
+        base.update(over)
+        return WanVAEConfig(**base)
+
+
+# ------------------------------------------------------------------ streaming
+class CacheBank:
+    """Functional feat_cache: static traversal order, pytree-carried values.
+
+    mode "full": no caching (causal zero padding everywhere).
+    mode "init": first chunk — record newly created cache entries.
+    mode "step": steady state — consume `entries` in traversal order.
+    """
+
+    def __init__(self, mode: str, entries: Optional[List] = None):
+        assert mode in ("full", "init", "step")
+        self.mode = mode
+        self.entries = entries or []
+        self.idx = 0
+        self.out: List = []
+
+    @property
+    def streaming(self):
+        return self.mode != "full"
+
+    def pull(self):
+        e = self.entries[self.idx]
+        self.idx += 1
+        return e
+
+    def push(self, value):
+        self.out.append(value)
+
+
+# ------------------------------------------------------------------ primitives
+def _conv3d(x, w, b=None, strides=(1, 1, 1), padding=((0, 0), (0, 0), (0, 0))):
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=strides, padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _conv2d(x, w, b=None, strides=(1, 1), padding=((0, 0), (0, 0))):
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def causal_conv3d(p, x, cache: CacheBank, t_pad: int, spatial_pad: int = 0,
+                  stride_t: int = 1):
+    """CausalConv3d — reference wan_video_vae.py:33-52.
+
+    x: (B, T, H, W, C). Time front-padded 2·t_pad; with streaming cache, the
+    cache holds the last 2 frames of the zero-padded effective stream.
+    """
+    sp = ((spatial_pad, spatial_pad), (spatial_pad, spatial_pad))
+    if t_pad == 0:
+        return _conv3d(x, p["w"], p.get("b"), strides=(stride_t, 1, 1),
+                       padding=((0, 0),) + sp)
+    if not cache.streaming:
+        return _conv3d(x, p["w"], p.get("b"), strides=(stride_t, 1, 1),
+                       padding=((2 * t_pad, 0),) + sp)
+    if cache.mode == "init":
+        prev = jnp.zeros(x.shape[:1] + (2 * t_pad,) + x.shape[2:], x.dtype)
+    else:
+        prev = cache.pull()
+    eff = jnp.concatenate([prev, x], axis=1)
+    cache.push(eff[:, -2 * t_pad:])
+    return _conv3d(eff, p["w"], p.get("b"), strides=(stride_t, 1, 1),
+                   padding=((0, 0),) + sp)
+
+
+def vae_rms_norm(x, gamma, channel_last=True):
+    """F.normalize over channels · sqrt(C) · gamma — wan_video_vae.py:55-70."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    scale = x.shape[-1] ** 0.5
+    y = xf / jnp.maximum(n, 1e-12) * scale
+    return (y * gamma.astype(jnp.float32)).astype(dtype)
+
+
+def _silu(x):
+    return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def residual_block(p, x, cache: CacheBank):
+    """RMSnorm→SiLU→CausalConv ×2 + shortcut — wan_video_vae.py:267-301."""
+    h = x
+    if "shortcut" in p:
+        h = causal_conv3d(p["shortcut"], x, cache, t_pad=0)
+    y = vae_rms_norm(x, p["norm1"])
+    y = causal_conv3d(p["conv1"], _silu(y), cache, t_pad=1, spatial_pad=1)
+    y = vae_rms_norm(y, p["norm2"])
+    y = causal_conv3d(p["conv2"], _silu(y), cache, t_pad=1, spatial_pad=1)
+    return y + h
+
+
+def attention_block(p, x):
+    """Single-head per-frame spatial self-attention — wan_video_vae.py:304-342."""
+    b, t, h, w, c = x.shape
+    y = x.reshape(b * t, h, w, c)
+    yn = vae_rms_norm(y, p["norm"])
+    qkv = _conv2d(yn, p["qkv"]["w"], p["qkv"]["b"])  # 1x1
+    q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * c), 3, axis=-1)
+    logits = jnp.einsum("bsc,btc->bst", q, k).astype(jnp.float32) * (c**-0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bst,btc->bsc", probs, v).reshape(b * t, h, w, c)
+    o = _conv2d(o, p["proj"]["w"], p["proj"]["b"])
+    return (y + o).reshape(b, t, h, w, c)
+
+
+def _spatial_resample(p, x, mode):
+    """The 2D half of Resample38 — wan_video_vae.py:242-265."""
+    b, t, h, w, c = x.shape
+    y = x.reshape(b * t, h, w, c)
+    if mode.startswith("upsample"):
+        y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)  # nearest-exact 2x
+        y = _conv2d(y, p["conv"]["w"], p["conv"]["b"], padding=((1, 1), (1, 1)))
+    elif mode.startswith("downsample"):
+        # ZeroPad2d (left 0, right 1, top 0, bottom 1) + stride-2 conv
+        y = _conv2d(y, p["conv"]["w"], p["conv"]["b"], strides=(2, 2),
+                    padding=((0, 1), (0, 1)))
+    return y.reshape((b, t) + y.shape[1:])
+
+
+def resample38(p, x, mode, cache: CacheBank, first_chunk: bool):
+    """Resample38 forward — wan_video_vae.py:120-174 (semantics) / 227-265.
+
+    downsample3d: spatial first, then stride-2 time conv (first frame passes
+    through untouched temporally). upsample3d: time conv + frame doubling
+    first (first frame untouched), then spatial.
+    """
+    if mode == "none":
+        return x
+
+    if mode == "upsample3d":
+        if not cache.streaming:
+            head, tail = x[:, :1], x[:, 1:]
+            if tail.shape[1] > 0:
+                y = causal_conv3d(p["time_conv"], tail, cache, t_pad=1)
+                y = _double_frames(y)
+                x = jnp.concatenate([head, y], axis=1)
+            else:
+                x = head
+        else:
+            if cache.mode == "init":
+                # 'Rep' sentinel ≡ zero cache for the next chunk
+                cache.push(jnp.zeros(x.shape[:1] + (2,) + x.shape[2:], x.dtype))
+            else:
+                prev = cache.pull()
+                eff = jnp.concatenate([prev, x], axis=1)
+                cache.push(eff[:, -2:])
+                y = _conv3d(eff, p["time_conv"]["w"], p["time_conv"]["b"])
+                x = _double_frames(y)
+        return _spatial_resample(p, x, mode)
+
+    x = _spatial_resample(p, x, mode)
+
+    if mode == "downsample3d":
+        if not cache.streaming:
+            head = x[:, :1]
+            y = _conv3d(x, p["time_conv"]["w"], p["time_conv"]["b"],
+                        strides=(2, 1, 1))
+            x = jnp.concatenate([head, y], axis=1)
+        else:
+            if cache.mode == "init":
+                cache.push(x[:, -1:])
+            else:
+                prev = cache.pull()
+                eff = jnp.concatenate([prev, x], axis=1)
+                cache.push(x[:, -1:])
+                x = _conv3d(eff, p["time_conv"]["w"], p["time_conv"]["b"],
+                            strides=(2, 1, 1))
+    return x
+
+
+def _double_frames(y):
+    """(B,T,H,W,2C) -> (B,2T,H,W,C): channel halves become frame pairs
+    (reference wan_video_vae.py:153-156)."""
+    b, t, h, w, c2 = y.shape
+    c = c2 // 2
+    y = y.reshape(b, t, h, w, 2, c)
+    y = y.transpose(0, 1, 4, 2, 3, 5)
+    return y.reshape(b, t * 2, h, w, c)
+
+
+def avg_down3d(x, out_channels, factor_t, factor_s):
+    """AvgDown3D — wan_video_vae.py:345-395 (channel-last)."""
+    b, t, h, w, c = x.shape
+    pad_t = (-t) % factor_t
+    if pad_t:
+        x = jnp.concatenate(
+            [jnp.zeros((b, pad_t, h, w, c), x.dtype), x], axis=1
+        )
+        t = t + pad_t
+    ft, fs = factor_t, factor_s
+    x = x.reshape(b, t // ft, ft, h // fs, fs, w // fs, fs, c)
+    # group layout (C, ft, fs_h, fs_w) flattened, then (out, group) mean
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6).reshape(
+        b, t // ft, h // fs, w // fs, c * ft * fs * fs
+    )
+    group = c * ft * fs * fs // out_channels
+    x = x.reshape(x.shape[:4] + (out_channels, group))
+    return x.mean(axis=-1)
+
+
+def dup_up3d(x, out_channels, factor_t, factor_s, first_chunk):
+    """DupUp3D — wan_video_vae.py:398-439 (channel-last)."""
+    b, t, h, w, c = x.shape
+    repeats = out_channels * factor_t * factor_s * factor_s // c
+    y = jnp.repeat(x, repeats, axis=-1)
+    ft, fs = factor_t, factor_s
+    y = y.reshape(b, t, h, w, out_channels, ft, fs, fs)
+    y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    y = y.reshape(b, t * ft, h * fs, w * fs, out_channels)
+    if first_chunk:
+        y = y[:, ft - 1:]
+    return y
+
+
+# ------------------------------------------------------------------- encoder
+def encoder38_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
+                      first_chunk: bool = True):
+    """Encoder3d_38 — wan_video_vae.py:620-733."""
+    x = causal_conv3d(p["conv1"], x, cache, t_pad=1, spatial_pad=1)
+
+    dims = cfg.enc_dims
+    for i in range(len(cfg.dim_mult)):
+        stage = p["down"][i]
+        t_down = cfg.temperal_downsample[i] if i < len(cfg.temperal_downsample) else False
+        down_flag = i != len(cfg.dim_mult) - 1
+        x_copy = x
+        for blk in stage["blocks"]:
+            x = residual_block(blk, x, cache)
+        if down_flag:
+            mode = "downsample3d" if t_down else "downsample2d"
+            x = resample38(stage["resample"], x, mode, cache, first_chunk)
+        sc = avg_down3d(
+            x_copy, dims[i + 1],
+            factor_t=2 if t_down else 1,
+            factor_s=2 if down_flag else 1,
+        )
+        x = x + sc
+
+    x = residual_block(p["middle"]["res1"], x, cache)
+    x = attention_block(p["middle"]["attn"], x)
+    x = residual_block(p["middle"]["res2"], x, cache)
+
+    x = vae_rms_norm(x, p["head"]["norm"])
+    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    return x
+
+
+def decoder38_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
+                      first_chunk: bool = True):
+    """Decoder3d_38 — wan_video_vae.py:842-940."""
+    dims = cfg.dec_dims
+    x = causal_conv3d(p["conv1"], x, cache, t_pad=1, spatial_pad=1)
+
+    x = residual_block(p["middle"]["res1"], x, cache)
+    x = attention_block(p["middle"]["attn"], x)
+    x = residual_block(p["middle"]["res2"], x, cache)
+
+    for i in range(len(cfg.dim_mult)):
+        stage = p["up"][i]
+        t_up = cfg.temperal_upsample[i] if i < len(cfg.temperal_upsample) else False
+        up_flag = i != len(cfg.dim_mult) - 1
+        x_main = x
+        for blk in stage["blocks"]:
+            x_main = residual_block(blk, x_main, cache)
+        if up_flag:
+            mode = "upsample3d" if t_up else "upsample2d"
+            x_main = resample38(stage["resample"], x_main, mode, cache, first_chunk)
+            sc = dup_up3d(
+                x, dims[i + 1],
+                factor_t=2 if t_up else 1, factor_s=2,
+                first_chunk=first_chunk,
+            )
+            x = x_main + sc
+        else:
+            x = x_main
+
+    x = vae_rms_norm(x, p["head"]["norm"])
+    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    return x
+
+
+# ------------------------------------------------------------ patchify helpers
+def pixel_patchify(x, patch):
+    """(B,T,H,W,C) -> (B,T,H/p,W/p,C·p·p) with torch channel order
+    'b c f (h q) (w r) -> b (c r q) f h w' (wan_video_vae.py:199-211)."""
+    if patch == 1:
+        return x
+    b, t, h, w, c = x.shape
+    q = r = patch
+    y = x.reshape(b, t, h // q, q, w // r, r, c)
+    # channel order (c, r, q)
+    y = y.transpose(0, 1, 2, 4, 6, 5, 3).reshape(b, t, h // q, w // r, c * r * q)
+    return y
+
+
+def pixel_unpatchify(x, patch, out_channels=3):
+    if patch == 1:
+        return x
+    b, t, h, w, _ = x.shape
+    q = r = patch
+    y = x.reshape(b, t, h, w, out_channels, r, q)
+    y = y.transpose(0, 1, 2, 6, 3, 5, 4).reshape(b, t, h * q, w * r, out_channels)
+    return y
+
+
+# ---------------------------------------------------------------- public API
+def _full(fn, p, cfg, x, first_chunk=True):
+    return fn(p, cfg, x, CacheBank("full"), first_chunk)
+
+
+def vae38_encode_core(params, cfg: WanVAEConfig, x, streaming: bool = False):
+    """Patchified pixels -> normalized latent mu. x: (B, T, H, W, 12)."""
+    if not streaming:
+        out = _full(encoder38_forward, params["encoder"], cfg, x)
+        out = causal_conv3d(params["conv1"], out, CacheBank("full"), t_pad=0)
+    else:
+        t = x.shape[1]
+        chunks = [x[:, :1]] + [x[:, 1 + 4 * i: 1 + 4 * (i + 1)] for i in range((t - 1) // 4)]
+        outs = []
+        cache_entries = None
+
+        @jax.jit
+        def first_fn(params, xc):
+            bank = CacheBank("init")
+            y = encoder38_forward(params["encoder"], cfg, xc, bank, first_chunk=True)
+            return y, bank.out
+
+        @jax.jit
+        def step_fn(params, xc, entries):
+            bank = CacheBank("step", entries)
+            y = encoder38_forward(params["encoder"], cfg, xc, bank, first_chunk=False)
+            return y, bank.out
+
+        y, cache_entries = first_fn(params, chunks[0])
+        outs.append(y)
+        for c in chunks[1:]:
+            y, cache_entries = step_fn(params, c, cache_entries)
+            outs.append(y)
+        out = jnp.concatenate(outs, axis=1)
+        out = causal_conv3d(params["conv1"], out, CacheBank("full"), t_pad=0)
+    mu = out[..., : cfg.z_dim]
+    mean = params["latent_mean"].astype(mu.dtype)
+    inv_std = (1.0 / params["latent_std"]).astype(mu.dtype)
+    return (mu - mean) * inv_std
+
+
+def vae38_decode_core(params, cfg: WanVAEConfig, z, streaming: bool = False):
+    """Normalized latents -> patchified pixels. z: (B, T, h, w, z_dim)."""
+    mean = params["latent_mean"].astype(z.dtype)
+    std = params["latent_std"].astype(z.dtype)
+    z = z * std + mean
+    x = causal_conv3d(params["conv2"], z, CacheBank("full"), t_pad=0)
+    if not streaming:
+        return _full(decoder38_forward, params["decoder"], cfg, x)
+
+    @jax.jit
+    def first_fn(params, xc):
+        bank = CacheBank("init")
+        y = decoder38_forward(params["decoder"], cfg, xc, bank, first_chunk=True)
+        return y, bank.out
+
+    @jax.jit
+    def step_fn(params, xc, entries):
+        bank = CacheBank("step", entries)
+        y = decoder38_forward(params["decoder"], cfg, xc, bank, first_chunk=False)
+        return y, bank.out
+
+    outs = []
+    y, entries = first_fn(params, x[:, :1])
+    outs.append(y)
+    for i in range(1, x.shape[1]):
+        y, entries = step_fn(params, x[:, i: i + 1], entries)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1)
+
+
+def vae38_encode(params, cfg: WanVAEConfig, video, streaming: bool = False):
+    """video (B, C, T, H, W) in [-1,1] -> latents (B, z, T', H/16, W/16).
+
+    Keeps the reference BCTHW interface (wan_video_vae.py:1298-1323)."""
+    x = jnp.transpose(video, (0, 2, 3, 4, 1))  # BTHWC
+    x = pixel_patchify(x, cfg.patch_size)
+    mu = vae38_encode_core(params, cfg, x, streaming)
+    return jnp.transpose(mu, (0, 4, 1, 2, 3))
+
+
+def vae38_decode(params, cfg: WanVAEConfig, latents, streaming: bool = False,
+                 clamp: bool = True):
+    """latents (B, z, T', h, w) -> video (B, C, T, H, W) in [-1,1]."""
+    z = jnp.transpose(latents, (0, 2, 3, 4, 1))
+    x = vae38_decode_core(params, cfg, z, streaming)
+    x = pixel_unpatchify(x, cfg.patch_size, cfg.in_channels)
+    video = jnp.transpose(x, (0, 4, 1, 2, 3))
+    if clamp:
+        video = jnp.clip(video, -1, 1)
+    return video
+
+
+# ------------------------------------------------------------------ converter
+def _c3(w):  # torch OIDHW -> DHWIO
+    return np.asarray(w).transpose(2, 3, 4, 1, 0)
+
+
+def _c2(w):  # torch OIHW -> HWIO
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def convert_vae38_state_dict(sd: Dict[str, np.ndarray], cfg: WanVAEConfig,
+                             dtype=None) -> Dict[str, Any]:
+    """Torch VideoVAE38_ state dict (optionally 'model.'-prefixed) -> pytree."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    def conv3(prefix):
+        return {"w": _c3(sd[prefix + ".weight"]), "b": np.asarray(sd[prefix + ".bias"])}
+
+    def conv2(prefix):
+        return {"w": _c2(sd[prefix + ".weight"]), "b": np.asarray(sd[prefix + ".bias"])}
+
+    def gamma(prefix):
+        return np.asarray(sd[prefix + ".gamma"]).reshape(-1)
+
+    def res(prefix, has_shortcut):
+        p = {
+            "norm1": gamma(prefix + ".residual.0"),
+            "conv1": conv3(prefix + ".residual.2"),
+            "norm2": gamma(prefix + ".residual.3"),
+            "conv2": conv3(prefix + ".residual.6"),
+        }
+        if has_shortcut:
+            p["shortcut"] = conv3(prefix + ".shortcut")
+        return p
+
+    def attn(prefix):
+        return {
+            "norm": gamma(prefix + ".norm"),
+            "qkv": conv2(prefix + ".to_qkv"),
+            "proj": conv2(prefix + ".proj"),
+        }
+
+    enc_dims = cfg.enc_dims
+    down = []
+    for i in range(len(cfg.dim_mult)):
+        pre = f"encoder.downsamples.{i}"
+        blocks = []
+        in_dim = enc_dims[i]
+        for j in range(cfg.num_res_blocks):
+            blocks.append(res(f"{pre}.downsamples.{j}", in_dim != enc_dims[i + 1]))
+            in_dim = enc_dims[i + 1]
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            rp = f"{pre}.downsamples.{cfg.num_res_blocks}"
+            stage["resample"] = {"conv": conv2(rp + ".resample.1")}
+            if cfg.temperal_downsample[i]:
+                stage["resample"]["time_conv"] = conv3(rp + ".time_conv")
+        down.append(stage)
+
+    dec_dims = cfg.dec_dims
+    up = []
+    for i in range(len(cfg.dim_mult)):
+        pre = f"decoder.upsamples.{i}"
+        blocks = []
+        in_dim = dec_dims[i]
+        for j in range(cfg.num_res_blocks + 1):
+            blocks.append(res(f"{pre}.upsamples.{j}", in_dim != dec_dims[i + 1]))
+            in_dim = dec_dims[i + 1]
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            rp = f"{pre}.upsamples.{cfg.num_res_blocks + 1}"
+            stage["resample"] = {"conv": conv2(rp + ".resample.1")}
+            if cfg.temperal_upsample[i]:
+                stage["resample"]["time_conv"] = conv3(rp + ".time_conv")
+        up.append(stage)
+
+    params = {
+        "encoder": {
+            "conv1": conv3("encoder.conv1"),
+            "down": down,
+            "middle": {
+                "res1": res("encoder.middle.0", False),
+                "attn": attn("encoder.middle.1"),
+                "res2": res("encoder.middle.2", False),
+            },
+            "head": {"norm": gamma("encoder.head.0"), "conv": conv3("encoder.head.2")},
+        },
+        "conv1": conv3("conv1"),
+        "conv2": conv3("conv2"),
+        "decoder": {
+            "conv1": conv3("decoder.conv1"),
+            "middle": {
+                "res1": res("decoder.middle.0", False),
+                "attn": attn("decoder.middle.1"),
+                "res2": res("decoder.middle.2", False),
+            },
+            "up": up,
+            "head": {"norm": gamma("decoder.head.0"), "conv": conv3("decoder.head.2")},
+        },
+        "latent_mean": VAE38_MEAN[: cfg.z_dim].copy(),
+        "latent_std": VAE38_STD[: cfg.z_dim].copy(),
+    }
+    if dtype is not None:
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return params
