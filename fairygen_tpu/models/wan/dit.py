@@ -265,7 +265,7 @@ def _gelu_tanh(x):
     return y.astype(x.dtype)
 
 
-def _self_attention(p, x, freqs, num_heads, eps):
+def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None):
     b, s, d = x.shape
     hd = d // num_heads
     q = rms_norm(_apply_dense(p["q"], x), p["norm_q"], eps)
@@ -275,7 +275,7 @@ def _self_attention(p, x, freqs, num_heads, eps):
 
     q = rope_apply(q.reshape(b, s, num_heads, hd), freqs)
     k = rope_apply(k.reshape(b, s, num_heads, hd), freqs)
-    o = attention(q, k, v).reshape(b, s, d)
+    o = (attn_fn or attention)(q, k, v).reshape(b, s, d)
     return _apply_dense(p["o"], o)
 
 
@@ -303,7 +303,7 @@ def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
     return _apply_dense(p["o"], o)
 
 
-def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig):
+def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None):
     """One DiT block — reference wan_video_dit.py:213-229.
 
     t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep support).
@@ -314,7 +314,7 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig):
     s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [mod[:, :, i] for i in range(6)]
 
     y = modulate(layer_norm(x, cfg.eps), s_msa, sc_msa)
-    x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads, cfg.eps)
+    x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads, cfg.eps, attn_fn)
     y = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
     x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads, cfg.eps, cfg.has_image_input)
     y = modulate(layer_norm(x, cfg.eps), s_mlp, sc_mlp)
@@ -325,7 +325,7 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig):
 
 def blocks_forward(
     stacked, x, ctx, t_mod, freqs, cfg: WanDiTConfig, remat: bool = False,
-    hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0,
+    hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0, attn_fn=None,
 ):
     """lax.scan over the stacked block params (optionally rematerialized).
 
@@ -338,7 +338,7 @@ def blocks_forward(
             p, hint = layer
         else:
             p = layer
-        y = dit_block(p, carry, ctx, t_mod, freqs, cfg)
+        y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn)
         if hints is not None:
             y = y + hint * hint_scale
         return y, None
@@ -439,10 +439,16 @@ def wan_dit_forward(
     vace_hints=None,
     vace_scale: float = 1.0,
     t_mod_bias=None,  # motion controller additive t_mod (B, 6, D)
+    mesh=None,  # jax.sharding.Mesh with (data, seq, tensor) axes for SPMD
 ):
     """Full denoiser forward — mirrors model_fn_wan_video
     (reference wan_video.py:1122-1388) minus pipeline-level concerns
-    (TeaCache / USP / sliding window live in the pipeline layer).
+    (TeaCache / sliding window live in the pipeline layer).
+
+    With ``mesh``: the token axis is padded to the seq-axis size, sharded
+    over it, and self-attention runs via Ulysses all-to-all — the SPMD
+    equivalent of the reference's USP chunk/all-gather/monkey-patch path
+    (wan_video.py:1310-1315, 1379-1382).
     """
     b = latents.shape[0]
     B, C, F, H, W = latents.shape
@@ -483,9 +489,31 @@ def wan_dit_forward(
         tables = precompute_freqs_3d(cfg.head_dim)
         freqs = build_freqs_grid(tables, *grid)
 
+    attn_fn = None
+    s_orig = x.shape[1]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ...core.meshes import AXES
+        from ...parallel.ulysses import make_ulysses_attention, pad_to_multiple
+
+        sp = mesh.shape[AXES.seq]
+        if sp > 1:
+            x, _ = pad_to_multiple(x, 1, sp)
+            freqs = jnp.pad(freqs, ((0, 0), (0, x.shape[1] - s_orig), (0, 0)))
+            if t_mod.shape[1] > 1:
+                t_mod, _ = pad_to_multiple(t_mod, 1, sp)
+            if t.ndim == 3:
+                t, _ = pad_to_multiple(t, 1, sp)
+            attn_fn = make_ulysses_attention(mesh)
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(AXES.data, AXES.seq))
+        )
+
     x = blocks_forward(
         params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
-        hints=vace_hints, hint_scale=vace_scale,
+        hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
     )
     x = head_forward(params["head"], x, t, cfg)
+    if x.shape[1] != s_orig:
+        x = x[:, :s_orig]
     return unpatchify(x, grid, cfg)

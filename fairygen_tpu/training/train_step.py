@@ -1,0 +1,106 @@
+"""SPMD training step for the Wan DiT.
+
+Replaces the reference's accelerate/DDP wiring
+(``animation/diffsynth/diffusion/runner.py:8-47``; NCCL all-reduce via
+``accelerator.backward``) with a pjit-compiled step over a
+(data, seq, tensor) mesh: batch is sharded over ``data``, the flattened
+token axis is sharding-constrained over ``seq`` (XLA inserts the Ulysses-
+style collectives), and gradient psum over ``data`` falls out of the
+sharding propagation — no process groups, no hooks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.meshes import AXES
+from ..diffusion.flow_match import FlowMatchScheduler
+from ..models.wan.dit import WanDiTConfig, wan_dit_forward
+from .losses import flow_match_sft_loss
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)
+
+
+def make_wan_sft_train_step(
+    dit_cfg: WanDiTConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    *,
+    num_train_timesteps: int = 1000,
+    sigma_shift: float = 5.0,
+    remat: bool = True,
+    first_frame_clean: Optional[bool] = None,
+    trainable_filter: Optional[Callable] = None,
+):
+    """Build (init_state, train_step). Batch: {latents, context}.
+
+    trainable_filter(path_tuple) -> bool restricts updates to a subset
+    (LoRA adapters); frozen params get zero updates via optax.masked.
+    """
+    scheduler = FlowMatchScheduler("Wan").set_timesteps(
+        num_train_timesteps, training=True, shift=sigma_shift
+    )
+    sigmas = scheduler.sigmas
+    timesteps = scheduler.timesteps
+    weights = scheduler.linear_timesteps_weights
+    if first_frame_clean is None:
+        first_frame_clean = dit_cfg.fuse_vae_embedding_in_latents
+
+    def model_fn(params, noisy, timestep, context):
+        if mesh is not None:
+            noisy = jax.lax.with_sharding_constraint(
+                noisy, NamedSharding(mesh, P(AXES.data))
+            )
+            context = jax.lax.with_sharding_constraint(
+                context, NamedSharding(mesh, P(AXES.data))
+            )
+        return wan_dit_forward(
+            params, dit_cfg, noisy, timestep, context,
+            fuse_vae_embedding_in_latents=first_frame_clean,
+            remat=remat,
+        )
+
+    def loss_fn(params, batch, rng):
+        return flow_match_sft_loss(
+            model_fn, params, batch["latents"], batch["context"], rng,
+            sigmas=sigmas, timesteps=timesteps, weights=weights,
+            first_frame_clean=first_frame_clean,
+        )
+
+    if trainable_filter is not None:
+        optimizer = optax.masked(
+            optimizer,
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: trainable_filter(path), params
+            ),
+        )
+
+    def init_state(params):
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    return init_state, train_step
