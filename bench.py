@@ -1,0 +1,201 @@
+"""Flagship benchmark: Wan2.2-TI2V-5B single-chip clip generation.
+
+Measures the full denoise program (50 flow-match steps, CFG-merged batch-2
+DiT sweeps, first-frame re-pinning — all one jitted fori_loop) plus the
+streamed causal VAE decode at 480x832x81f bf16, and reports seconds per
+5.4 s clip (the reference workload: animation/inference.py:19-30).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline is the north-star ratio: target_time / measured_time against
+the BASELINE.md target of a 5 s clip in <60 s (>1.0 means faster than
+target). Weights are zero-initialized (timing is weight-independent).
+
+Env:
+  FAIRYGEN_BENCH_PRESET=tiny   quick smoke configuration
+  FAIRYGEN_BENCH_STEPS=N       denoise steps (default 50)
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _zeros_params(shapes):
+    return jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+
+
+def main():
+    from fairygen_tpu.diffusion.flow_match import FlowMatchScheduler
+    from fairygen_tpu.models.wan.dit import (
+        WanDiTConfig, init_dit_params, wan_dit_forward,
+    )
+    from fairygen_tpu.models.wan.vae import (
+        WanVAEConfig, vae38_decode,
+    )
+
+    preset = os.environ.get("FAIRYGEN_BENCH_PRESET", "full")
+    n_steps = int(os.environ.get("FAIRYGEN_BENCH_STEPS", "50"))
+
+    if preset == "tiny":
+        dit_cfg = WanDiTConfig(
+            dim=96, in_dim=8, ffn_dim=192, out_dim=8, text_dim=64, freq_dim=32,
+            patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+            seperated_timestep=True, require_clip_embedding=False,
+            require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+        )
+        lat_shape = (1, 8, 3, 4, 4)
+        ctx_shape = (1, 16, 64)
+        n_steps = min(n_steps, 4)
+        decode_video = False
+    else:
+        dit_cfg = WanDiTConfig.ti2v_5b()
+        lat_shape = (1, 48, 21, 30, 52)  # 81f @ 480x832
+        ctx_shape = (1, 512, 4096)
+        decode_video = True
+
+    dtype = jnp.bfloat16
+    dit_shapes = jax.eval_shape(
+        lambda: init_dit_params(jax.random.key(0), dit_cfg, dtype=dtype)
+    )
+    dit_params = _zeros_params(dit_shapes)
+
+    sched = FlowMatchScheduler("Wan").set_timesteps(n_steps, shift=5.0)
+    sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    cfg_scale = 5.0
+
+    ctx = jnp.zeros((2,) + ctx_shape[1:], dtype)  # posi+nega merged
+
+    @jax.jit
+    def denoise(params, latents, ffl):
+        def step(i, lat):
+            x2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.broadcast_to(timesteps[i], (2,))
+            v2 = wan_dit_forward(params, dit_cfg, x2, t2, ctx,
+                                 fuse_vae_embedding_in_latents=True)
+            v = v2[1:] + cfg_scale * (v2[:1] - v2[1:])
+            lat = lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
+            return lat.at[:, :, 0:1].set(ffl)
+
+        return jax.lax.fori_loop(0, n_steps, step, latents)
+
+    latents = jnp.zeros(lat_shape, dtype)
+    ffl = jnp.zeros(lat_shape[:2] + (1,) + lat_shape[3:], dtype)
+
+    # warm-up (compile)
+    out = denoise(dit_params, latents, ffl)
+    out.block_until_ready()
+    float(out.sum())  # force full materialization through the tunnel
+
+    t0 = time.perf_counter()
+    out = denoise(dit_params, latents, ffl)
+    float(out.sum())
+    denoise_s = time.perf_counter() - t0
+
+    vae_s = 0.0
+    if decode_video:
+        del dit_params
+        vae_cfg = WanVAEConfig.wan22_38()
+        vae_params = _make_zero_vae_params(vae_cfg, dtype)
+
+        t0 = time.perf_counter()
+        video = vae38_decode(vae_params, vae_cfg, out.astype(dtype), streaming=True)
+        float(video.sum())
+        vae_s = time.perf_counter() - t0
+
+    total = denoise_s + vae_s
+    target = 60.0  # BASELINE.md: 5 s clip in <60 s
+    print(json.dumps({
+        "metric": "wan22_ti2v_5b_480p_81f_clip_seconds",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(target / total, 3),
+    }))
+    print(f"# denoise={denoise_s:.2f}s ({n_steps} steps, cfg-merged) "
+          f"vae_decode={vae_s:.2f}s preset={preset}", file=sys.stderr)
+
+
+def _make_zero_vae_params(cfg, dtype):
+    """Zero VAE38 params with the correct pytree structure (no checkpoint)."""
+    from fairygen_tpu.models.wan.vae import VAE38_MEAN, VAE38_STD
+
+    def c3(kt, kh, kw, cin, cout):
+        return {"w": jnp.zeros((kt, kh, kw, cin, cout), dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def c2(kh, kw, cin, cout):
+        return {"w": jnp.zeros((kh, kw, cin, cout), dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def res(cin, cout):
+        p = {"norm1": jnp.ones((cin,), dtype), "conv1": c3(3, 3, 3, cin, cout),
+             "norm2": jnp.ones((cout,), dtype), "conv2": c3(3, 3, 3, cout, cout)}
+        if cin != cout:
+            p["shortcut"] = c3(1, 1, 1, cin, cout)
+        return p
+
+    def attn(c):
+        return {"norm": jnp.ones((c,), dtype), "qkv": c2(1, 1, c, 3 * c),
+                "proj": c2(1, 1, c, c)}
+
+    enc = cfg.enc_dims
+    down = []
+    for i in range(len(cfg.dim_mult)):
+        blocks, cin = [], enc[i]
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(res(cin, enc[i + 1]))
+            cin = enc[i + 1]
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            stage["resample"] = {"conv": c2(3, 3, enc[i + 1], enc[i + 1])}
+            if cfg.temperal_downsample[i]:
+                stage["resample"]["time_conv"] = c3(3, 1, 1, enc[i + 1], enc[i + 1])
+        down.append(stage)
+
+    dec = cfg.dec_dims
+    up = []
+    for i in range(len(cfg.dim_mult)):
+        blocks, cin = [], dec[i]
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(res(cin, dec[i + 1]))
+            cin = dec[i + 1]
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            stage["resample"] = {"conv": c2(3, 3, dec[i + 1], dec[i + 1])}
+            if cfg.temperal_upsample[i]:
+                stage["resample"]["time_conv"] = c3(3, 1, 1, dec[i + 1], 2 * dec[i + 1])
+        up.append(stage)
+
+    z2 = cfg.z_dim * 2
+    cin_ch = cfg.conv_in_channels
+    return {
+        "encoder": {
+            "conv1": c3(3, 3, 3, cin_ch, enc[0]),
+            "down": down,
+            "middle": {"res1": res(enc[-1], enc[-1]), "attn": attn(enc[-1]),
+                       "res2": res(enc[-1], enc[-1])},
+            "head": {"norm": jnp.ones((enc[-1],), dtype),
+                     "conv": c3(3, 3, 3, enc[-1], z2)},
+        },
+        "conv1": c3(1, 1, 1, z2, z2),
+        "conv2": c3(1, 1, 1, cfg.z_dim, cfg.z_dim),
+        "decoder": {
+            "conv1": c3(3, 3, 3, cfg.z_dim, dec[0]),
+            "middle": {"res1": res(dec[0], dec[0]), "attn": attn(dec[0]),
+                       "res2": res(dec[0], dec[0])},
+            "up": up,
+            "head": {"norm": jnp.ones((dec[-1],), dtype),
+                     "conv": c3(3, 3, 3, dec[-1], cin_ch)},
+        },
+        "latent_mean": jnp.asarray(VAE38_MEAN[: cfg.z_dim], dtype),
+        "latent_std": jnp.asarray(VAE38_STD[: cfg.z_dim], dtype),
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -247,6 +247,10 @@ def _apply_dense(p, x):
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"]
+    if "lora" in p:
+        from ..adapters import apply_adapter
+
+        y = apply_adapter(y, x, p)
     return y
 
 

@@ -85,10 +85,10 @@ def make_wan_sft_train_step(
         )
 
     if trainable_filter is not None:
-        optimizer = optax.masked(
-            optimizer,
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()},
             lambda params: jax.tree_util.tree_map_with_path(
-                lambda path, _: trainable_filter(path), params
+                lambda path, _: "train" if trainable_filter(path) else "freeze", params
             ),
         )
 

@@ -1,0 +1,184 @@
+"""LoRA / DoRA adapter math + two-stage merge tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from fairygen_tpu.models.adapters import (
+    add_lora_to_wan_dit,
+    apply_adapter,
+    dropout_lora_b,
+    fuse_lora_into_wan_dit,
+    init_lora,
+    lora_trainable_filter,
+    merge_stage_weights,
+    merge_lora_rank_concat,
+    normalize_lora_keys,
+)
+from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params, wan_dit_forward
+
+CFG = WanDiTConfig(
+    dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+    patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+    seperated_timestep=True, require_clip_embedding=False,
+    require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+)
+
+
+def _fwd(params):
+    lat = jax.random.normal(jax.random.key(2), (1, 4, 3, 8, 8))
+    ts = jnp.asarray([400.0])
+    ctx = jax.random.normal(jax.random.key(3), (1, 10, 32))
+    return wan_dit_forward(params, CFG, lat, ts, ctx, fuse_vae_embedding_in_latents=True)
+
+
+def test_zero_init_lora_is_identity():
+    params = init_dit_params(jax.random.key(0), CFG)
+    ref = _fwd(params)
+    with_lora = add_lora_to_wan_dit(params, jax.random.key(1), rank=4)
+    out = _fwd(with_lora)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_runtime_lora_matches_fused():
+    params = init_dit_params(jax.random.key(0), CFG)
+    with_lora = add_lora_to_wan_dit(params, jax.random.key(1), rank=4)
+    # randomize B so the adapter does something
+    key = jax.random.key(7)
+
+    def rand_b(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        if "lora" in names and names[-1] == "B":
+            return jax.random.normal(jax.random.key(hash(tuple(names)) % 2**31), leaf.shape) * 0.02
+        return leaf
+
+    with_lora = jax.tree_util.tree_map_with_path(rand_b, with_lora)
+    out_runtime = _fwd(with_lora)
+
+    # build the reference-format lora state dict and fuse into base weights
+    sd = {}
+    L = CFG.num_layers
+    name_map = {("self_attn", "q"): "self_attn.q", ("self_attn", "k"): "self_attn.k",
+                ("self_attn", "v"): "self_attn.v", ("self_attn", "o"): "self_attn.o",
+                ("cross_attn", "q"): "cross_attn.q", ("cross_attn", "k"): "cross_attn.k",
+                ("cross_attn", "v"): "cross_attn.v", ("cross_attn", "o"): "cross_attn.o",
+                ("ffn", "fc1"): "ffn.0", ("ffn", "fc2"): "ffn.2"}
+    blocks = with_lora["blocks"]
+    for (sub, proj), refname in name_map.items():
+        if "lora" not in blocks[sub][proj]:
+            continue
+        A = np.asarray(blocks[sub][proj]["lora"]["A"])  # (L, in, r)
+        B = np.asarray(blocks[sub][proj]["lora"]["B"])  # (L, r, out)
+        for i in range(L):
+            sd[f"blocks.{i}.{refname}.lora_A.default.weight"] = A[i].T  # (r, in)
+            sd[f"blocks.{i}.{refname}.lora_B.default.weight"] = B[i].T  # (out, r)
+
+    fused, n = fuse_lora_into_wan_dit(params, sd, CFG, alpha=1.0)
+    assert n == len(sd) // 2
+    out_fused = _fwd(fused)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_runtime), atol=1e-4)
+
+
+def test_dora_magnitude_identity_at_init():
+    # DoRA with zero B: mag = ||W||, mns = 1, update = 0
+    key = jax.random.key(0)
+    w = jax.random.normal(key, (8, 16))
+    p = {"w": w, "lora": init_lora(jax.random.key(1), 8, 16, 4, dora=True, base_w=w)}
+    x = jax.random.normal(jax.random.key(2), (2, 5, 8))
+    base = x @ w
+    out = apply_adapter(base, x, p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+
+def test_mask_gated_adapter():
+    key = jax.random.key(0)
+    w = jax.random.normal(key, (8, 16))
+    ap = init_lora(jax.random.key(1), 8, 16, 4)
+    ap["B"] = jax.random.normal(jax.random.key(2), (4, 16)) * 0.1
+    p = {"w": w, "lora": ap}
+    x = jax.random.normal(jax.random.key(3), (1, 6, 8))
+    base = x @ w
+    mask = jnp.asarray([1, 1, 0, 0, 1, 0]).reshape(1, 6, 1)
+    out = apply_adapter(base, x, p, mask=mask)
+    full = apply_adapter(base, x, p)
+    np.testing.assert_allclose(np.asarray(out[0, 2]), np.asarray(base[0, 2]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(full[0, 0]), atol=1e-6)
+
+
+def test_stage_dropout_and_b2():
+    params = init_dit_params(jax.random.key(0), CFG)
+    with_lora = add_lora_to_wan_dit(params, jax.random.key(1), rank=4, with_b2=True)
+    # dropout on zeros stays zeros; scale preserved in expectation
+    dropped = dropout_lora_b(with_lora, jax.random.key(2), 0.8, which="B")
+    b = dropped["blocks"]["self_attn"]["q"]["lora"]["B"]
+    assert float(jnp.abs(b).sum()) == 0.0
+    # nonzero B2: expectation preserved
+    w2 = with_lora["blocks"]["self_attn"]["q"]["lora"]
+    w2["B2"] = jnp.ones_like(w2["B2"])
+    dropped = dropout_lora_b(with_lora, jax.random.key(3), 0.5, which="B2")
+    b2 = np.asarray(dropped["blocks"]["self_attn"]["q"]["lora"]["B2"])
+    assert set(np.unique(b2)).issubset({0.0, 2.0})
+    assert abs(b2.mean() - 1.0) < 0.35
+
+
+def test_merge_stage_weights():
+    s1 = {
+        "blocks.0.self_attn.q.lora_A.default.weight": np.ones((4, 8)),
+        "blocks.0.self_attn.q.lora_B.default.weight": np.ones((8, 4)),
+    }
+    s2 = {"blocks.0.self_attn.q.lora_B2.weight": 2 * np.ones((8, 4))}
+    merged = merge_stage_weights(s1, s2)
+    np.testing.assert_allclose(
+        merged["blocks.0.self_attn.q.lora_B.default.weight"], 3 * np.ones((8, 4))
+    )
+    np.testing.assert_allclose(
+        merged["blocks.0.self_attn.q.lora_A.default.weight"], np.ones((4, 8))
+    )
+
+
+def test_normalize_lora_keys_variants():
+    sd = {
+        "diffusion_model.blocks.0.self_attn.q.lora_up.weight": np.ones((8, 4)),
+        "diffusion_model.blocks.0.self_attn.q.lora_down.weight": np.ones((4, 8)),
+        "blocks.1.ffn.0.lora_B.default.weight": np.ones((8, 4)),
+        "blocks.1.ffn.0.lora_A.default.weight": np.ones((4, 8)),
+    }
+    out = normalize_lora_keys(sd)
+    assert "blocks.0.self_attn.q.lora_B.weight" in out
+    assert "blocks.1.ffn.0.lora_A.weight" in out
+
+
+def test_rank_concat():
+    a = {"x.lora_A.weight": np.ones((4, 8)), "x.lora_B.weight": np.ones((8, 4))}
+    b = {"x.lora_A.weight": np.ones((2, 8)), "x.lora_B.weight": np.ones((8, 2))}
+    m = merge_lora_rank_concat(a, b)
+    assert m["x.lora_A.weight"].shape == (6, 8)
+    assert m["x.lora_B.weight"].shape == (8, 6)
+
+
+def test_lora_only_training_updates_adapters():
+    import optax
+    from fairygen_tpu.training.train_step import make_wan_sft_train_step
+
+    params = init_dit_params(jax.random.key(0), CFG)
+    params = add_lora_to_wan_dit(params, jax.random.key(1), rank=4)
+    init_state, train_step = make_wan_sft_train_step(
+        CFG, optax.adamw(1e-2), remat=False,
+        trainable_filter=lora_trainable_filter(("A", "B")),
+    )
+    state = init_state(params)
+    batch = {
+        "latents": jax.random.normal(jax.random.key(2), (1, 4, 3, 8, 8)),
+        "context": jax.random.normal(jax.random.key(3), (1, 10, 32)),
+    }
+    new_state, loss = train_step(state, batch, jax.random.key(4))
+    assert np.isfinite(float(loss))
+    # base weights untouched, adapter A updated
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["blocks"]["self_attn"]["q"]["w"]),
+        np.asarray(params["blocks"]["self_attn"]["q"]["w"]),
+    )
+    a_old = np.asarray(params["blocks"]["self_attn"]["q"]["lora"]["A"])
+    a_new = np.asarray(new_state.params["blocks"]["self_attn"]["q"]["lora"]["A"])
+    assert np.abs(a_new - a_old).max() > 0
