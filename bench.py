@@ -71,8 +71,15 @@ def main():
 
     ctx = jnp.zeros((2,) + ctx_shape[1:], dtype)  # posi+nega merged
 
-    @jax.jit
-    def denoise(params, latents, ffl):
+    # Chunked dispatch: a handful of steps per jit call. Amortizes host
+    # overhead while keeping each device program short (the tunneled axon
+    # backend cannot survive a single ~90 s dispatch).
+    steps_per_dispatch = int(os.environ.get("FAIRYGEN_BENCH_CHUNK", "5"))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+    def denoise_chunk(params, latents, ffl, start, length):
         def step(i, lat):
             x2 = jnp.concatenate([lat, lat], axis=0)
             t2 = jnp.broadcast_to(timesteps[i], (2,))
@@ -82,18 +89,23 @@ def main():
             lat = lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
             return lat.at[:, :, 0:1].set(ffl)
 
-        return jax.lax.fori_loop(0, n_steps, step, latents)
+        return jax.lax.fori_loop(start, start + length, step, latents)
+
+    def denoise(params, latents, ffl):
+        for s in range(0, n_steps, steps_per_dispatch):
+            latents = denoise_chunk(params, latents, ffl, jnp.int32(s),
+                                    min(steps_per_dispatch, n_steps - s))
+        return latents
 
     latents = jnp.zeros(lat_shape, dtype)
     ffl = jnp.zeros(lat_shape[:2] + (1,) + lat_shape[3:], dtype)
 
     # warm-up (compile)
     out = denoise(dit_params, latents, ffl)
-    out.block_until_ready()
     float(out.sum())  # force full materialization through the tunnel
 
     t0 = time.perf_counter()
-    out = denoise(dit_params, latents, ffl)
+    out = denoise(dit_params, jnp.zeros(lat_shape, dtype), ffl)
     float(out.sum())
     denoise_s = time.perf_counter() - t0
 

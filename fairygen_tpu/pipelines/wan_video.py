@@ -53,6 +53,7 @@ class WanVideoPipeline:
     tokenizer: Any = None  # utils.tokenizer.HuggingfaceTokenizer
     dit2_params: Any = None  # high/low-noise two-expert models (Wan2.2-A14B)
     dtype: Any = jnp.bfloat16
+    steps_per_dispatch: int = 5  # denoise steps per jit dispatch
 
     # ----------------------------------------------------------- text encode
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
@@ -208,9 +209,21 @@ class WanVideoPipeline:
 
             return step
 
-        @functools.partial(jax.jit, static_argnums=(3, 4))
-        def run(params, lat, _ffl, start, stop):
-            return jax.lax.fori_loop(start, stop, make_step(params), lat)
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run_chunk(params, lat, _ffl, start, length):
+            return jax.lax.fori_loop(start, start + length, make_step(params), lat)
+
+        # Chunked dispatch: a few steps per jit call — amortizes dispatch
+        # overhead while keeping each device program short.
+        chunk = self.steps_per_dispatch
+
+        def run(params, lat, start, stop):
+            s = start
+            while s < stop:
+                ln = min(chunk, stop - s)
+                lat = run_chunk(params, lat, ffl, jnp.int32(s), ln)
+                s += ln
+            return lat
 
         if self.dit2_params is not None:
             # Two-expert boundary switch (reference wan_video.py:287-290):
@@ -218,8 +231,8 @@ class WanVideoPipeline:
             boundary_idx = int(
                 np.searchsorted(-scheduler.timesteps, -switch_dit_boundary * 1000)
             )
-            latents = run(self.dit_params, latents, ffl, 0, boundary_idx)
-            latents = run(self.dit2_params, latents, ffl, boundary_idx, n)
+            latents = run(self.dit_params, latents, 0, boundary_idx)
+            latents = run(self.dit2_params, latents, boundary_idx, n)
         else:
-            latents = run(self.dit_params, latents, ffl, 0, n)
+            latents = run(self.dit_params, latents, 0, n)
         return latents
