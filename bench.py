@@ -115,6 +115,9 @@ def main():
         vae_cfg = WanVAEConfig.wan22_38()
         vae_params = _make_zero_vae_params(vae_cfg, dtype)
 
+        # warm-up (compiles the first-chunk + steady-state programs)
+        video = vae38_decode(vae_params, vae_cfg, out.astype(dtype), streaming=True)
+        float(video.sum())
         t0 = time.perf_counter()
         video = vae38_decode(vae_params, vae_cfg, out.astype(dtype), streaming=True)
         float(video.sum())

@@ -29,6 +29,10 @@ class AutoencoderKLConfig:
     norm_num_groups: int = 32
     scaling_factor: float = 0.13025
 
+    @property
+    def downscale_factor(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
     @staticmethod
     def sdxl() -> "AutoencoderKLConfig":
         return AutoencoderKLConfig()

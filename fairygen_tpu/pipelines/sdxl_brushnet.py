@@ -1,0 +1,203 @@
+"""SDXL + BrushNet stylization pipeline (and plain SDXL text2image).
+
+Port of the reference entry point ``test_brushnet_sdxl.py`` and
+``StableDiffusionXLBrushNetPipeline.__call__``
+(``pipeline_brushnet_sd_xl.py:961-1518``):
+
+  * mask binarized ``sum(channels) < 0`` after [-1,1] normalization (:1255);
+  * ``conditioning_latents = VAE(masked_image)·sf ⊕ nearest-resized mask``
+    (:1281-1290);
+  * ``brushnet_keep`` start/end schedule (:1303-1310);
+  * per-step BrushNet → UNet with per-sub-block add samples (:1410-1447);
+  * CFG batch-2 (uncond first); DPM-Solver++(2M); fp32 VAE decode (:1474).
+
+Style-DoRA adapters ride inside the UNet params (models/adapters.py); the
+``lora_scale`` kwarg rescales them at call time (reference
+``cross_attention_kwargs={"scale": 0.66}``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.dpm_solver import DPMSolverMultistepScheduler
+from ..models.sdxl.clip import CLIPTextConfig, sdxl_encode_prompt
+from ..models.sdxl.unet2d import UNet2DConfig, brushnet_forward, unet2d_forward
+from ..models.sdxl.vae import (
+    AutoencoderKLConfig,
+    convert_autoencoder_kl_state_dict,
+    vae_decode,
+    vae_encode,
+)
+from ..core.noise import generate_noise
+
+
+def scale_adapters(params, scale: float):
+    """Rescale every adapter's effective scale (lora_scale kwarg)."""
+
+    def fn(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        if "lora" in names and names[-1] == "scale":
+            return leaf * scale
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+@dataclasses.dataclass
+class SDXLBrushNetPipeline:
+    unet_params: Any
+    unet_cfg: UNet2DConfig
+    vae_params: Any
+    vae_cfg: AutoencoderKLConfig
+    brushnet_params: Any = None
+    brushnet_cfg: Optional[UNet2DConfig] = None
+    te1_params: Any = None
+    te1_cfg: Optional[CLIPTextConfig] = None
+    te2_params: Any = None
+    te2_cfg: Optional[CLIPTextConfig] = None
+    tokenizer1: Any = None
+    tokenizer2: Any = None
+    dtype: Any = jnp.float32
+
+    def encode_prompt(self, prompt: str):
+        ids1 = jnp.asarray(self.tokenizer1(prompt))
+        ids2 = jnp.asarray(self.tokenizer2(prompt))
+        return sdxl_encode_prompt(
+            self.te1_params, self.te1_cfg, self.te2_params, self.te2_cfg, ids1, ids2
+        )
+
+    def __call__(
+        self,
+        prompt: str = None,
+        negative_prompt: str = "",
+        *,
+        prompt_embeds=None,  # (1, 77, 2048)
+        pooled_embeds=None,  # (1, 1280)
+        negative_prompt_embeds=None,
+        negative_pooled_embeds=None,
+        image=None,  # masked init image, float [0,1] HWC or (B,3,H,W) [-1,1]
+        mask=None,  # float [0,1], 1 = character (keep), HW(C) or (B,1,H,W)
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        brushnet_conditioning_scale: float = 0.7,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
+        seed: int = 0,
+        output_type: str = "np",
+        torch_compat_noise: bool = False,
+    ):
+        do_cfg = guidance_scale > 1.0
+
+        if prompt_embeds is None:
+            prompt_embeds, pooled_embeds = self.encode_prompt(prompt)
+        if do_cfg and negative_prompt_embeds is None:
+            negative_prompt_embeds, negative_pooled_embeds = self.encode_prompt(
+                negative_prompt
+            )
+
+        sf = self.vae_cfg.scaling_factor
+        sched = DPMSolverMultistepScheduler()
+        sched.set_timesteps(num_inference_steps)
+
+        # DPMSolverMultistep has init_noise_sigma == 1.0 (no initial scaling)
+        f = self.vae_cfg.downscale_factor
+        latents = generate_noise(
+            (1, self.vae_cfg.latent_channels, height // f, width // f),
+            seed=seed, dtype=jnp.float32, torch_compat=torch_compat_noise,
+        )
+
+        use_brushnet = self.brushnet_params is not None and image is not None
+        if use_brushnet:
+            img = _to_nchw_pm1(image)
+            msk = _to_nchw_pm1(mask, channels=None)
+            original_mask = (jnp.sum(msk, axis=1, keepdims=True) < 0).astype(jnp.float32)
+            cond_lat = vae_encode(self.vae_params, self.vae_cfg, img.astype(self.dtype))
+            cond_lat = cond_lat.astype(jnp.float32) * sf
+            m = _nearest_resize(original_mask, cond_lat.shape[-2], cond_lat.shape[-1])
+            conditioning_latents = jnp.concatenate([cond_lat, m], axis=1)
+            if do_cfg:
+                conditioning_latents = jnp.concatenate([conditioning_latents] * 2, axis=0)
+
+        # SDXL micro-conditioning
+        add_time_ids = jnp.asarray(
+            [[height, width, 0, 0, height, width]], jnp.float32
+        )
+        if do_cfg:
+            ehs = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+            text_embeds = jnp.concatenate([negative_pooled_embeds, pooled_embeds], axis=0)
+            time_ids = jnp.concatenate([add_time_ids] * 2, axis=0)
+        else:
+            ehs, text_embeds, time_ids = prompt_embeds, pooled_embeds, add_time_ids
+
+        state = sched.init_state(latents.shape)
+        n = num_inference_steps
+        for i in range(n):
+            t = jnp.asarray(float(sched.timesteps[i]))
+            x_in = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
+
+            kwargs = {}
+            if use_brushnet:
+                keep = 1.0 - float(
+                    i / n < control_guidance_start or (i + 1) / n > control_guidance_end
+                )
+                down, mid, up = brushnet_forward(
+                    self.brushnet_params, self.brushnet_cfg,
+                    x_in.astype(self.dtype), t, ehs.astype(self.dtype),
+                    conditioning_latents.astype(self.dtype),
+                    text_embeds=text_embeds, time_ids=time_ids,
+                    conditioning_scale=brushnet_conditioning_scale * keep,
+                )
+                kwargs = dict(
+                    down_block_add_samples=list(down),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                )
+
+            noise_pred = unet2d_forward(
+                self.unet_params, self.unet_cfg,
+                x_in.astype(self.dtype), t, ehs.astype(self.dtype),
+                text_embeds=text_embeds, time_ids=time_ids, **kwargs,
+            ).astype(jnp.float32)
+
+            if do_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            latents, state = sched.step(state, noise_pred, i, latents)
+
+        if output_type == "latent":
+            return latents
+        # fp32 decode (reference upcasts the fp16 VAE — :1474-1497)
+        image_out = vae_decode(
+            self.vae_params, self.vae_cfg, (latents / sf).astype(jnp.float32)
+        )
+        if output_type == "np_pm1":
+            return image_out
+        from ..core.imaging import postprocess_image
+
+        return [postprocess_image(np.asarray(f)) for f in image_out]
+
+
+def _to_nchw_pm1(x, channels: int = 3):
+    """HWC [0,1] (or already-normalized NCHW) -> (1, C, H, W) in [-1,1]."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 4:
+        return x
+    if x.ndim == 2:
+        x = x[:, :, None]
+    x = jnp.transpose(x, (2, 0, 1))[None]
+    return x * 2.0 - 1.0
+
+
+def _nearest_resize(x, h, w):
+    """(B, C, H, W) nearest resize (torch F.interpolate 'nearest')."""
+    b, c, H, W = x.shape
+    ih = (jnp.arange(h) * H // h).astype(jnp.int32)
+    iw = (jnp.arange(w) * W // w).astype(jnp.int32)
+    return x[:, :, ih][:, :, :, iw]

@@ -1,0 +1,93 @@
+"""End-to-end SDXL+BrushNet pipeline parity vs the reference pipeline."""
+import numpy as np
+import jax.numpy as jnp
+
+from fairygen_tpu.models.sdxl.unet2d import UNet2DConfig, convert_unet2d_state_dict
+from fairygen_tpu.models.sdxl.vae import (
+    AutoencoderKLConfig,
+    convert_autoencoder_kl_state_dict,
+)
+from fairygen_tpu.pipelines.sdxl_brushnet import SDXLBrushNetPipeline
+
+UNET_CFG = UNet2DConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    transformer_layers_per_block=(1, 2),
+    num_attention_heads=(2, 4),
+    cross_attention_dim=32,
+    norm_num_groups=16,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=80,
+)
+BN_CFG = UNet2DConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    mid_block_type="UNetMidBlock2D",
+    transformer_layers_per_block=(0, 0),
+    num_attention_heads=(2, 4),
+    attention_head_dim=8,
+    cross_attention_dim=32,
+    norm_num_groups=16,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=80,
+    conditioning_channels=5,
+)
+VAE_CFG = AutoencoderKLConfig.tiny()
+
+
+def _sd(g, prefix):
+    n = len(prefix) + 2
+    return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
+
+
+def test_brushnet_sdxl_pipeline_end_to_end(goldens):
+    g = goldens("brushnet_pipeline")
+    pipe = SDXLBrushNetPipeline(
+        unet_params=convert_unet2d_state_dict(_sd(g, "unet"), UNET_CFG),
+        unet_cfg=UNET_CFG,
+        vae_params=convert_autoencoder_kl_state_dict(_sd(g, "vae"), VAE_CFG),
+        vae_cfg=VAE_CFG,
+        brushnet_params=convert_unet2d_state_dict(_sd(g, "bn"), BN_CFG),
+        brushnet_cfg=BN_CFG,
+    )
+    frames = pipe(
+        prompt_embeds=jnp.asarray(g["pe"]),
+        pooled_embeds=jnp.asarray(g["ppe"]),
+        negative_prompt_embeds=jnp.asarray(g["npe"]),
+        negative_pooled_embeds=jnp.asarray(g["nppe"]),
+        image=g["masked_u8"].astype(np.float32) / 255.0,
+        mask=g["mask_u8"].astype(np.float32) / 255.0,
+        height=64, width=64, num_inference_steps=6,
+        guidance_scale=7.5, brushnet_conditioning_scale=0.7,
+        seed=77, torch_compat_noise=True,
+    )
+    ours = frames[0].astype(np.float32)
+    ref = (g["img_out"] * 255.0).astype(np.float32) if g["img_out"].dtype != np.uint8 \
+        else g["img_out"].astype(np.float32)
+    # uint8 rounding: allow ±2 levels
+    assert ours.shape == ref.shape
+    diff = np.abs(ours - ref)
+    assert diff.max() <= 3, f"max pixel diff {diff.max()}"
+    mse = np.mean((ours - ref) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 45, f"PSNR {psnr:.1f} dB"
+
+
+def test_plain_sdxl_text2image_shapes(goldens):
+    g = goldens("brushnet_pipeline")
+    pipe = SDXLBrushNetPipeline(
+        unet_params=convert_unet2d_state_dict(_sd(g, "unet"), UNET_CFG),
+        unet_cfg=UNET_CFG,
+        vae_params=convert_autoencoder_kl_state_dict(_sd(g, "vae"), VAE_CFG),
+        vae_cfg=VAE_CFG,
+    )
+    frames = pipe(
+        prompt_embeds=jnp.asarray(g["pe"]),
+        pooled_embeds=jnp.asarray(g["ppe"]),
+        negative_prompt_embeds=jnp.asarray(g["npe"]),
+        negative_pooled_embeds=jnp.asarray(g["nppe"]),
+        height=64, width=64, num_inference_steps=3, guidance_scale=5.0, seed=1,
+    )
+    assert frames[0].shape == (64, 64, 3)
