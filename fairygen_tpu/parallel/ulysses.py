@@ -55,7 +55,6 @@ def make_ulysses_attention(mesh: Mesh, seq_axis: str = AXES.seq) -> Callable:
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
     )
     def ulysses(q, k, v):
         # local: (b, S/n, N, D) -> (b, S, N/n, D)
