@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 512
-DEFAULT_BK = 512
+DEFAULT_BQ = 1024
+DEFAULT_BK = 1024
 _NEG_INF = -1e30
 
 

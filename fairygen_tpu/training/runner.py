@@ -1,0 +1,134 @@
+"""Training runner + checkpoint logger.
+
+Replaces the reference accelerate loop
+(``animation/diffsynth/diffusion/runner.py:8-71``) and ``ModelLogger``
+(``diffusion/logger.py``): the jitted SPMD train step does the gradient
+all-reduce (no DDP wrapper), and checkpoints are trainable-params-only
+safetensors in the reference key layout — including the explicit ``lora_B2``
+inclusion (logger.py:35-53) — so stage-1/stage-2/merged adapters round-trip
+between the two frameworks.  Full train-state checkpointing (params +
+optimizer + step) goes through orbax for resume.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.io import save_safetensors
+
+
+def wan_lora_state_dict(params, *, include_b2: bool = True,
+                        prefix: str = "") -> Dict[str, np.ndarray]:
+    """Extract adapter weights into the reference (peft) key layout:
+    '<prefix>blocks.N.<module>.lora_{A,B}.default.weight' (+ lora_B2.weight).
+
+    Inverse of models/adapters.py naming; torch layout (out, in)."""
+    out = {}
+    blocks = params["blocks"]
+    name_map = {
+        ("self_attn", "q"): "self_attn.q", ("self_attn", "k"): "self_attn.k",
+        ("self_attn", "v"): "self_attn.v", ("self_attn", "o"): "self_attn.o",
+        ("cross_attn", "q"): "cross_attn.q", ("cross_attn", "k"): "cross_attn.k",
+        ("cross_attn", "v"): "cross_attn.v", ("cross_attn", "o"): "cross_attn.o",
+        ("ffn", "fc1"): "ffn.0", ("ffn", "fc2"): "ffn.2",
+    }
+    for (sub, proj), refname in name_map.items():
+        layer = blocks.get(sub, {}).get(proj, {})
+        if "lora" not in layer:
+            continue
+        ap = layer["lora"]
+        A = np.asarray(ap["A"], np.float32)  # (L, in, r)
+        B = np.asarray(ap["B"], np.float32)  # (L, r, out)
+        L = A.shape[0]
+        for i in range(L):
+            base = f"{prefix}blocks.{i}.{refname}"
+            out[f"{base}.lora_A.default.weight"] = A[i].T
+            out[f"{base}.lora_B.default.weight"] = B[i].T
+            if include_b2 and "B2" in ap:
+                out[f"{base}.lora_B2.weight"] = np.asarray(ap["B2"][i], np.float32).T
+    return out
+
+
+class ModelLogger:
+    """Step/epoch checkpointing of trainable-only state (logger.py:13-53)."""
+
+    def __init__(self, output_path: str, remove_prefix_in_ckpt: Optional[str] = None,
+                 state_dict_fn: Optional[Callable] = None):
+        self.output_path = output_path
+        self.remove_prefix = remove_prefix_in_ckpt
+        self.state_dict_fn = state_dict_fn or wan_lora_state_dict
+        os.makedirs(output_path, exist_ok=True)
+
+    def save(self, params, name: str):
+        sd = self.state_dict_fn(params)
+        if self.remove_prefix:
+            sd = {
+                (k[len(self.remove_prefix):] if k.startswith(self.remove_prefix) else k): v
+                for k, v in sd.items()
+            }
+        path = os.path.join(self.output_path, name)
+        save_safetensors(path, sd)
+        return path
+
+    def on_step_end(self, state, step: int, save_steps: Optional[int]):
+        if save_steps is not None and step % save_steps == 0:
+            return self.save(state.params, f"step-{step}.safetensors")
+
+    def on_epoch_end(self, state, epoch: int):
+        return self.save(state.params, f"epoch-{epoch}.safetensors")
+
+
+def save_train_state(path: str, state):
+    """Full-state checkpoint via orbax (params + opt state + step)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state)
+
+
+def restore_train_state(path: str, abstract_state):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), abstract_state)
+
+
+def launch_training_task(
+    state,
+    train_step: Callable,
+    dataset: Iterable,
+    collate_fn: Callable,
+    *,
+    num_epochs: int = 1,
+    save_steps: Optional[int] = None,
+    logger: Optional[ModelLogger] = None,
+    rng=None,
+    log_every: int = 10,
+    mesh=None,
+):
+    """Reference launch_training_task (runner.py:8-47) as a plain loop:
+    per-sample batches (collate = identity on element 0), AdamW/schedule
+    live inside train_step, loss printed every ``log_every``."""
+    rng = rng if rng is not None else jax.random.key(0)
+    step = 0
+    import contextlib
+
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        for epoch in range(num_epochs):
+            for sample in dataset:
+                batch = collate_fn(sample)
+                rng, sub = jax.random.split(rng)
+                state, loss = train_step(state, batch, sub)
+                step += 1
+                if step % log_every == 0:
+                    print(f"epoch {epoch} step {step} loss {float(loss):.5f}", flush=True)
+                if logger is not None:
+                    logger.on_step_end(state, step, save_steps)
+            if logger is not None:
+                logger.on_epoch_end(state, epoch)
+    return state

@@ -1,0 +1,94 @@
+"""Media IO: video/frame saving and loading.
+
+Covers the reference utilities (``animation/diffsynth/utils/data/__init__.py``:
+``VideoData``, ``save_video``, ``save_frames``).  Backend ladder:
+imageio-ffmpeg (mp4) -> PIL GIF -> PNG frame directory, since the execution
+image may lack ffmpeg.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def _to_uint8_frames(video) -> List[np.ndarray]:
+    frames = []
+    for f in video:
+        a = np.asarray(f)
+        if a.dtype != np.uint8:
+            a = np.clip(a, 0, 255).astype(np.uint8)
+        frames.append(a)
+    return frames
+
+
+def save_frames(video, save_path: str):
+    """Frames -> numbered PNGs (reference utils/data/__init__.py:147)."""
+    from PIL import Image
+
+    os.makedirs(save_path, exist_ok=True)
+    for i, frame in enumerate(_to_uint8_frames(video)):
+        Image.fromarray(frame).save(os.path.join(save_path, f"{i:05d}.png"))
+
+
+def save_video(video, save_path: str, fps: int = 15, quality: int = 5):
+    """Frames -> mp4 (ffmpeg) with GIF / frame-dir fallbacks."""
+    frames = _to_uint8_frames(video)
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)) or ".", exist_ok=True)
+    try:
+        import imageio
+
+        writer = imageio.get_writer(save_path, fps=fps, quality=quality)
+        for f in frames:
+            writer.append_data(f)
+        writer.close()
+        return save_path
+    except Exception:
+        pass
+    from PIL import Image
+
+    if not save_path.lower().endswith(".gif"):
+        save_path = os.path.splitext(save_path)[0] + ".gif"
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(save_path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    return save_path
+
+
+class VideoData:
+    """Lazy frame access over a video file or a frame directory
+    (reference utils/data/__init__.py:83)."""
+
+    def __init__(self, video_file: Optional[str] = None,
+                 image_folder: Optional[str] = None, height=None, width=None):
+        self.height = height
+        self.width = width
+        if image_folder is not None:
+            self._files = [
+                os.path.join(image_folder, f)
+                for f in sorted(os.listdir(image_folder))
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+            ]
+            self._reader = None
+        else:
+            import imageio
+
+            self._reader = imageio.get_reader(video_file)
+            self._files = None
+
+    def __len__(self):
+        if self._files is not None:
+            return len(self._files)
+        return int(self._reader.count_frames())
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        if self._files is not None:
+            img = Image.open(self._files[i]).convert("RGB")
+        else:
+            img = Image.fromarray(self._reader.get_data(i))
+        if self.height and self.width:
+            img = img.resize((self.width, self.height))
+        return img

@@ -1,0 +1,144 @@
+"""Data operator DSL, UnifiedDataset, video IO, checkpoint round-trips."""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fairygen_tpu.data import (
+    ImageCropAndResize,
+    LoadImage,
+    LoadNpz,
+    RouteByExtensionName,
+    RouteByType,
+    ToAbsolutePath,
+    ToList,
+    UnifiedDataset,
+)
+from fairygen_tpu.core.io import load_safetensors, save_safetensors, load_shapes
+from fairygen_tpu.utils.video import save_frames, save_video
+
+
+def _make_image(path, w=40, h=30):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    Image.fromarray(rs.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+def test_operator_pipeline(tmp_path):
+    img = tmp_path / "a.png"
+    _make_image(str(img))
+    op = ToAbsolutePath(str(tmp_path)) >> LoadImage() >> ImageCropAndResize(16, 16) >> ToList()
+    out = op("a.png")
+    assert isinstance(out, list) and out[0].size == (16, 16)
+
+
+def test_crop_and_resize_max_pixels(tmp_path):
+    img = tmp_path / "b.png"
+    _make_image(str(img), w=100, h=60)
+    op = LoadImage() >> ImageCropAndResize(max_pixels=600, height_division_factor=8,
+                                           width_division_factor=8)
+    out = op(str(img))
+    w, h = out.size
+    assert w % 8 == 0 and h % 8 == 0 and w * h <= 6000
+
+
+def test_unified_dataset_csv_and_repeat(tmp_path):
+    img = tmp_path / "x.png"
+    _make_image(str(img))
+    meta = tmp_path / "meta.csv"
+    meta.write_text("video,prompt\nx.png,a drawing\n")
+    ds = UnifiedDataset(
+        base_path=str(tmp_path), metadata_path=str(meta), repeat=3,
+        data_file_keys=("video",),
+        main_data_operator=UnifiedDataset.default_video_operator(
+            base_path=str(tmp_path), height=16, width=16),
+    )
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["prompt"] == "a drawing"
+    assert isinstance(item["video"], list) and item["video"][0].size == (16, 16)
+
+
+def test_unified_dataset_cached_npz(tmp_path):
+    np.savez(tmp_path / "c1.npz", latents=np.ones((2, 2)), prompt=np.array("hi", dtype=object))
+    ds = UnifiedDataset(base_path=str(tmp_path))
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["latents"].shape == (2, 2) and item["prompt"] == "hi"
+
+
+def test_save_video_and_frames(tmp_path):
+    frames = [np.full((8, 8, 3), i * 40, np.uint8) for i in range(4)]
+    p = save_video(frames, str(tmp_path / "v.mp4"), fps=4)
+    assert os.path.exists(p)
+    save_frames(frames, str(tmp_path / "frames"))
+    assert len(os.listdir(tmp_path / "frames")) == 4
+
+
+def test_safetensors_roundtrip(tmp_path):
+    import ml_dtypes
+
+    sd = {
+        "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "b": np.ones((4,), dtype=ml_dtypes.bfloat16),
+    }
+    path = str(tmp_path / "w.safetensors")
+    save_safetensors(path, sd, metadata={"format": "pt"})
+    back = load_safetensors(path)
+    np.testing.assert_array_equal(back["a"], sd["a"])
+    assert back["b"].dtype == np.dtype(ml_dtypes.bfloat16)
+    assert load_shapes(path) == {"a": [2, 3], "b": [4]}
+
+
+def test_lora_checkpoint_roundtrip(tmp_path):
+    from fairygen_tpu.models.adapters import add_lora_to_wan_dit, merge_stage_weights
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.training.runner import ModelLogger, wan_lora_state_dict
+
+    cfg = WanDiTConfig.tiny(num_heads=4, dim=96)
+    params = init_dit_params(jax.random.key(0), cfg)
+    params = add_lora_to_wan_dit(params, jax.random.key(1), rank=4, with_b2=True)
+    sd = wan_lora_state_dict(params)
+    assert any(k.endswith(".lora_B2.weight") for k in sd)
+    assert any(k.endswith(".lora_A.default.weight") for k in sd)
+
+    logger = ModelLogger(str(tmp_path))
+    path = logger.save(params, "step-1.safetensors")
+    back = load_safetensors(path)
+    assert set(back) == set(sd)
+
+    # stage merge on the saved layout works
+    merged = merge_stage_weights(back, back)
+    assert any("lora_B" in k for k in merged)
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    import optax
+
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.training.train_step import make_wan_sft_train_step
+    from fairygen_tpu.training.runner import restore_train_state, save_train_state
+
+    cfg = WanDiTConfig.tiny(num_heads=4, dim=96)
+    init_state, train_step = make_wan_sft_train_step(cfg, optax.adamw(1e-4), remat=False)
+    params = init_dit_params(jax.random.key(0), cfg)
+    state = init_state(params)
+    batch = {
+        "latents": jax.random.normal(jax.random.key(1), (1, 8, 3, 8, 8)),
+        "context": jax.random.normal(jax.random.key(2), (1, 6, 32)),
+    }
+    state, _ = train_step(state, batch, jax.random.key(3))
+    save_train_state(str(tmp_path / "ckpt"), state)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    restored = restore_train_state(str(tmp_path / "ckpt"), abstract)
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(restored.params["blocks"]["self_attn"]["q"]["w"]),
+        np.asarray(state.params["blocks"]["self_attn"]["q"]["w"]),
+    )
