@@ -1,0 +1,102 @@
+"""ModelPool: "throw checkpoint files at me" loading.
+
+Port of the reference ``ModelPool.auto_load_model``
+(``animation/diffsynth/models/model_loader.py:62-117``): hash each file's
+key:shape set, match the registry, build the recognized models.  Builders
+return (params, config) pytrees ready for jit; unported architectures are
+reported and skipped instead of failing the whole load.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+
+from .registry import MODEL_REGISTRY, ModelRegistry
+
+
+def _build_wan_dit(state_dict, extra_kwargs, dtype):
+    from ..models.wan.dit import WanDiTConfig, convert_dit_state_dict
+
+    fields = {f.name for f in dataclasses.fields(WanDiTConfig)}
+    kwargs = {k: v for k, v in extra_kwargs.items() if k in fields}
+    unknown = set(extra_kwargs) - fields
+    if unknown - {"eps"}:
+        # S2V/audio variants carry kwargs our DiT does not implement yet
+        raise NotImplementedError(f"unsupported WanModel kwargs: {sorted(unknown)}")
+    if "patch_size" in kwargs:
+        kwargs["patch_size"] = tuple(kwargs["patch_size"])
+    cfg = WanDiTConfig(**kwargs)
+    return convert_dit_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_wan_vae(state_dict, extra_kwargs, dtype):
+    from ..models.wan.vae import WanVAEConfig, convert_vae38_state_dict
+
+    keys = state_dict.keys()
+    probe = "model.conv2.weight" if "model.conv2.weight" in keys else "conv2.weight"
+    z_dim = state_dict[probe].shape[0]
+    if z_dim != 48:
+        raise NotImplementedError("16-channel Wan2.1 VAE not ported yet (VAE38 only)")
+    cfg = WanVAEConfig.wan22_38()
+    return convert_vae38_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_umt5(state_dict, extra_kwargs, dtype):
+    from ..models.wan.text_encoder import UMT5Config, convert_umt5_state_dict
+
+    cfg = UMT5Config.umt5_xxl()
+    return convert_umt5_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
+    registry.register_builder("wan_video_dit", _build_wan_dit)
+    registry.register_builder("wan_video_vae", _build_wan_vae)
+    registry.register_builder("wan_video_text_encoder", _build_umt5)
+    return registry
+
+
+class ModelPool:
+    def __init__(self, registry: Optional[ModelRegistry] = None):
+        self.registry = install_default_builders(registry or MODEL_REGISTRY)
+        self.models: Dict[str, List[Any]] = {}
+
+    def load(self, paths, dtype=jnp.bfloat16, hints: Optional[Dict[str, Any]] = None):
+        """hints: path -> (model_name, extra_kwargs) for checkpoints whose
+        hash is not in the registry (e.g. resized/test models)."""
+        hints = hints or {}
+        for path in paths:
+            if path in hints:
+                from .io import load_state_dict
+
+                name, extra = hints[path]
+                builder = self.registry._builders[name]
+                params, cfg = builder(load_state_dict(path), dict(extra), dtype)
+                self.models.setdefault(name, []).append((params, cfg))
+                continue
+            specs = self.registry.detect_file(path)
+            if not specs:
+                print(f"[ModelPool] unrecognized checkpoint: {path}")
+                continue
+            for name, params, cfg in self._safe_load(path, dtype):
+                self.models.setdefault(name, []).append((params, cfg))
+                print(f"[ModelPool] loaded {name} from {path}")
+        return self
+
+    def _safe_load(self, path, dtype):
+        try:
+            return self.registry.load(path, dtype=dtype)
+        except NotImplementedError as e:
+            print(f"[ModelPool] skipping {path}: {e}")
+            return []
+
+    def fetch_model(self, name: str, index: Optional[int] = None):
+        """Reference fetch_model semantics (model_loader.py): None if absent;
+        the single entry, or a list when index>1 entries exist."""
+        entries = self.models.get(name, [])
+        if not entries:
+            return None
+        if index is None or len(entries) == 1:
+            return entries[0]
+        return entries[:index]

@@ -420,6 +420,31 @@ def _full(fn, p, cfg, x, first_chunk=True):
     return fn(p, cfg, x, CacheBank("full"), first_chunk)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _chunk_fns(cfg: "WanVAEConfig", which: str):
+    """Jitted first/steady chunk programs, cached per config so repeated
+    encode/decode calls never recompile."""
+    fwd = encoder38_forward if which == "enc" else decoder38_forward
+    key = "encoder" if which == "enc" else "decoder"
+
+    @jax.jit
+    def first_fn(params, xc):
+        bank = CacheBank("init")
+        y = fwd(params[key], cfg, xc, bank, first_chunk=True)
+        return y, bank.out
+
+    @jax.jit
+    def step_fn(params, xc, entries):
+        bank = CacheBank("step", list(entries))
+        y = fwd(params[key], cfg, xc, bank, first_chunk=False)
+        return y, bank.out
+
+    return first_fn, step_fn
+
+
 def vae38_encode_core(params, cfg: WanVAEConfig, x, streaming: bool = False):
     """Patchified pixels -> normalized latent mu. x: (B, T, H, W, 12)."""
     if not streaming:
@@ -428,25 +453,12 @@ def vae38_encode_core(params, cfg: WanVAEConfig, x, streaming: bool = False):
     else:
         t = x.shape[1]
         chunks = [x[:, :1]] + [x[:, 1 + 4 * i: 1 + 4 * (i + 1)] for i in range((t - 1) // 4)]
+        first_fn, step_fn = _chunk_fns(cfg, "enc")
         outs = []
-        cache_entries = None
-
-        @jax.jit
-        def first_fn(params, xc):
-            bank = CacheBank("init")
-            y = encoder38_forward(params["encoder"], cfg, xc, bank, first_chunk=True)
-            return y, bank.out
-
-        @jax.jit
-        def step_fn(params, xc, entries):
-            bank = CacheBank("step", entries)
-            y = encoder38_forward(params["encoder"], cfg, xc, bank, first_chunk=False)
-            return y, bank.out
-
         y, cache_entries = first_fn(params, chunks[0])
         outs.append(y)
         for c in chunks[1:]:
-            y, cache_entries = step_fn(params, c, cache_entries)
+            y, cache_entries = step_fn(params, c, tuple(cache_entries))
             outs.append(y)
         out = jnp.concatenate(outs, axis=1)
         out = causal_conv3d(params["conv1"], out, CacheBank("full"), t_pad=0)
@@ -465,23 +477,12 @@ def vae38_decode_core(params, cfg: WanVAEConfig, z, streaming: bool = False):
     if not streaming:
         return _full(decoder38_forward, params["decoder"], cfg, x)
 
-    @jax.jit
-    def first_fn(params, xc):
-        bank = CacheBank("init")
-        y = decoder38_forward(params["decoder"], cfg, xc, bank, first_chunk=True)
-        return y, bank.out
-
-    @jax.jit
-    def step_fn(params, xc, entries):
-        bank = CacheBank("step", entries)
-        y = decoder38_forward(params["decoder"], cfg, xc, bank, first_chunk=False)
-        return y, bank.out
-
+    first_fn, step_fn = _chunk_fns(cfg, "dec")
     outs = []
     y, entries = first_fn(params, x[:, :1])
     outs.append(y)
     for i in range(1, x.shape[1]):
-        y, entries = step_fn(params, x[:, i: i + 1], entries)
+        y, entries = step_fn(params, x[:, i: i + 1], tuple(entries))
         outs.append(y)
     return jnp.concatenate(outs, axis=1)
 

@@ -55,6 +55,52 @@ class WanVideoPipeline:
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 5  # denoise steps per jit dispatch
 
+    @classmethod
+    def from_pretrained(cls, model_paths, tokenizer_path=None,
+                        dtype=jnp.bfloat16, hints=None, mesh=None):
+        """Hash-detected checkpoint loading (reference wan_video.py:98-169):
+        throw DiT/VAE/UMT5 files at the pool, fetch by role.  Two DiT files
+        become the (dit, dit2) two-expert pair."""
+        from ..core.model_pool import ModelPool
+
+        pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
+        dit = pool.fetch_model("wan_video_dit", index=2)
+        dit2 = None
+        if isinstance(dit, list):
+            (dit_params, dit_cfg), *rest = dit
+            if rest:
+                dit2 = rest[0][0]
+        else:
+            dit_params, dit_cfg = dit
+        vae = pool.fetch_model("wan_video_vae")
+        te = pool.fetch_model("wan_video_text_encoder")
+        tokenizer = None
+        if tokenizer_path is not None:
+            from ..utils.tokenizer import HuggingfaceTokenizer
+
+            tokenizer = HuggingfaceTokenizer(tokenizer_path, seq_len=512,
+                                             clean="whitespace")
+        return cls(
+            dit_params=dit_params, dit_cfg=dit_cfg,
+            vae_params=vae[0] if vae else None, vae_cfg=vae[1] if vae else None,
+            te_params=te[0] if te else None, te_cfg=te[1] if te else None,
+            tokenizer=tokenizer, dit2_params=dit2, dtype=dtype,
+        )
+
+    def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
+        """Merge a LoRA into the DiT base weights at load time
+        (reference base_pipeline.py:231-267 / utils/lora/general.py:44)."""
+        from ..core.io import load_state_dict
+        from ..models.adapters import fuse_lora_into_wan_dit
+
+        sd = (load_state_dict(lora_path_or_sd)
+              if isinstance(lora_path_or_sd, str) else lora_path_or_sd)
+        self.dit_params, n = fuse_lora_into_wan_dit(
+            self.dit_params, sd, self.dit_cfg, alpha=alpha
+        )
+        print(f"{n} tensors fused by LoRA.")
+        return self
+
     # ----------------------------------------------------------- text encode
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
         """UMT5 ids -> embeddings, zeroed past sequence length

@@ -1,0 +1,64 @@
+"""ModelPool hash detection + from_pretrained wiring."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fairygen_tpu.core.io import save_safetensors
+from fairygen_tpu.core.model_pool import ModelPool
+from fairygen_tpu.core.registry import MODEL_REGISTRY
+
+
+def test_registry_contains_reference_hashes():
+    # TI2V-5B DiT hash from the reference table (configs/model_configs.py)
+    specs = MODEL_REGISTRY.lookup("1f5ab7703c6fc803fdded85ff040c316")
+    assert specs and specs[0].model_name == "wan_video_dit"
+    assert specs[0].extra_kwargs["dim"] == 3072
+    assert specs[0].extra_kwargs["seperated_timestep"] is True
+    # UMT5 + VAE hashes present
+    assert MODEL_REGISTRY.lookup("9c8818c2cbea55eca56c7b447df170da")
+    assert MODEL_REGISTRY.lookup("e1de6c02cdac79f8b739f4d3698cd216")
+    assert len(MODEL_REGISTRY.known_names) >= 30
+
+
+def test_pool_loads_with_hints(tmp_path, goldens):
+    g = goldens("wan_pipeline")
+    dit_sd = {k[5:]: g[k] for k in g.files if k.startswith("dit::")}
+    path = str(tmp_path / "dit.safetensors")
+    save_safetensors(path, dit_sd)
+    extra = dict(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    pool = ModelPool().load([path], dtype=jnp.float32,
+                            hints={path: ("wan_video_dit", extra)})
+    params, cfg = pool.fetch_model("wan_video_dit")
+    assert cfg.dim == 96
+    assert params["blocks"]["modulation"].shape[0] == 2
+
+
+def test_from_pretrained_with_hints(tmp_path, goldens):
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+
+    g = goldens("wan_pipeline")
+    dit_sd = {k[5:]: g[k] for k in g.files if k.startswith("dit::")}
+    vae_sd = {k[5:]: g[k] for k in g.files if k.startswith("vae::")}
+    p1 = str(tmp_path / "dit.safetensors")
+    save_safetensors(p1, dit_sd)
+    extra = dict(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    pipe = WanVideoPipeline.from_pretrained(
+        [p1], dtype=jnp.float32, hints={p1: ("wan_video_dit", extra)}
+    )
+    assert pipe.dit_cfg.dim == 96 and pipe.vae_params is None
+    lat = pipe(
+        context=jnp.zeros((1, 6, 32)), cfg_scale=1.0, seed=0,
+        height=32, width=32, num_frames=5, num_inference_steps=2,
+        output_type="latents",
+    )
+    assert lat.shape == (1, 4, 2, 2, 2)
