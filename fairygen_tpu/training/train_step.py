@@ -48,6 +48,7 @@ def make_wan_sft_train_step(
     remat: bool = True,
     first_frame_clean: Optional[bool] = None,
     trainable_filter: Optional[Callable] = None,
+    lora_b_dropout: Optional[tuple] = None,  # ("B", 0.8) stage-1 / ("B2", 0.5) stage-2
 ):
     """Build (init_state, train_step). Batch: {latents, context}.
 
@@ -78,6 +79,14 @@ def make_wan_sft_train_step(
         )
 
     def loss_fn(params, batch, rng):
+        if lora_b_dropout is not None:
+            # stage-wise element dropout on B/B2 as a parameter transform
+            # (training_module.py:233-242, 338-346)
+            from ..models.adapters import dropout_lora_b
+
+            which, p_drop = lora_b_dropout
+            rng, sub = jax.random.split(rng)
+            params = dropout_lora_b(params, sub, p_drop, which=which)
         return flow_match_sft_loss(
             model_fn, params, batch["latents"], batch["context"], rng,
             sigmas=sigmas, timesteps=timesteps, weights=weights,
