@@ -1,0 +1,115 @@
+"""Spatially tiled VAE encode/decode with linear feather blending.
+
+Port of the reference tiling (``wan_video_vae.py:1081-1203``): overlapping
+spatial tiles processed independently (each through the streamed causal
+temporal path), blended with per-axis linear ramp masks
+``(arange(border)+1)/border`` and min-combined 2D weights.
+
+On TPU the motivation shifts from VRAM to HBM: tiling bounds decoder
+activation memory at high resolutions / long clips, and every tile reuses
+the same compiled chunk programs (shapes are fixed per tile size).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .vae import WanVAEConfig, vae38_decode, vae38_encode
+
+
+def _build_mask(h: int, w: int, is_bound, border_width) -> np.ndarray:
+    """Reference build_mask (wan_video_vae.py:1081-1100)."""
+
+    def ramp1d(length, left_bound, right_bound, border):
+        x = np.ones((length,), np.float32)
+        if border > 0:
+            if not left_bound:
+                x[:border] = (np.arange(border) + 1) / border
+            if not right_bound:
+                x[-border:] = np.flip((np.arange(border) + 1) / border)
+        return x
+
+    hm = ramp1d(h, is_bound[0], is_bound[1], border_width[0])
+    wm = ramp1d(w, is_bound[2], is_bound[3], border_width[1])
+    return np.minimum(hm[:, None], wm[None, :])
+
+
+def _tile_tasks(H, W, size, stride):
+    size_h, size_w = size
+    stride_h, stride_w = stride
+    tasks = []
+    for h in range(0, H, stride_h):
+        if h - stride_h >= 0 and h - stride_h + size_h >= H:
+            continue
+        for w in range(0, W, stride_w):
+            if w - stride_w >= 0 and w - stride_w + size_w >= W:
+                continue
+            tasks.append((h, min(h + size_h, H + size_h), w, min(w + size_w, W + size_w)))
+    return tasks
+
+
+def vae38_tiled_decode(params, cfg: WanVAEConfig, latents,
+                       tile_size: Tuple[int, int] = (30, 52),
+                       tile_stride: Tuple[int, int] = (15, 26),
+                       streaming: bool = True):
+    """latents (B, z, T, H, W) -> video (B, 3, T', H·f, W·f), tile sizes in
+    latent units (reference defaults tile 30x52 stride 15x26 ≈ 480x832 px)."""
+    B, C, T, H, W = latents.shape
+    f = cfg.upsampling_factor
+    size_h, size_w = tile_size
+    stride_h, stride_w = tile_stride
+    out_T = (T - 1) * 4 + 1
+
+    values = np.zeros((B, 3, out_T, H * f, W * f), np.float32)
+    weight = np.zeros((1, 1, 1, H * f, W * f), np.float32)
+
+    for h, h_, w, w_ in _tile_tasks(H, W, tile_size, tile_stride):
+        h_, w_ = min(h + size_h, H), min(w + size_w, W)
+        tile = latents[:, :, :, h:h_, w:w_]
+        dec = vae38_decode(params, cfg, tile, streaming=streaming, clamp=False)
+        dec = np.asarray(dec.astype(jnp.float32))
+        mask = _build_mask(
+            dec.shape[-2], dec.shape[-1],
+            is_bound=(h == 0, h_ >= H, w == 0, w_ >= W),
+            border_width=((size_h - stride_h) * f, (size_w - stride_w) * f),
+        )
+        th, tw = h * f, w * f
+        values[:, :, :, th:th + dec.shape[-2], tw:tw + dec.shape[-1]] += dec * mask
+        weight[:, :, :, th:th + dec.shape[-2], tw:tw + dec.shape[-1]] += mask
+    values = values / weight
+    return jnp.clip(jnp.asarray(values), -1, 1)
+
+
+def vae38_tiled_encode(params, cfg: WanVAEConfig, video,
+                       tile_size: Tuple[int, int] = (34, 34),
+                       tile_stride: Tuple[int, int] = (18, 16),
+                       streaming: bool = True):
+    """video (B, 3, T, H, W) -> latents; tile sizes in LATENT units
+    (scaled to pixels by upsampling_factor, reference
+    wan_video_vae.py:1218-1226)."""
+    B, C, T, H, W = video.shape
+    f = cfg.upsampling_factor
+    size = (tile_size[0] * f, tile_size[1] * f)
+    stride = (tile_stride[0] * f, tile_stride[1] * f)
+    out_T = (T - 1) // 4 + 1
+    zc = cfg.z_dim
+
+    values = np.zeros((B, zc, out_T, H // f, W // f), np.float32)
+    weight = np.zeros((1, 1, 1, H // f, W // f), np.float32)
+
+    for h, h_, w, w_ in _tile_tasks(H, W, size, stride):
+        h_, w_ = min(h + size[0], H), min(w + size[1], W)
+        tile = video[:, :, :, h:h_, w:w_]
+        z = vae38_encode(params, cfg, tile, streaming=streaming)
+        z = np.asarray(z.astype(jnp.float32))
+        mask = _build_mask(
+            z.shape[-2], z.shape[-1],
+            is_bound=(h == 0, h_ >= H, w == 0, w_ >= W),
+            border_width=((size[0] - stride[0]) // f, (size[1] - stride[1]) // f),
+        )
+        th, tw = h // f, w // f
+        values[:, :, :, th:th + z.shape[-2], tw:tw + z.shape[-1]] += z * mask
+        weight[:, :, :, th:th + z.shape[-2], tw:tw + z.shape[-1]] += mask
+    return jnp.asarray(values / weight)
