@@ -444,6 +444,8 @@ def wan_dit_forward(
     vace_scale: float = 1.0,
     t_mod_bias=None,  # motion controller additive t_mod (B, 6, D)
     mesh=None,  # jax.sharding.Mesh with (data, seq, tensor) axes for SPMD
+    tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> returns (out, state)
+    tea_cache_opts=None,  # dict(model_id=, rel_l1_thresh=, num_inference_steps=)
 ):
     """Full denoiser forward — mirrors model_fn_wan_video
     (reference wan_video.py:1122-1388) minus pipeline-level concerns
@@ -513,11 +515,27 @@ def wan_dit_forward(
             x, NamedSharding(mesh, P(AXES.data, AXES.seq))
         )
 
-    x = blocks_forward(
-        params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
-        hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
-    )
+    if tea_cache_state is not None:
+        from ...utils.tea_cache import tea_cache_blocks
+
+        x, new_tc = tea_cache_blocks(
+            tea_cache_state, x, t_mod,
+            lambda xx: blocks_forward(
+                params["blocks"], xx, ctx, t_mod, freqs, cfg, remat=remat,
+                hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
+            ),
+            **tea_cache_opts,
+        )
+    else:
+        new_tc = None
+        x = blocks_forward(
+            params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
+            hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
+        )
     x = head_forward(params["head"], x, t, cfg)
     if x.shape[1] != s_orig:
         x = x[:, :s_orig]
-    return unpatchify(x, grid, cfg)
+    out = unpatchify(x, grid, cfg)
+    if tea_cache_state is not None:
+        return out, new_tc
+    return out
