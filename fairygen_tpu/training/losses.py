@@ -52,3 +52,36 @@ def flow_match_sft_loss(
     loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
     w = jnp.asarray(weights, jnp.float32)[idx]
     return loss * w
+
+
+def direct_distill_loss(
+    model_fn: Callable,  # (params, latents, timestep, context) -> v_pred
+    params,
+    input_latents,
+    context,
+    rng,
+    *,
+    num_inference_steps: int = 4,
+    sigma_shift: float = 5.0,
+):
+    """Full-rollout latent-match distillation — reference
+    ``diffusion/loss.py:24-33`` (DirectDistillLoss): run the student through
+    the whole (few-step) sampling trajectory from pure noise and match the
+    final latents to the clean targets.  The rollout is a ``fori_loop`` so
+    the whole objective jits; gradients flow through every step.
+    """
+    from ..diffusion.flow_match import FlowMatchScheduler
+
+    sched = FlowMatchScheduler("Wan").set_timesteps(num_inference_steps, shift=sigma_shift)
+    sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+
+    noise = jax.random.normal(rng, input_latents.shape, input_latents.dtype)
+
+    def step(i, lat):
+        t = jnp.broadcast_to(timesteps[i], (lat.shape[0],))
+        v = model_fn(params, lat, t, context)
+        return lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
+
+    lat = jax.lax.fori_loop(0, num_inference_steps, step, noise)
+    return jnp.mean((lat.astype(jnp.float32) - input_latents.astype(jnp.float32)) ** 2)

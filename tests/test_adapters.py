@@ -182,3 +182,23 @@ def test_lora_only_training_updates_adapters():
     a_old = np.asarray(params["blocks"]["self_attn"]["q"]["lora"]["A"])
     a_new = np.asarray(new_state.params["blocks"]["self_attn"]["q"]["lora"]["A"])
     assert np.abs(a_new - a_old).max() > 0
+
+
+def test_direct_distill_loss_runs_and_differentiates():
+    from fairygen_tpu.training.losses import direct_distill_loss
+    from fairygen_tpu.models.wan.dit import wan_dit_forward
+
+    params = init_dit_params(jax.random.key(0), CFG)
+
+    def model_fn(p, lat, t, ctx):
+        return wan_dit_forward(p, CFG, lat, t, ctx, fuse_vae_embedding_in_latents=False)
+
+    latents = jax.random.normal(jax.random.key(1), (1, 4, 3, 8, 8))
+    ctx = jax.random.normal(jax.random.key(2), (1, 10, 32))
+    loss, grads = jax.value_and_grad(
+        lambda p: direct_distill_loss(model_fn, p, latents, ctx, jax.random.key(3),
+                                      num_inference_steps=2)
+    )(params)
+    assert np.isfinite(float(loss))
+    g = grads["blocks"]["self_attn"]["q"]["w"]
+    assert np.abs(np.asarray(g)).max() > 0
