@@ -29,8 +29,8 @@ _NEG_INF = -1e30
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_actual, bk):
-    j = pl.program_id(3)
-    nk = pl.num_programs(3)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _():
@@ -38,8 +38,8 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_a
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, :, 0]  # (bq, d)
-    k = k_ref[0, :, 0]  # (bk, d)
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -59,7 +59,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_a
 
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype),
-        v_ref[0, :, 0],
+        v_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -69,7 +69,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_a
 
     @pl.when(j == nk - 1)
     def _():
-        o_ref[0, :, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, mult):
@@ -96,35 +96,34 @@ def _flash_fwd_impl(q, k, v, scale=None):
     bq = min(DEFAULT_BQ, max(128, sq))
     bk = min(DEFAULT_BK, max(128, sk))
 
-    # Consume (B,S,N,D) directly — grid over (batch, q-tile, head, k-tile);
-    # no head-major transpose passes through HBM.
-    qh = _pad_to(q, 1, bq)
-    kh = _pad_to(k, 1, bk)
-    vh = _pad_to(v, 1, bk)
+    # head-major layout: blocks must keep (seq, d) as the trailing dims
+    qh = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * n, sq, d), 1, bq)
+    kh = _pad_to(k.transpose(0, 2, 1, 3).reshape(b * n, sk, d), 1, bk)
+    vh = _pad_to(v.transpose(0, 2, 1, 3).reshape(b * n, sk, d), 1, bk)
     sq_p, sk_p = qh.shape[1], kh.shape[1]
 
-    grid = (b, sq_p // bq, n, sk_p // bk)
+    grid = (b * n, sq_p // bq, sk_p // bk)
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale_val, sk_actual=sk, bk=bk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), lambda bi, i, h, j: (bi, i, h, 0)),
-            pl.BlockSpec((1, bk, 1, d), lambda bi, i, h, j: (bi, j, h, 0)),
-            pl.BlockSpec((1, bk, 1, d), lambda bi, i, h, j: (bi, j, h, 0)),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), lambda bi, i, h, j: (bi, i, h, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sq_p, n, d), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qh, kh, vh)
 
-    return out[:, :sq]
+    return out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 
 def _flash_fwd(q, k, v, scale):
