@@ -32,15 +32,20 @@ def _build_wan_dit(state_dict, extra_kwargs, dtype):
 
 
 def _build_wan_vae(state_dict, extra_kwargs, dtype):
-    from ..models.wan.vae import WanVAEConfig, convert_vae38_state_dict
+    from ..models.wan.vae import (
+        WanVAEConfig,
+        convert_vae38_state_dict,
+        convert_vae_v1_state_dict,
+    )
 
     keys = state_dict.keys()
     probe = "model.conv2.weight" if "model.conv2.weight" in keys else "conv2.weight"
     z_dim = state_dict[probe].shape[0]
-    if z_dim != 48:
-        raise NotImplementedError("16-channel Wan2.1 VAE not ported yet (VAE38 only)")
-    cfg = WanVAEConfig.wan22_38()
-    return convert_vae38_state_dict(state_dict, cfg, dtype=dtype), cfg
+    if z_dim == 48:
+        cfg = WanVAEConfig.wan22_38()
+        return convert_vae38_state_dict(state_dict, cfg, dtype=dtype), cfg
+    cfg = WanVAEConfig.wan21_16()
+    return convert_vae_v1_state_dict(state_dict, cfg, dtype=dtype), cfg
 
 
 def _build_umt5(state_dict, extra_kwargs, dtype):

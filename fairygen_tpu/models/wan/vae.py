@@ -57,6 +57,17 @@ VAE38_STD = np.array([
 ], dtype=np.float32)
 
 
+VAE16_MEAN = np.array([
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+], dtype=np.float32)
+
+VAE16_STD = np.array([
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+], dtype=np.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class WanVAEConfig:
     dim: int = 160
@@ -67,6 +78,7 @@ class WanVAEConfig:
     temperal_downsample: Tuple[bool, ...] = (False, True, True)
     patch_size: int = 2  # pixel-space patchify (VAE38); 1 for the 16-ch VAE
     in_channels: int = 3
+    arch: str = "38"  # "38" (Wan2.2 z48) | "v1" (Wan2.1 z16, wan_video_vae.py:951)
 
     @property
     def temperal_upsample(self):
@@ -93,8 +105,20 @@ class WanVAEConfig:
         return WanVAEConfig()
 
     @staticmethod
+    def wan21_16() -> "WanVAEConfig":
+        """Wan2.1 causal VAE — WanVideoVAE (wan_video_vae.py:1058-1077)."""
+        return WanVAEConfig(dim=96, z_dim=16, dec_dim=96, patch_size=1, arch="v1")
+
+    @staticmethod
     def tiny(**over) -> "WanVAEConfig":
         base = dict(dim=8, z_dim=4, dec_dim=8, num_res_blocks=1)
+        base.update(over)
+        return WanVAEConfig(**base)
+
+    @staticmethod
+    def tiny_v1(**over) -> "WanVAEConfig":
+        base = dict(dim=8, z_dim=4, dec_dim=8, num_res_blocks=1, patch_size=1,
+                    arch="v1")
         base.update(over)
         return WanVAEConfig(**base)
 
@@ -357,6 +381,48 @@ def encoder38_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
     return x
 
 
+def encoder_v1_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
+                       first_chunk: bool = True):
+    """Encoder3d (Wan2.1) — wan_video_vae.py:517-617: plain residual stacks
+    + Resample, no Avg shortcuts."""
+    x = causal_conv3d(p["conv1"], x, cache, t_pad=1, spatial_pad=1)
+    for i in range(len(cfg.dim_mult)):
+        stage = p["down"][i]
+        for blk in stage["blocks"]:
+            x = residual_block(blk, x, cache)
+        if "resample" in stage:
+            t_down = cfg.temperal_downsample[i] if i < len(cfg.temperal_downsample) else False
+            mode = "downsample3d" if t_down else "downsample2d"
+            x = resample38(stage["resample"], x, mode, cache, first_chunk)
+    x = residual_block(p["middle"]["res1"], x, cache)
+    x = attention_block(p["middle"]["attn"], x)
+    x = residual_block(p["middle"]["res2"], x, cache)
+    x = vae_rms_norm(x, p["head"]["norm"])
+    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    return x
+
+
+def decoder_v1_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
+                       first_chunk: bool = True):
+    """Decoder3d (Wan2.1) — wan_video_vae.py:736-838: the old Resample
+    halves channels on spatial upsample (Conv2d(dim, dim//2))."""
+    x = causal_conv3d(p["conv1"], x, cache, t_pad=1, spatial_pad=1)
+    x = residual_block(p["middle"]["res1"], x, cache)
+    x = attention_block(p["middle"]["attn"], x)
+    x = residual_block(p["middle"]["res2"], x, cache)
+    for i in range(len(cfg.dim_mult)):
+        stage = p["up"][i]
+        for blk in stage["blocks"]:
+            x = residual_block(blk, x, cache)
+        if "resample" in stage:
+            t_up = cfg.temperal_upsample[i] if i < len(cfg.temperal_upsample) else False
+            mode = "upsample3d" if t_up else "upsample2d"
+            x = resample38(stage["resample"], x, mode, cache, first_chunk)
+    x = vae_rms_norm(x, p["head"]["norm"])
+    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    return x
+
+
 def decoder38_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
                       first_chunk: bool = True):
     """Decoder3d_38 — wan_video_vae.py:842-940."""
@@ -427,8 +493,12 @@ import functools as _functools
 def _chunk_fns(cfg: "WanVAEConfig", which: str):
     """Jitted first/steady chunk programs, cached per config so repeated
     encode/decode calls never recompile."""
-    fwd = encoder38_forward if which == "enc" else decoder38_forward
-    key = "encoder" if which == "enc" else "decoder"
+    if which == "enc":
+        fwd = encoder38_forward if cfg.arch == "38" else encoder_v1_forward
+        key = "encoder"
+    else:
+        fwd = decoder38_forward if cfg.arch == "38" else decoder_v1_forward
+        key = "decoder"
 
     @jax.jit
     def first_fn(params, xc):
@@ -447,8 +517,9 @@ def _chunk_fns(cfg: "WanVAEConfig", which: str):
 
 def vae38_encode_core(params, cfg: WanVAEConfig, x, streaming: bool = False):
     """Patchified pixels -> normalized latent mu. x: (B, T, H, W, 12)."""
+    enc_fwd = encoder38_forward if cfg.arch == "38" else encoder_v1_forward
     if not streaming:
-        out = _full(encoder38_forward, params["encoder"], cfg, x)
+        out = _full(enc_fwd, params["encoder"], cfg, x)
         out = causal_conv3d(params["conv1"], out, CacheBank("full"), t_pad=0)
     else:
         t = x.shape[1]
@@ -474,8 +545,9 @@ def vae38_decode_core(params, cfg: WanVAEConfig, z, streaming: bool = False):
     std = params["latent_std"].astype(z.dtype)
     z = z * std + mean
     x = causal_conv3d(params["conv2"], z, CacheBank("full"), t_pad=0)
+    dec_fwd = decoder38_forward if cfg.arch == "38" else decoder_v1_forward
     if not streaming:
-        return _full(decoder38_forward, params["decoder"], cfg, x)
+        return _full(dec_fwd, params["decoder"], cfg, x)
 
     first_fn, step_fn = _chunk_fns(cfg, "dec")
     outs = []
@@ -516,6 +588,111 @@ def _c3(w):  # torch OIDHW -> DHWIO
 
 def _c2(w):  # torch OIHW -> HWIO
     return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def convert_vae_v1_state_dict(sd: Dict[str, np.ndarray], cfg: WanVAEConfig,
+                              dtype=None) -> Dict[str, Any]:
+    """Torch VideoVAE_ (Wan2.1) state dict -> pytree.
+
+    Encoder3d/Decoder3d use FLAT nn.Sequential numbering mixing residual
+    blocks and resamples (wan_video_vae.py:543-558, 767-783); the decoder's
+    spatial upsample halves channels, so the next stage's first residual
+    block sees dims[i+1]//2 inputs (":770-771").
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    def conv3(prefix):
+        return {"w": _c3(sd[prefix + ".weight"]), "b": np.asarray(sd[prefix + ".bias"])}
+
+    def conv2(prefix):
+        return {"w": _c2(sd[prefix + ".weight"]), "b": np.asarray(sd[prefix + ".bias"])}
+
+    def gamma(prefix):
+        return np.asarray(sd[prefix + ".gamma"]).reshape(-1)
+
+    def res(prefix, has_shortcut):
+        p = {
+            "norm1": gamma(prefix + ".residual.0"),
+            "conv1": conv3(prefix + ".residual.2"),
+            "norm2": gamma(prefix + ".residual.3"),
+            "conv2": conv3(prefix + ".residual.6"),
+        }
+        if has_shortcut:
+            p["shortcut"] = conv3(prefix + ".shortcut")
+        return p
+
+    def attn(prefix):
+        return {"norm": gamma(prefix + ".norm"),
+                "qkv": conv2(prefix + ".to_qkv"),
+                "proj": conv2(prefix + ".proj")}
+
+    nmult = len(cfg.dim_mult)
+    enc_dims = cfg.enc_dims
+    down, idx = [], 0
+    for i in range(nmult):
+        blocks, in_dim = [], enc_dims[i]
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(res(f"encoder.downsamples.{idx}", in_dim != enc_dims[i + 1]))
+            in_dim = enc_dims[i + 1]
+            idx += 1
+        stage = {"blocks": blocks}
+        if i != nmult - 1:
+            rp = f"encoder.downsamples.{idx}"
+            stage["resample"] = {"conv": conv2(rp + ".resample.1")}
+            if i < len(cfg.temperal_downsample) and cfg.temperal_downsample[i]:
+                stage["resample"]["time_conv"] = conv3(rp + ".time_conv")
+            idx += 1
+        down.append(stage)
+
+    dec_dims = cfg.dec_dims
+    up, idx = [], 0
+    for i in range(nmult):
+        in_dim = dec_dims[i] if i == 0 else dec_dims[i] // 2
+        blocks = []
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(res(f"decoder.upsamples.{idx}", in_dim != dec_dims[i + 1]))
+            in_dim = dec_dims[i + 1]
+            idx += 1
+        stage = {"blocks": blocks}
+        if i != nmult - 1:
+            rp = f"decoder.upsamples.{idx}"
+            stage["resample"] = {"conv": conv2(rp + ".resample.1")}
+            if i < len(cfg.temperal_upsample) and cfg.temperal_upsample[i]:
+                stage["resample"]["time_conv"] = conv3(rp + ".time_conv")
+            idx += 1
+        up.append(stage)
+
+    mean_tab = VAE16_MEAN if cfg.z_dim <= 16 else VAE38_MEAN
+    std_tab = VAE16_STD if cfg.z_dim <= 16 else VAE38_STD
+    params = {
+        "encoder": {
+            "conv1": conv3("encoder.conv1"),
+            "down": down,
+            "middle": {
+                "res1": res("encoder.middle.0", False),
+                "attn": attn("encoder.middle.1"),
+                "res2": res("encoder.middle.2", False),
+            },
+            "head": {"norm": gamma("encoder.head.0"), "conv": conv3("encoder.head.2")},
+        },
+        "conv1": conv3("conv1"),
+        "conv2": conv3("conv2"),
+        "decoder": {
+            "conv1": conv3("decoder.conv1"),
+            "middle": {
+                "res1": res("decoder.middle.0", False),
+                "attn": attn("decoder.middle.1"),
+                "res2": res("decoder.middle.2", False),
+            },
+            "up": up,
+            "head": {"norm": gamma("decoder.head.0"), "conv": conv3("decoder.head.2")},
+        },
+        "latent_mean": mean_tab[: cfg.z_dim].copy(),
+        "latent_std": std_tab[: cfg.z_dim].copy(),
+    }
+    cast = (lambda a: jnp.asarray(a, dtype)) if dtype else jnp.asarray
+    return jax.tree.map(cast, params)
 
 
 def convert_vae38_state_dict(sd: Dict[str, np.ndarray], cfg: WanVAEConfig,
