@@ -69,14 +69,15 @@ def load_safetensors(
     path: str,
     dtype: Optional[np.dtype] = None,
     keys: Optional[Iterable[str]] = None,
-    native: bool = True,
+    native: bool = False,
     n_threads: int = 8,
 ) -> Dict[str, np.ndarray]:
     """Load a .safetensors file without torch.
 
-    Fast path: the native multithreaded streamer (fairygen_tpu.native,
-    parallel pread + in-flight bf16→f32 widening — the TPU-side DiskMap
-    replacement). Fallback: numpy mmap views.
+    Optional fast path (native=True): the C++ multithreaded streamer
+    (fairygen_tpu.native, parallel pread + in-flight bf16→f32 widening —
+    the TPU-side DiskMap replacement; wins on NVMe-class storage).
+    Default: numpy mmap views (optimal on page-cached / network storage).
     """
     with open(path, "rb") as f:
         header, data_start = _read_st_header(f)
