@@ -10,9 +10,10 @@ Replaces the reference's external flash-attn-2/3 / SageAttention kernels
     bf16 p·v matmul with fp32 accumulation;
   - ragged tails handled by padding to tile multiples + column masking.
 
-Differentiable via custom_vjp: forward = this kernel; backward currently
-recomputes attention with the XLA path (exact, memory O(S²) — fine at
-training resolutions; a Pallas backward kernel is the planned upgrade).
+Differentiable via custom_vjp with Pallas backward kernels (flash-style
+O(S) memory): the forward saves per-row logsumexp; backward runs a dq
+kernel (accumulate over k tiles) and a dkv kernel (accumulate over q
+tiles) with the standard dS = P∘(dP − δ) recomputation.
 """
 from __future__ import annotations
 
@@ -28,6 +29,9 @@ DEFAULT_BK = 1024
 _NEG_INF = -1e30
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_actual, bk):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -40,21 +44,24 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_a
 
     q = q_ref[0]  # (bq, d)
     k = k_ref[0]  # (bk, d)
+    # softmax in base-2 (exp2 is the cheap transcendental on the VPU):
+    # exp(s·scale) == exp2(s·scale·log2e)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
+    s = s * (scale * _LOG2E)
 
-    # mask padded key columns
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
-    s = jnp.where(col < sk_actual, s, _NEG_INF)
+    if sk_actual % bk != 0:
+        # mask padded key columns (compiled out for exact-multiple shapes)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < sk_actual, s, _NEG_INF)
 
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
@@ -70,6 +77,123 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, sk_a
     @pl.when(j == nk - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _fa_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
+                       l_ref, *, scale, sk_actual, bk):
+    """Forward that also emits per-row logsumexp (base-2) for the backward."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    if sk_actual % bk != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < sk_actual, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        lse = m_ref[:, :1] + jnp.log2(l_ref[:, :1])
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                      acc_ref, *, scale, sk_actual, bk):
+    """dQ_i = scale · Σ_j [P∘(dP − δ)] K_j — accumulate over k tiles."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    if sk_actual % bk != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < sk_actual, s, _NEG_INF)
+    p = jnp.exp2(s - lse_ref[0, :, :1])  # (bq, bk)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, :, :1])
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _fa_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dk_ref, dv_ref, dk_acc, dv_acc, *, scale, sk_actual, bk):
+    """dV_j = Σ_i Pᵀ dO_i ; dK_j = scale · Σ_i [P∘(dP − δ)]ᵀ Q_i."""
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    if sk_actual % bk != 0:
+        j = pl.program_id(1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < sk_actual, s, _NEG_INF)
+    p = jnp.exp2(s - lse_ref[0, :, :1])  # (bq, bk)
+    do = do_ref[0]
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, :, :1])
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == ni - 1)
+    def _():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _pad_to(x, axis, mult):
@@ -126,23 +250,125 @@ def _flash_fwd_impl(q, k, v, scale=None):
     return out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 
+def _heads_major(x, b, n, s, d, bs):
+    return _pad_to(x.transpose(0, 2, 1, 3).reshape(b * n, s, d), 1, bs)
+
+
 def _flash_fwd(q, k, v, scale):
-    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+    """Forward for the vjp: also computes per-row logsumexp via the
+    LSE-emitting kernel."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    scale_val = float(d**-0.5) if scale is None else float(scale)
+    bq = min(DEFAULT_BQ, max(128, sq))
+    bk = min(DEFAULT_BK, max(128, sk))
+    qh = _heads_major(q, b, n, sq, d, bq)
+    kh = _heads_major(k, b, n, sk, d, bk)
+    vh = _heads_major(v, b, n, sk, d, bk)
+    sq_p, sk_p = qh.shape[1], kh.shape[1]
+
+    grid = (b * n, sq_p // bq, sk_p // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fa_fwd_lse_kernel, scale=scale_val, sk_actual=sk, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda h, i, j: (h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * n, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh)
+
+    o = out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+    return o, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, res, g):
-    """Exact backward via fp32 XLA recompute (O(S²) memory)."""
-    q, k, v = res
-    d = q.shape[-1]
-    scale_val = d**-0.5 if scale is None else scale
+    """Flash-style backward: dq kernel + dkv kernel, O(S) memory."""
+    q, k, v, o_hm, lse = res
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    scale_val = float(d**-0.5) if scale is None else float(scale)
+    bq = min(DEFAULT_BQ, max(128, sq))
+    bk = min(DEFAULT_BK, max(128, sk))
 
-    def ref(q, k, v):
-        logits = jnp.einsum("bsnd,btnd->bnst", q, k).astype(jnp.float32) * scale_val
-        p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        return jnp.einsum("bnst,btnd->bsnd", p, v)
+    qh = _heads_major(q, b, n, sq, d, bq)
+    kh = _heads_major(k, b, n, sk, d, bk)
+    vh = _heads_major(v, b, n, sk, d, bk)
+    doh = _heads_major(g, b, n, sq, d, bq)
+    sq_p, sk_p = qh.shape[1], kh.shape[1]
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    # δ_i = Σ_d dO·O per row, broadcast over 128 lanes (cheap XLA pass)
+    delta = jnp.sum(doh.astype(jnp.float32) * o_hm.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
+
+    common = dict(scale=scale_val, sk_actual=sk, bk=bk)
+    dq = pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, **common),
+        grid=(b * n, sq_p // bq, sk_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda h, i, j: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh, doh, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_dkv_kernel, **common),
+        grid=(b * n, sk_p // bk, sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda h, j, i: (h, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda h, j, i: (h, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda h, j, i: (h, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, j, i: (h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * n, sk_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh, doh, lse, delta)
+
+    def back(x, s_orig):
+        return x[:, :s_orig].reshape(b, n, s_orig, d).transpose(0, 2, 1, 3)
+
+    return back(dq, sq), back(dk, sk), back(dv, sk)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
