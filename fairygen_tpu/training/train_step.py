@@ -49,6 +49,7 @@ def make_wan_sft_train_step(
     first_frame_clean: Optional[bool] = None,
     trainable_filter: Optional[Callable] = None,
     lora_b_dropout: Optional[tuple] = None,  # ("B", 0.8) stage-1 / ("B2", 0.5) stage-2
+    gradient_accumulation_steps: int = 1,
 ):
     """Build (init_state, train_step). Batch: {latents, context}.
 
@@ -100,6 +101,9 @@ def make_wan_sft_train_step(
                 lambda path, _: "train" if trainable_filter(path) else "freeze", params
             ),
         )
+    if gradient_accumulation_steps > 1:
+        # replaces accelerate's gradient_accumulation_steps (runner.py:31)
+        optimizer = optax.MultiSteps(optimizer, gradient_accumulation_steps)
 
     def init_state(params):
         return TrainState(params=params, opt_state=optimizer.init(params),
