@@ -129,6 +129,33 @@ class WanVideoPipeline:
         video = jnp.asarray(preprocess_video(input_video), self.dtype)
         return vae38_encode(self.vae_params, self.vae_cfg, video).astype(self.dtype)
 
+    def encode_i2v_conditioning(self, input_image, height, width, num_frames,
+                                end_image=None):
+        """I2V-A14B mask+y conditioning — reference ImageEmbedderVAE
+        (wan_video.py:452-475): VAE-encode [first frame, zeros(, end frame)]
+        and prepend the 4-fold first-frame temporal mask."""
+        img = jnp.asarray(preprocess_image(input_image), self.dtype)  # C H W
+        zeros_mid = jnp.zeros(
+            (3, num_frames - (2 if end_image is not None else 1), height, width),
+            self.dtype,
+        )
+        parts = [img[:, None].reshape(3, 1, height, width), zeros_mid]
+        msk = jnp.zeros((1, num_frames, height // 8, width // 8), self.dtype)
+        msk = msk.at[:, 0].set(1.0)
+        if end_image is not None:
+            parts.append(jnp.asarray(preprocess_image(end_image), self.dtype)
+                         .reshape(3, 1, height, width))
+            msk = msk.at[:, -1].set(1.0)
+        vae_input = jnp.concatenate(parts, axis=1)[None]  # 1 C T H W
+        y = vae38_encode(self.vae_params, self.vae_cfg, vae_input)[0]
+        # 4-fold repeat of frame-0 mask, grouped into latent frames (:466-468)
+        msk = jnp.concatenate(
+            [jnp.repeat(msk[:, 0:1], 4, axis=1), msk[:, 1:]], axis=1
+        )
+        T4 = msk.shape[1] // 4
+        msk = msk.reshape(1, T4, 4, height // 8, width // 8).transpose(0, 2, 1, 3, 4)[0]
+        return jnp.concatenate([msk.astype(self.dtype), y.astype(self.dtype)])[None]
+
     # ----------------------------------------------------------------- call
     def __call__(
         self,

@@ -70,3 +70,31 @@ def test_t2v_shapes(goldens):
         num_inference_steps=2, output_type="floatpoint",
     )
     assert video.shape == (1, 3, 5, 32, 32)
+
+
+def test_i2v_conditioning_mask_layout(goldens):
+    """encode_i2v_conditioning: mask packing matches the reference math
+    (wan_video.py:457-474) and y channels follow."""
+    import numpy as np
+    from fairygen_tpu.models.wan.vae import WanVAEConfig, convert_vae_v1_state_dict
+
+    g = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: g[k] for k in g.files if k.startswith("sd::")}, vcfg)
+    pipe = WanVideoPipeline(
+        dit_params=None, dit_cfg=DIT_CFG, vae_params=vae_params, vae_cfg=vcfg,
+        dtype=jnp.float32,
+    )
+    H = W = 32
+    F = 9
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 255, (H, W, 3), np.uint8)
+    y = pipe.encode_i2v_conditioning(img, H, W, F)
+    # mask channels (4) + z channels (4 in tiny), latent T = (F-1)/4+1 = 3
+    assert y.shape == (1, 8, 3, H // 8, W // 8)
+    m = np.asarray(y[0, :4])
+    # first latent frame covers the 4-fold repeated frame-0 mask -> all ones
+    np.testing.assert_allclose(m[:, 0], np.ones_like(m[:, 0]))
+    # later latent frames all zero mask
+    np.testing.assert_allclose(m[:, 1:], np.zeros_like(m[:, 1:]))
