@@ -307,15 +307,31 @@ def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
     return _apply_dense(p["o"], o)
 
 
-def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None):
+def _expand_segments(m, seg: int, s: int):
+    """(B, 2, D) segment rows -> (B, S, D): first `seg` tokens row 0, rest
+    row 1 (XLA fuses the broadcast+concat into the consumer)."""
+    b, _, d = m.shape
+    return jnp.concatenate(
+        [jnp.broadcast_to(m[:, 0:1], (b, seg, d)),
+         jnp.broadcast_to(m[:, 1:2], (b, s - seg, d))], axis=1
+    )
+
+
+def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None):
     """One DiT block — reference wan_video_dit.py:213-229.
 
-    t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep support).
+    t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep), or
+    (B, 2, 6, D) two-segment rows with static boundary ``seg``.
     p["modulation"]: (6, D).
     """
     mod = (p["modulation"][None, None].astype(jnp.float32) + t_mod.astype(jnp.float32))
     mod = mod.astype(x.dtype)
-    s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [mod[:, :, i] for i in range(6)]
+    if seg is not None:
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [
+            _expand_segments(mod[:, :, i], seg, x.shape[1]) for i in range(6)
+        ]
+    else:
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [mod[:, :, i] for i in range(6)]
 
     y = modulate(layer_norm(x, cfg.eps), s_msa, sc_msa)
     x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads, cfg.eps, attn_fn)
@@ -330,6 +346,7 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None):
 def blocks_forward(
     stacked, x, ctx, t_mod, freqs, cfg: WanDiTConfig, remat: bool = False,
     hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0, attn_fn=None,
+    seg=None,
 ):
     """lax.scan over the stacked block params (optionally rematerialized).
 
@@ -342,7 +359,7 @@ def blocks_forward(
             p, hint = layer
         else:
             p = layer
-        y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn)
+        y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn, seg=seg)
         if hints is not None:
             y = y + hint * hint_scale
         return y, None
@@ -354,16 +371,20 @@ def blocks_forward(
     return out
 
 
-def head_forward(p, x, t, cfg: WanDiTConfig):
+def head_forward(p, x, t, cfg: WanDiTConfig, seg=None):
     """Modulated output head — reference wan_video_dit.py:252-268.
 
-    t: (B, D) or (B, S, D) (per-token). modulation: (2, D).
+    t: (B, D), (B, S, D) per-token, or (B, 2, D) two-segment rows with
+    static boundary ``seg``. modulation: (2, D).
     """
     if t.ndim == 2:
         t = t[:, None]  # (B, 1, D)
     mod = p["modulation"][None, None].astype(jnp.float32) + t[:, :, None].astype(jnp.float32)
     mod = mod.astype(x.dtype)
     shift, scale = mod[:, :, 0], mod[:, :, 1]
+    if seg is not None:
+        shift = _expand_segments(shift, seg, x.shape[1])
+        scale = _expand_segments(scale, seg, x.shape[1])
     y = layer_norm(x, cfg.eps) * (1 + scale) + shift
     return _apply_dense({"w": p["w"], "b": p["b"]}, y)
 
@@ -460,21 +481,20 @@ def wan_dit_forward(
     B, C, F, H, W = latents.shape
     pt, ph, pw = cfg.patch_size
 
+    seg_boundary = None
     if cfg.seperated_timestep and fuse_vae_embedding_in_latents:
         # Per-token timestep: first-frame tokens get t=0, the rest σ·1000
-        # (reference wan_video.py:1218-1228).
+        # (reference wan_video.py:1218-1228).  Only TWO distinct values
+        # exist, so embed those and expand per segment inside the blocks —
+        # identical math, ~1.1 TFLOP/step less time-MLP work than the
+        # reference's per-token embedding.
         tokens_per_frame = (H // ph) * (W // pw)
-        f = F // pt
-        tok_t = jnp.concatenate(
-            [
-                jnp.zeros((b, tokens_per_frame), latents.dtype),
-                jnp.broadcast_to(
-                    timestep[:, None].astype(latents.dtype), (b, (f - 1) * tokens_per_frame)
-                ),
-            ],
-            axis=1,
-        )
-        t, t_mod = time_embedding(params, cfg, tok_t)  # (B,S,D), (B,S,6,D)
+        seg_boundary = tokens_per_frame
+        uniq_t = jnp.stack(
+            [jnp.zeros((b,), latents.dtype),
+             timestep.astype(latents.dtype)], axis=1
+        )  # (B, 2)
+        t, t_mod = time_embedding(params, cfg, uniq_t)  # (B,2,D), (B,2,6,D)
     else:
         t, t_mod = time_embedding(params, cfg, timestep)  # (B,D), (B,6,D)
         t_mod = t_mod[:, None]  # (B,1,6,D)
@@ -506,9 +526,9 @@ def wan_dit_forward(
         if sp > 1:
             x, _ = pad_to_multiple(x, 1, sp)
             freqs = jnp.pad(freqs, ((0, 0), (0, x.shape[1] - s_orig), (0, 0)))
-            if t_mod.shape[1] > 1:
+            if seg_boundary is None and t_mod.shape[1] > 1:
                 t_mod, _ = pad_to_multiple(t_mod, 1, sp)
-            if t.ndim == 3:
+            if seg_boundary is None and t.ndim == 3:
                 t, _ = pad_to_multiple(t, 1, sp)
             attn_fn = make_ulysses_attention(mesh)
         x = jax.lax.with_sharding_constraint(
@@ -523,6 +543,7 @@ def wan_dit_forward(
             lambda xx: blocks_forward(
                 params["blocks"], xx, ctx, t_mod, freqs, cfg, remat=remat,
                 hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
+                seg=seg_boundary,
             ),
             **tea_cache_opts,
         )
@@ -531,8 +552,9 @@ def wan_dit_forward(
         x = blocks_forward(
             params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
             hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
+            seg=seg_boundary,
         )
-    x = head_forward(params["head"], x, t, cfg)
+    x = head_forward(params["head"], x, t, cfg, seg=seg_boundary)
     if x.shape[1] != s_orig:
         x = x[:, :s_orig]
     out = unpatchify(x, grid, cfg)
