@@ -85,3 +85,86 @@ def direct_distill_loss(
 
     lat = jax.lax.fori_loop(0, num_inference_steps, step, noise)
     return jnp.mean((lat.astype(jnp.float32) - input_latents.astype(jnp.float32)) ** 2)
+
+
+def trajectory_imitation_loss(
+    student_fn: Callable,  # (params, latents, timestep, context) -> v
+    teacher_fn: Callable,  # (latents, timestep, context) -> v  (frozen)
+    params,
+    noise,
+    context,
+    *,
+    num_student_steps: int = 8,
+    num_teacher_steps: int = 50,
+    sigma_shift: float = 5.0,
+    perceptual_fn: Optional[Callable] = None,  # (img_a, img_b) -> scalar
+    decode_fn: Optional[Callable] = None,  # latents -> images for perceptual_fn
+):
+    """Trajectory-imitation distillation — reference
+    ``diffusion/loss.py:36-119`` (TrajectoryImitationLoss):
+
+      1. roll the TEACHER from the same noise for ``num_teacher_steps``
+         (timesteps snapped to include the student grid,
+         set_timesteps_z_image-style target_timesteps), no gradients;
+      2. at every student timestep, supervise the student's velocity with
+         the teacher's finite-difference velocity between its snapped
+         trajectory points (weighted MSE);
+      3. optional perceptual regularizer between the student rollout's
+         decode and the teacher's final decode (the reference uses LPIPS —
+         pass any perceptual_fn).
+    """
+    from ..diffusion.flow_match import FlowMatchScheduler
+
+    stu = FlowMatchScheduler("Wan").set_timesteps(
+        num_student_steps, training=True, shift=sigma_shift
+    )
+    tea = FlowMatchScheduler("Wan").set_timesteps(num_teacher_steps, shift=sigma_shift)
+    # snap teacher timesteps to contain the student grid (loss.py:49 —
+    # target_timesteps argument of set_timesteps)
+    t_tea = np.asarray(tea.timesteps).copy()
+    for t in stu.timesteps:
+        t_tea[int(np.argmin(np.abs(t_tea - t)))] = t
+    sig_tea = np.asarray(tea.sigmas)
+
+    # 1. teacher rollout (stop-gradient)
+    traj = [noise]
+    lat = noise
+    for i in range(num_teacher_steps):
+        t = jnp.broadcast_to(jnp.asarray(t_tea[i], jnp.float32), (lat.shape[0],))
+        v = jax.lax.stop_gradient(teacher_fn(lat, t, context))
+        s_next = sig_tea[i + 1] if i + 1 < num_teacher_steps else 0.0
+        lat = lat + v.astype(lat.dtype) * jnp.asarray(s_next - sig_tea[i], lat.dtype)
+        traj.append(lat)
+
+    # 2. align the student's velocity with teacher finite differences
+    loss = jnp.float32(0)
+    for i, t in enumerate(stu.timesteps):
+        i_tea = int(np.argmin(np.abs(t_tea - t)))
+        lat_i = jax.lax.stop_gradient(traj[i_tea])
+        sigma = stu.sigmas[i]
+        if i + 1 >= num_student_steps:
+            sigma_next, lat_next = 0.0, traj[-1]
+        else:
+            sigma_next = stu.sigmas[i + 1]
+            lat_next = traj[int(np.argmin(np.abs(t_tea - stu.timesteps[i + 1])))]
+        lat_next = jax.lax.stop_gradient(lat_next)
+        target = (lat_next.astype(jnp.float32) - lat_i.astype(jnp.float32)) / (
+            sigma_next - sigma
+        )
+        tvec = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (lat_i.shape[0],))
+        pred = student_fn(params, lat_i, tvec, context)
+        w = jnp.asarray(stu.linear_timesteps_weights, jnp.float32)[i]
+        loss = loss + jnp.mean((pred.astype(jnp.float32) - target) ** 2) * w
+
+    # 3. optional perceptual regularization on the student rollout
+    if perceptual_fn is not None and decode_fn is not None:
+        lat = traj[0]
+        sig_stu = np.append(np.asarray(stu.sigmas), 0.0)
+        for i, t in enumerate(stu.timesteps):
+            tvec = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (lat.shape[0],))
+            v = student_fn(params, lat, tvec, context)
+            lat = lat + jax.lax.stop_gradient(v).astype(lat.dtype) * jnp.asarray(
+                sig_stu[i + 1] - sig_stu[i], lat.dtype
+            )
+        loss = loss + jnp.mean(perceptual_fn(decode_fn(lat), decode_fn(traj[-1])))
+    return loss

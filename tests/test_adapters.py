@@ -202,3 +202,27 @@ def test_direct_distill_loss_runs_and_differentiates():
     assert np.isfinite(float(loss))
     g = grads["blocks"]["self_attn"]["q"]["w"]
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_trajectory_imitation_loss():
+    from fairygen_tpu.training.losses import trajectory_imitation_loss
+    from fairygen_tpu.models.wan.dit import wan_dit_forward
+
+    student = init_dit_params(jax.random.key(0), CFG)
+    teacher = init_dit_params(jax.random.key(9), CFG)
+
+    def stu_fn(p, lat, t, ctx):
+        return wan_dit_forward(p, CFG, lat, t, ctx)
+
+    def tea_fn(lat, t, ctx):
+        return wan_dit_forward(teacher, CFG, lat, t, ctx)
+
+    noise = jax.random.normal(jax.random.key(1), (1, 4, 3, 8, 8))
+    ctx = jax.random.normal(jax.random.key(2), (1, 10, 32))
+    loss, grads = jax.value_and_grad(
+        lambda p: trajectory_imitation_loss(
+            stu_fn, tea_fn, p, noise, ctx,
+            num_student_steps=2, num_teacher_steps=4)
+    )(student)
+    assert np.isfinite(float(loss))
+    assert np.abs(np.asarray(grads["blocks"]["self_attn"]["q"]["w"])).max() > 0
