@@ -200,6 +200,24 @@ def merge_stage_weights(stage1: Dict[str, np.ndarray], stage2: Dict[str, np.ndar
     return merged
 
 
+def reset_lora_rank(lora: Dict[str, np.ndarray], rank: int) -> Dict[str, np.ndarray]:
+    """PCA re-rank: SVD of B@A truncated to ``rank``
+    (utils/lora/reset_rank.py:1-19; torch.pca_lowrank ≈ truncated SVD of the
+    mean-centered matrix — pca_lowrank(center=True default)... the reference
+    calls it uncentered via q=rank on the raw product, matching a plain
+    truncated SVD up to sign)."""
+    out = {}
+    for key in [k for k in lora if ".lora_A." in k]:
+        A = np.asarray(lora[key], np.float64)          # (r, in)
+        B = np.asarray(lora[key.replace(".lora_A.", ".lora_B.")], np.float64)  # (out, r)
+        W = B @ A
+        U, S, Vt = np.linalg.svd(W, full_matrices=False)
+        U, S, Vt = U[:, :rank], S[:rank], Vt[:rank]
+        out[key] = Vt.astype(lora[key].dtype)                       # (rank, in)
+        out[key.replace(".lora_A.", ".lora_B.")] = (U * S).astype(lora[key].dtype)
+    return out
+
+
 def merge_lora_rank_concat(sd_a, sd_b):
     """Rank-concatenate two LoRAs (utils/lora/merge.py:10-20)."""
     out = {}

@@ -226,3 +226,20 @@ def test_trajectory_imitation_loss():
     )(student)
     assert np.isfinite(float(loss))
     assert np.abs(np.asarray(grads["blocks"]["self_attn"]["q"]["w"])).max() > 0
+
+
+def test_reset_lora_rank_reconstructs():
+    from fairygen_tpu.models.adapters import reset_lora_rank
+
+    rs = np.random.RandomState(0)
+    # a rank-2 product stored at rank 8
+    A = rs.randn(2, 16).astype(np.float32)
+    B = rs.randn(12, 2).astype(np.float32)
+    A8 = np.concatenate([A, np.zeros((6, 16), np.float32)], 0)
+    B8 = np.concatenate([B, np.zeros((12, 6), np.float32)], 1)
+    lora = {"x.lora_A.weight": A8, "x.lora_B.weight": B8}
+    out = reset_lora_rank(lora, 2)
+    W_ref = B8 @ A8
+    W_new = out["x.lora_B.weight"] @ out["x.lora_A.weight"]
+    np.testing.assert_allclose(W_new, W_ref, atol=1e-4)
+    assert out["x.lora_A.weight"].shape == (2, 16)
