@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 _IMPL = os.environ.get("FAIRYGEN_ATTENTION_IMPLEMENTATION", "auto")
 
-_VALID = ("auto", "pallas", "xla", "splash")
+_VALID = ("auto", "pallas", "xla")
 
 
 def set_attention_implementation(impl: str):
