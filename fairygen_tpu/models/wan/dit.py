@@ -244,6 +244,10 @@ def convert_dit_state_dict(sd: Dict[str, np.ndarray], cfg: WanDiTConfig, dtype=N
 
 # ------------------------------------------------------------------- forward
 def _apply_dense(p, x):
+    if "w_int8" in p:
+        from ...ops.quant import quantized_dense
+
+        return quantized_dense(p, x)
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"]
