@@ -3,6 +3,10 @@
 SDXL UNet + Style-DoRA adapter + BrushNet masked inpainting, iterating a
 directory of prompt ``.txt`` files.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import os
 

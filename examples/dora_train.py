@@ -5,6 +5,10 @@ art style from ONE image+mask pair via masked DoRA on SDXL attention.
 Data layout (reference data/train/<name>/): texture.png + mask.png +
 metadata with a caption, or pass --image/--mask/--caption directly.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import os
 

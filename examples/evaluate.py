@@ -5,6 +5,10 @@ PSNR / SSIM / MSE / MAE on image pairs, plus CLIPScore when CLIP weights +
 tokenizer are provided (LAION-aesthetic / ImageReward / HPSv2 heads need
 their own checkpoints and plug into the same CLIP features).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 import os

@@ -2,6 +2,10 @@
 
 Mirror of the reference ``animation/merge_weights.py:19-48``.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 
 

@@ -5,7 +5,9 @@ pipeline, writing one clip per shot.
 import argparse
 import json
 import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from examples.wan_inference import NEGATIVE_PROMPT
 
 

@@ -13,6 +13,10 @@ Usage:
       --prompt "A cartoon pig walking in a forest" \
       --output outputs/video.mp4
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 

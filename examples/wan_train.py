@@ -21,6 +21,10 @@ Example (stage 1):
     --height 480 --width 832 --num_frames 81 \
     --lora_base_model dit --lora_rank 32 --output_path ./stage1 --save_steps 100
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import json
 
