@@ -12,8 +12,12 @@ the BASELINE.md target of a 5 s clip in <60 s (>1.0 means faster than
 target). Weights are zero-initialized (timing is weight-independent).
 
 Env:
-  FAIRYGEN_BENCH_PRESET=tiny   quick smoke configuration
-  FAIRYGEN_BENCH_STEPS=N       denoise steps (default 50)
+  FAIRYGEN_BENCH_PRESET=tiny     quick smoke configuration
+  FAIRYGEN_BENCH_STEPS=N         denoise steps (default 50)
+  FAIRYGEN_BENCH_TEACACHE=0.19   enable the TeaCache skip gate at the given
+                                 rel-L1 threshold (lossy accelerator; prints
+                                 an auxiliary stderr line, primary metric
+                                 stays the exact pipeline)
 """
 import json
 import os
@@ -108,6 +112,51 @@ def main():
     out = denoise(dit_params, jnp.zeros(lat_shape, dtype), ffl)
     float(out.sum())
     denoise_s = time.perf_counter() - t0
+
+    tea_thresh = os.environ.get("FAIRYGEN_BENCH_TEACACHE")
+    if tea_thresh and preset != "tiny":
+        from fairygen_tpu.utils.tea_cache import init_tea_cache_state
+
+        tokens = (lat_shape[2] // dit_cfg.patch_size[0]) * \
+            (lat_shape[3] // dit_cfg.patch_size[1]) * \
+            (lat_shape[4] // dit_cfg.patch_size[2])
+        opts = dict(model_id="Wan2.1-T2V-1.3B",
+                    rel_l1_thresh=float(tea_thresh),
+                    num_inference_steps=n_steps)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 3))
+        def tea_chunk(params, latents, ffl, tea, start):
+            length = steps_per_dispatch
+            def step(i, carry):
+                lat, tea = carry
+                x2 = jnp.concatenate([lat, lat], axis=0)
+                t2 = jnp.broadcast_to(timesteps[i], (2,))
+                v2, tea = wan_dit_forward(
+                    params, dit_cfg, x2, t2, ctx,
+                    fuse_vae_embedding_in_latents=True,
+                    tea_cache_state=tea, tea_cache_opts=opts,
+                )
+                v = v2[1:] + cfg_scale * (v2[:1] - v2[1:])
+                lat = lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
+                return lat.at[:, :, 0:1].set(ffl), tea
+
+            return jax.lax.fori_loop(start, start + length, step, (latents, tea))
+
+        def tea_denoise():
+            lat = jnp.zeros(lat_shape, dtype)
+            tea = init_tea_cache_state((2, 2, 6, dit_cfg.dim),
+                                       (2, tokens, dit_cfg.dim), dtype=dtype)
+            for s in range(0, n_steps, steps_per_dispatch):
+                lat, tea = tea_chunk(dit_params, lat, ffl, tea, jnp.int32(s))
+            return lat
+
+        float(tea_denoise().sum())  # warm-up
+        t0 = time.perf_counter()
+        float(tea_denoise().sum())
+        tea_s = time.perf_counter() - t0
+        print(f"# teacache(thresh={tea_thresh}) denoise={tea_s:.2f}s "
+              f"({denoise_s / tea_s:.2f}x; zero-weight params -> max-skip "
+              f"upper bound)", file=sys.stderr)
 
     vae_s = 0.0
     if decode_video:
