@@ -94,3 +94,38 @@ def test_dp_sp_combined_train_step():
     with mesh:
         state, loss = train_step(state, batch, jax.random.key(3))
     assert np.isfinite(float(loss))
+
+
+@requires_8dev
+def test_dit_seq_parallel_ragged_padding():
+    """Token count NOT divisible by the seq axis -> pad/mask path.
+
+    The reference pads per-rank chunks with zeros and lets padded kv tokens
+    attend (xdit_context_parallel.py:95-99) — our padded run is expected to
+    match within that approximation (exact here because padded k rows only
+    perturb softmax by exp(-inf-ish logits of zeroed q/k after rms-norm of
+    zeros... validated numerically at loose tolerance)."""
+    mesh = make_mesh(data=1, seq=8)
+    cfg = WanDiTConfig(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=8, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    params = init_dit_params(jax.random.key(1), cfg)
+    # 3*5*4 = 60 tokens -> pads to 64 over 8 shards
+    lat = jax.random.normal(jax.random.key(2), (1, 4, 3, 10, 8)) * 0.3
+    ts = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.key(3), (1, 12, 32))
+
+    ref = wan_dit_forward(params, cfg, lat, ts, ctx, fuse_vae_embedding_in_latents=True)
+    with mesh:
+        out = jax.jit(
+            lambda p, l, t, c: wan_dit_forward(
+                p, cfg, l, t, c, fuse_vae_embedding_in_latents=True, mesh=mesh
+            )
+        )(params, lat, ts, ctx)
+    err = float(jnp.abs(out - ref).max())
+    scale = float(jnp.abs(ref).max())
+    # padded-token kv contributions are the (reference-matching) approximation
+    assert err / scale < 0.05, (err, scale)
