@@ -66,6 +66,36 @@ class UNet2DConfig:
         return UNet2DConfig()
 
     @staticmethod
+    def sd15_base() -> "UNet2DConfig":
+        """SD1.5 UNet2DConditionModel (pipeline_brushnet.py variant)."""
+        return UNet2DConfig(
+            block_out_channels=(320, 640, 1280, 1280),
+            down_block_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                              "CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                            "CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+            transformer_layers_per_block=(1, 1, 1, 1),
+            num_attention_heads=(8, 8, 8, 8),
+            cross_attention_dim=768,
+            addition_embed_type=None,
+        )
+
+    @staticmethod
+    def brushnet_sd15() -> "UNet2DConfig":
+        return UNet2DConfig(
+            block_out_channels=(320, 640, 1280, 1280),
+            down_block_types=("DownBlock2D",) * 4,
+            up_block_types=("UpBlock2D",) * 4,
+            mid_block_type="UNetMidBlock2D",
+            transformer_layers_per_block=(0, 0, 0, 0),
+            num_attention_heads=(8, 8, 8, 8),
+            attention_head_dim=8,
+            cross_attention_dim=768,
+            addition_embed_type=None,
+            conditioning_channels=5,
+        )
+
+    @staticmethod
     def brushnet_sdxl() -> "UNet2DConfig":
         """BrushNet-SDXL: plain blocks, no cross attention
         (reference brushnet.py:144-156 defaults + SDXL channel plan)."""
@@ -425,8 +455,11 @@ def _cw(sd, name):  # conv OIHW -> HWIO
             "b": np.asarray(sd[name + ".bias"])}
 
 
-def _lw(sd, name):  # linear -> (in, out)
-    p = {"w": np.asarray(sd[name + ".weight"]).T}
+def _lw(sd, name):  # linear -> (in, out); 1x1 convs (SD1.5 proj_in/out) squeeze
+    w = np.asarray(sd[name + ".weight"])
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    p = {"w": w.T}
     if name + ".bias" in sd:
         p["b"] = np.asarray(sd[name + ".bias"])
     return p
