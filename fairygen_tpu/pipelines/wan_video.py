@@ -14,16 +14,23 @@ Units mapped (reference wan_video.py):
   InputVideoEmbedder:366  -> encode_input_video (v2v denoising strength)
   ImageEmbedderFused:479  -> encode_first_frame (TI2V-5B: VAE-encode image,
                              overwrite latents[:,:,0:1], re-pin every step:308)
-  ImageEmbedderVAE/CLIP   -> encode_i2v_conditioning (I2V-A14B mask+y path)
+  ImageEmbedderVAE:444    -> encode_i2v_conditioning (I2V-A14B mask+y path)
+  ImageEmbedderCLIP:421   -> encode_clip_feature (open-CLIP ViT-H image cond)
   CfgMerger:785           -> batched posi/nega in one DiT call (cfg_merge)
-  TeaCache:769            -> utils.tea_cache (opt-in)
+  TeaCache:769            -> tea_cache_l1_thresh/model_id kwargs (state is a
+                             pytree carried through the jitted loop)
+  SpeedControl:601        -> motion_bucket_id kwarg (t_mod bias)
+  UnifiedSequenceParallel:757 -> mesh= (Ulysses shard_map inside the DiT)
   Boundary dit/dit2 switch:287 -> static loop split at the boundary index
+  TemporalTiler_BCTHW:1069 -> sliding_window_size/stride kwargs
+  VAE tiling (wan_video_vae.py:1103) -> tiled/tile_size/tile_stride kwargs
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional
+import warnings
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +49,95 @@ from ..models.wan.text_encoder import UMT5Config, mask_pad_tokens, umt5_encode
 from ..models.wan.vae import WanVAEConfig, vae38_decode, vae38_encode
 
 
+# --------------------------------------------------------------------- jitted
+# Module-scope jitted programs (the round-1 version rebuilt a fresh jit
+# closure per __call__, baking context/timesteps in as constants — every new
+# prompt recompiled the multi-billion-param program).  Everything data-like
+# is a traced argument; only hashable config is static.  jax.jit's cache
+# keys on (statics, arg shapes/dtypes/pytree structure), so repeat calls at
+# the same resolution reuse the compiled program across prompts and seeds.
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dit_cfg", "length", "cfg_merge", "fuse", "mesh",
+                     "tea_opts"),
+)
+def _denoise_chunk(
+    params, lat, ffl, context, negative_context, y, clip_feature, t_mod_bias,
+    timesteps, sigmas, cfg_scale, tea_state_a, tea_state_b, start,
+    *, dit_cfg: WanDiTConfig, length: int, cfg_merge: bool, fuse: bool,
+    mesh, tea_opts: Optional[tuple],
+):
+    """Run ``length`` Euler flow-match steps starting at step ``start``.
+
+    One device program for the whole chunk: DiT sweep(s), CFG combine
+    (reference wan_video.py:297-304), scheduler step (flow_match.py:144-154)
+    and first-frame re-pinning (:308-309) all inside the fori_loop.
+    TeaCache states (one per CFG branch, reference wan_video.py:769-783)
+    ride the loop carry.
+    """
+    use_cfg = negative_context is not None
+    tea_kw: Dict[str, Any] = {}
+    if tea_opts is not None:
+        tea_kw["tea_cache_opts"] = dict(
+            model_id=tea_opts[0], rel_l1_thresh=tea_opts[1],
+            num_inference_steps=tea_opts[2],
+        )
+
+    def call(x, t, c, y_, clip_, tc):
+        out = wan_dit_forward(
+            params, dit_cfg, x, t, c, y=y_, clip_feature=clip_,
+            fuse_vae_embedding_in_latents=fuse, mesh=mesh,
+            t_mod_bias=t_mod_bias,
+            tea_cache_state=tc if tea_opts is not None else None, **tea_kw,
+        )
+        if tea_opts is not None:
+            return out  # (v, new_state)
+        return out, tc
+
+    def step(i, carry):
+        lat, tc_a, tc_b = carry
+        b = lat.shape[0]
+        t1 = jnp.broadcast_to(timesteps[i], (b,))
+        if use_cfg and cfg_merge:
+            x2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.concatenate([t1, t1], axis=0)
+            y2 = None if y is None else jnp.concatenate([y, y], axis=0)
+            cl2 = (None if clip_feature is None
+                   else jnp.concatenate([clip_feature, clip_feature], axis=0))
+            ctx2 = jnp.concatenate([context, negative_context], axis=0)
+            v2, tc_a = call(x2, t2, ctx2, y2, cl2, tc_a)
+            v_posi, v_nega = v2[:b], v2[b:]
+            v = v_nega + cfg_scale * (v_posi - v_nega)
+        elif use_cfg:
+            v_posi, tc_a = call(lat, t1, context, y, clip_feature, tc_a)
+            v_nega, tc_b = call(lat, t1, negative_context, y, clip_feature, tc_b)
+            v = v_nega + cfg_scale * (v_posi - v_nega)
+        else:
+            v, tc_a = call(lat, t1, context, y, clip_feature, tc_a)
+        dt = (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
+        lat = lat + v.astype(lat.dtype) * dt
+        if fuse:
+            lat = lat.at[:, :, 0:1].set(ffl)
+        return (lat, tc_a, tc_b)
+
+    lat, tea_state_a, tea_state_b = jax.lax.fori_loop(
+        start, start + length, step, (lat, tea_state_a, tea_state_b)
+    )
+    return lat, tea_state_a, tea_state_b
+
+
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "fuse", "mesh"))
+def _dit_sweep(params, x, t, c, y, clip_feature, t_mod_bias,
+               *, dit_cfg: WanDiTConfig, fuse: bool, mesh):
+    """Single DiT forward — used by the sliding-window (long video) path
+    where the window shape varies per call (jit caches per shape)."""
+    return wan_dit_forward(
+        params, dit_cfg, x, t, c, y=y, clip_feature=clip_feature,
+        fuse_vae_embedding_in_latents=fuse, mesh=mesh, t_mod_bias=t_mod_bias,
+    )
+
+
 @dataclasses.dataclass
 class WanVideoPipeline:
     dit_params: Any
@@ -52,6 +148,11 @@ class WanVideoPipeline:
     te_cfg: Optional[UMT5Config] = None
     tokenizer: Any = None  # utils.tokenizer.HuggingfaceTokenizer
     dit2_params: Any = None  # high/low-noise two-expert models (Wan2.2-A14B)
+    image_encoder_params: Any = None  # open-CLIP ViT-H (I2V clip conditioning)
+    image_encoder_cfg: Any = None
+    motion_controller_params: Any = None  # speed control (t_mod bias)
+    motion_controller_cfg: Any = None
+    mesh: Any = None  # jax.sharding.Mesh — Ulysses SP inside the DiT
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 5  # denoise steps per jit dispatch
 
@@ -60,7 +161,10 @@ class WanVideoPipeline:
                         dtype=jnp.bfloat16, hints=None, mesh=None):
         """Hash-detected checkpoint loading (reference wan_video.py:98-169):
         throw DiT/VAE/UMT5 files at the pool, fetch by role.  Two DiT files
-        become the (dit, dit2) two-expert pair."""
+        become the (dit, dit2) two-expert pair.  With ``mesh``, params are
+        replicated across it and the denoise program runs SPMD with the
+        token axis sharded over the ``seq`` axis (the reference's
+        ``enable_usp``, wan_video.py:84-95,165-169)."""
         from ..core.model_pool import ModelPool
 
         pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
@@ -80,12 +184,33 @@ class WanVideoPipeline:
 
             tokenizer = HuggingfaceTokenizer(tokenizer_path, seq_len=512,
                                              clean="whitespace")
-        return cls(
+        pipe = cls(
             dit_params=dit_params, dit_cfg=dit_cfg,
             vae_params=vae[0] if vae else None, vae_cfg=vae[1] if vae else None,
             te_params=te[0] if te else None, te_cfg=te[1] if te else None,
             tokenizer=tokenizer, dit2_params=dit2, dtype=dtype,
         )
+        if mesh is not None:
+            pipe.use_mesh(mesh)
+        return pipe
+
+    def use_mesh(self, mesh):
+        """Replicate params over ``mesh`` and run the denoise SPMD (Ulysses
+        sequence parallelism over the seq axis, data parallelism for the CFG
+        batch over the data axis)."""
+        from ..core.meshes import replicated
+
+        rep = replicated(mesh)
+
+        def put(tree):
+            return None if tree is None else jax.device_put(tree, rep)
+
+        self.dit_params = put(self.dit_params)
+        self.dit2_params = put(self.dit2_params)
+        self.vae_params = put(self.vae_params)
+        self.te_params = put(self.te_params)
+        self.mesh = mesh
+        return self
 
     def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
         """Merge a LoRA into the DiT base weights at load time
@@ -125,8 +250,16 @@ class WanVideoPipeline:
         z = vae38_encode(self.vae_params, self.vae_cfg, jnp.asarray(video, self.dtype))
         return z.astype(self.dtype)
 
-    def encode_input_video(self, input_video):
+    def encode_input_video(self, input_video, tiled=False, tile_size=(34, 34),
+                           tile_stride=(18, 16)):
         video = jnp.asarray(preprocess_video(input_video), self.dtype)
+        if tiled:
+            from ..models.wan.vae_tiling import vae38_tiled_encode
+
+            return vae38_tiled_encode(
+                self.vae_params, self.vae_cfg, video,
+                tile_size=tile_size, tile_stride=tile_stride,
+            ).astype(self.dtype)
         return vae38_encode(self.vae_params, self.vae_cfg, video).astype(self.dtype)
 
     def encode_i2v_conditioning(self, input_image, height, width, num_frames,
@@ -156,6 +289,16 @@ class WanVideoPipeline:
         msk = msk.reshape(1, T4, 4, height // 8, width // 8).transpose(0, 2, 1, 3, 4)[0]
         return jnp.concatenate([msk.astype(self.dtype), y.astype(self.dtype)])[None]
 
+    def encode_clip_feature(self, input_image):
+        """I2V CLIP image conditioning — reference ImageEmbedderCLIP
+        (wan_video.py:421-441) via the open-CLIP ViT-H visual tower."""
+        from ..models.wan.image_encoder import encode_image
+
+        img = jnp.asarray(preprocess_image(input_image), self.dtype)[None]
+        return encode_image(
+            self.image_encoder_params, self.image_encoder_cfg, img
+        ).astype(self.dtype)
+
     # ----------------------------------------------------------------- call
     def __call__(
         self,
@@ -180,6 +323,18 @@ class WanVideoPipeline:
         switch_dit_boundary: float = 0.875,
         num_inference_steps: int = 50,
         sigma_shift: float = 5.0,
+        # Speed control (reference SpeedControl unit, wan_video.py:601)
+        motion_bucket_id: Optional[int] = None,
+        # VAE tiling (reference wan_video.py:233-235, latent-space units)
+        tiled: bool = False,
+        tile_size: Tuple[int, int] = (30, 52),
+        tile_stride: Tuple[int, int] = (15, 26),
+        # Temporal sliding window (reference wan_video.py:236-238,1158-1182)
+        sliding_window_size: Optional[int] = None,
+        sliding_window_stride: Optional[int] = None,
+        # TeaCache (reference wan_video.py:241-253)
+        tea_cache_l1_thresh: Optional[float] = None,
+        tea_cache_model_id: str = "Wan2.1-T2V-1.3B",
         streaming_vae: bool = False,
         output_type: str = "quantized",
         torch_compat_noise: bool = False,
@@ -195,11 +350,18 @@ class WanVideoPipeline:
         if context is None:
             context = self.encode_prompt(prompt)
         if cfg_scale != 1.0 and negative_context is None:
-            negative_context = (
-                self.encode_prompt(negative_prompt)
-                if self.tokenizer is not None
-                else jnp.zeros_like(context)
-            )
+            if self.tokenizer is not None:
+                negative_context = self.encode_prompt(negative_prompt)
+            else:
+                warnings.warn(
+                    "cfg_scale != 1 but no tokenizer/text encoder is loaded: "
+                    "substituting a ZERO negative-context embedding, which "
+                    "differs from the reference's empty-prompt embedding "
+                    "(wan_video.py:404-412). Pass negative_context= for "
+                    "faithful CFG.",
+                    stacklevel=2,
+                )
+                negative_context = jnp.zeros_like(context)
 
         # Noise / latents
         shape = self._latent_shape(height, width, num_frames)
@@ -212,103 +374,221 @@ class WanVideoPipeline:
         )
 
         if input_video is not None:
-            input_latents = self.encode_input_video(input_video)
+            input_latents = self.encode_input_video(
+                input_video, tiled=tiled,
+            )
             latents = scheduler.add_noise(input_latents, noise, 0)
 
-        first_frame_latents = None
-        if input_image is not None and self.dit_cfg.fuse_vae_embedding_in_latents:
+        def as_pil(image):
             from PIL import Image
 
-            if isinstance(input_image, np.ndarray) or isinstance(input_image, jnp.ndarray):
-                img = Image.fromarray(np.asarray(input_image))
+            if isinstance(image, (np.ndarray, jnp.ndarray)):
+                image = Image.fromarray(np.asarray(image))
+            return image.resize((width, height))
+
+        first_frame_latents = None
+        y = None
+        clip_feature = None
+        if input_image is not None:
+            if self.dit_cfg.fuse_vae_embedding_in_latents:
+                img = as_pil(input_image)
+                first_frame_latents = self.encode_first_frame(img, height, width)
+                latents = latents.at[:, :, 0:1].set(first_frame_latents)
+            elif self.dit_cfg.require_vae_embedding:
+                # I2V-A14B path (reference ImageEmbedderVAE, wan_video.py:444)
+                img = as_pil(input_image)
+                y = self.encode_i2v_conditioning(
+                    img, height, width, num_frames,
+                    end_image=as_pil(end_image) if end_image is not None else None,
+                )
             else:
-                img = input_image
-            img = img.resize((width, height))
-            first_frame_latents = self.encode_first_frame(img, height, width)
-            latents = latents.at[:, :, 0:1].set(first_frame_latents)
+                raise NotImplementedError(
+                    f"input_image given but the loaded DiT config (fuse_vae="
+                    f"{self.dit_cfg.fuse_vae_embedding_in_latents}, require_vae="
+                    f"{self.dit_cfg.require_vae_embedding}) supports no image "
+                    "conditioning path — refusing to silently run T2V."
+                )
+            if self.dit_cfg.require_clip_embedding:
+                if self.image_encoder_params is None:
+                    raise ValueError(
+                        "this DiT requires CLIP image conditioning "
+                        "(require_clip_embedding=True) but no image encoder "
+                        "is loaded"
+                    )
+                clip_feature = self.encode_clip_feature(as_pil(input_image))
+
+        t_mod_bias = None
+        if motion_bucket_id is not None:
+            from ..models.wan.aux_models import motion_controller_forward
+
+            t_mod_bias = motion_controller_forward(
+                self.motion_controller_params, self.motion_controller_cfg,
+                jnp.asarray([motion_bucket_id], jnp.float32),
+            ).astype(self.dtype)
 
         latents = self._denoise(
             latents, context, negative_context, scheduler,
-            first_frame_latents=first_frame_latents,
+            first_frame_latents=first_frame_latents, y=y,
+            clip_feature=clip_feature, t_mod_bias=t_mod_bias,
             cfg_scale=cfg_scale, cfg_merge=cfg_merge,
             switch_dit_boundary=switch_dit_boundary,
+            sliding_window_size=sliding_window_size,
+            sliding_window_stride=sliding_window_stride,
+            tea_cache_l1_thresh=tea_cache_l1_thresh,
+            tea_cache_model_id=tea_cache_model_id,
+            num_inference_steps=num_inference_steps,
         )
 
-        if self.vae_params is None:
+        if self.vae_params is None or output_type == "latents":
             return latents
-        video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype), streaming=streaming_vae)
-        if output_type == "latents":
-            return latents
+        if tiled:
+            from ..models.wan.vae_tiling import vae38_tiled_decode
+
+            video = vae38_tiled_decode(
+                self.vae_params, self.vae_cfg, latents.astype(self.dtype),
+                tile_size=tile_size, tile_stride=tile_stride,
+            )
+        else:
+            video = vae38_decode(self.vae_params, self.vae_cfg,
+                                 latents.astype(self.dtype), streaming=streaming_vae)
         if output_type == "floatpoint":
             return video
         return postprocess_video(np.asarray(video.astype(jnp.float32)))
 
     # --------------------------------------------------------------- denoise
     def _denoise(self, latents, context, negative_context, scheduler,
-                 first_frame_latents, cfg_scale, cfg_merge, switch_dit_boundary):
+                 first_frame_latents, y, clip_feature, t_mod_bias,
+                 cfg_scale, cfg_merge, switch_dit_boundary,
+                 sliding_window_size, sliding_window_stride,
+                 tea_cache_l1_thresh, tea_cache_model_id, num_inference_steps):
         sigmas = jnp.asarray(np.append(scheduler.sigmas, 0.0), jnp.float32)
         timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
         n = len(scheduler.timesteps)
         use_cfg = cfg_scale != 1.0 and negative_context is not None
         fuse = first_frame_latents is not None
+        if not use_cfg:
+            negative_context = None
 
-        if use_cfg:
-            ctx = jnp.concatenate([context, negative_context], axis=0) if cfg_merge else None
         ffl = first_frame_latents if fuse else jnp.zeros_like(latents[:, :, :1])
+        cfg_scale = jnp.asarray(cfg_scale, jnp.float32)
 
-        def model_call(params, x, t, c):
-            return wan_dit_forward(
-                params, self.dit_cfg, x, t, c,
-                fuse_vae_embedding_in_latents=fuse,
+        if sliding_window_size is not None:
+            assert tea_cache_l1_thresh is None, (
+                "TeaCache and the temporal sliding window are mutually "
+                "exclusive (per-window hidden-state shapes break the cache)"
+            )
+            return self._denoise_windowed(
+                latents, context, negative_context, timesteps, sigmas, n,
+                ffl=ffl, fuse=fuse, y=y, clip_feature=clip_feature,
+                t_mod_bias=t_mod_bias, cfg_scale=cfg_scale,
+                switch_dit_boundary=switch_dit_boundary,
+                sliding_window_size=sliding_window_size,
+                sliding_window_stride=sliding_window_stride,
             )
 
-        def make_step(params):
-            def step(i, lat):
-                t = jnp.broadcast_to(timesteps[i], (1,))
-                if use_cfg and cfg_merge:
-                    x2 = jnp.concatenate([lat, lat], axis=0)
-                    t2 = jnp.broadcast_to(timesteps[i], (2,))
-                    v2 = model_call(params, x2, t2, ctx)
-                    v_posi, v_nega = v2[:1], v2[1:]
-                    v = v_nega + cfg_scale * (v_posi - v_nega)
-                elif use_cfg:
-                    v_posi = model_call(params, lat, t, context)
-                    v_nega = model_call(params, lat, t, negative_context)
-                    v = v_nega + cfg_scale * (v_posi - v_nega)
-                else:
-                    v = model_call(params, lat, t, context)
-                lat = lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
-                if fuse:
-                    lat = lat.at[:, :, 0:1].set(ffl)
-                return lat
+        tea_opts = None
+        tea_a = tea_b = None
+        if tea_cache_l1_thresh is not None:
+            tea_opts = (tea_cache_model_id, float(tea_cache_l1_thresh),
+                        int(num_inference_steps))
+            tea_a, tea_b = self._init_tea_states(
+                latents, use_cfg=use_cfg, cfg_merge=cfg_merge, fuse=fuse, y=y
+            )
 
-            return step
-
-        @functools.partial(jax.jit, static_argnums=(4,))
-        def run_chunk(params, lat, _ffl, start, length):
-            return jax.lax.fori_loop(start, start + length, make_step(params), lat)
-
-        # Chunked dispatch: a few steps per jit call — amortizes dispatch
-        # overhead while keeping each device program short.
-        chunk = self.steps_per_dispatch
-
-        def run(params, lat, start, stop):
+        def run(params, lat, tea_a, tea_b, start, stop):
             s = start
             while s < stop:
-                ln = min(chunk, stop - s)
-                lat = run_chunk(params, lat, ffl, jnp.int32(s), ln)
+                ln = min(self.steps_per_dispatch, stop - s)
+                lat, tea_a, tea_b = _denoise_chunk(
+                    params, lat, ffl, context, negative_context, y,
+                    clip_feature, t_mod_bias, timesteps, sigmas, cfg_scale,
+                    tea_a, tea_b, jnp.int32(s),
+                    dit_cfg=self.dit_cfg, length=ln, cfg_merge=cfg_merge,
+                    fuse=fuse, mesh=self.mesh, tea_opts=tea_opts,
+                )
                 s += ln
-            return lat
+            return lat, tea_a, tea_b
 
         if self.dit2_params is not None:
             # Two-expert boundary switch (reference wan_video.py:287-290):
-            # high-noise expert above the boundary, low-noise below.
-            boundary_idx = int(
-                np.searchsorted(-scheduler.timesteps, -switch_dit_boundary * 1000)
-            )
-            latents = run(self.dit_params, latents, 0, boundary_idx)
-            latents = run(self.dit2_params, latents, boundary_idx, n)
+            # dit above the boundary, dit2 strictly below (equality stays
+            # with the high-noise expert — reference uses `<`).
+            boundary_idx = int(np.searchsorted(
+                -scheduler.timesteps, -switch_dit_boundary * 1000, side="right"
+            ))
+            latents, tea_a, tea_b = run(self.dit_params, latents, tea_a, tea_b,
+                                        0, boundary_idx)
+            latents, _, _ = run(self.dit2_params, latents, tea_a, tea_b,
+                                boundary_idx, n)
         else:
-            latents = run(self.dit_params, latents, 0, n)
+            latents, _, _ = run(self.dit_params, latents, tea_a, tea_b, 0, n)
+        return latents
+
+    def _init_tea_states(self, latents, *, use_cfg, cfg_merge, fuse, y):
+        """TeaCache state pytrees shaped for the DiT's internal token/t_mod
+        layout (one state per CFG branch, reference wan_video.py:769-783)."""
+        from ..utils.tea_cache import init_tea_cache_state
+
+        cfg = self.dit_cfg
+        b, c, F, H, W = latents.shape
+        if y is not None and cfg.require_vae_embedding:
+            pass  # y concat changes channels, not token count
+        pt, ph, pw = cfg.patch_size
+        s = (F // pt) * (H // ph) * (W // pw)
+        if self.mesh is not None:
+            from ..core.meshes import AXES
+
+            sp = self.mesh.shape[AXES.seq]
+            s += (-s) % sp
+        b_eff = 2 * b if (use_cfg and cfg_merge) else b
+        seg = cfg.seperated_timestep and fuse
+        t_mod_shape = (b_eff, 2 if seg else 1, 6, cfg.dim)
+        hidden_shape = (b_eff, s, cfg.dim)
+        tea_a = init_tea_cache_state(t_mod_shape, hidden_shape, jnp.float32)
+        tea_b = (init_tea_cache_state(t_mod_shape, hidden_shape, jnp.float32)
+                 if (use_cfg and not cfg_merge) else None)
+        return tea_a, tea_b
+
+    def _denoise_windowed(self, latents, context, negative_context, timesteps,
+                          sigmas, n, *, ffl, fuse, y, clip_feature, t_mod_bias,
+                          cfg_scale, switch_dit_boundary,
+                          sliding_window_size, sliding_window_stride):
+        """Long-video generation: per step, denoise overlapping temporal
+        windows and blend (reference TemporalTiler_BCTHW dispatch,
+        wan_video.py:1158-1182).  The per-window DiT sweep is jitted
+        (cached per window shape); the blend runs in fp32."""
+        from ..utils.temporal_tiler import temporal_tiled_model_fn
+
+        use_cfg = negative_context is not None
+        boundary_idx = (
+            int(np.searchsorted(-np.asarray(timesteps), -switch_dit_boundary * 1000,
+                                side="right"))
+            if self.dit2_params is not None else n
+        )
+
+        for i in range(n):
+            params = self.dit_params if i < boundary_idx else (
+                self.dit2_params or self.dit_params)
+            t1 = jnp.broadcast_to(timesteps[i], (latents.shape[0],))
+
+            def model_fn(window, y=None):
+                v = _dit_sweep(params, window, t1, context, y, clip_feature,
+                               t_mod_bias, dit_cfg=self.dit_cfg, fuse=fuse,
+                               mesh=self.mesh)
+                if use_cfg:
+                    v_n = _dit_sweep(params, window, t1, negative_context, y,
+                                     clip_feature, t_mod_bias,
+                                     dit_cfg=self.dit_cfg, fuse=fuse,
+                                     mesh=self.mesh)
+                    v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+                return v
+
+            v = temporal_tiled_model_fn(
+                model_fn, latents, sliding_window_size, sliding_window_stride,
+                sliced_kwargs={"y": y},
+            )
+            dt = (sigmas[i + 1] - sigmas[i]).astype(latents.dtype)
+            latents = latents + v.astype(latents.dtype) * dt
+            if fuse:
+                latents = latents.at[:, :, 0:1].set(ffl)
         return latents

@@ -61,6 +61,11 @@ def tea_cache_blocks(
 ):
     """Run ``blocks_fn(x)`` or reuse the cached residual, per the reference
     decision rule (wan_video.py:1037-1065). Returns (x_out, new_state)."""
+    if model_id not in TEACACHE_COEFFICIENTS:
+        raise KeyError(
+            f"unknown TeaCache model_id {model_id!r}; known ids: "
+            f"{sorted(TEACACHE_COEFFICIENTS)}"
+        )
     coeffs = jnp.asarray(TEACACHE_COEFFICIENTS[model_id], jnp.float32)
 
     drift = jnp.abs(t_mod.astype(jnp.float32) - state.prev_modulated.astype(jnp.float32)).mean()

@@ -1,9 +1,11 @@
-"""Multi-chip (Ulysses) Wan2.2-5B benchmark — run on a real TPU slice.
+"""Multi-chip (Ulysses) Wan2.2-5B benchmark — drives the PIPELINE.
 
-Shards the DiT token axis over all available devices and measures the
-720p 81-frame denoise sweep. On a single-chip/CPU sandbox this still
-compiles and runs at a reduced shape (validating the collective program);
-timing is only meaningful on real multi-chip hardware.
+Shards the DiT token axis over the mesh's seq axis and measures the full
+denoise through ``WanVideoPipeline.__call__`` (not a raw forward), so the
+number includes the production dispatch path: chunked jitted fori_loop,
+CFG, scheduler, first-frame re-pinning.  On a single-chip/CPU sandbox this
+still compiles and runs at a reduced shape (validating the collective
+program); timing is only meaningful on real multi-chip hardware.
 
   python tools/bench_multichip.py [--height 704 --width 1280 --frames 81]
 """
@@ -16,6 +18,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the sandbox's sitecustomize pins the TPU backend at interpreter start;
+# honor an explicit JAX_PLATFORMS=cpu (virtual multi-device validation)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,16 +36,17 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seq", type=int, default=-1,
                    help="Ulysses axis size (-1 = all devices)")
+    p.add_argument("--cfg-merge", action="store_true",
+                   help="batched CFG (enables data-axis sharding of posi/nega)")
     args = p.parse_args()
 
     from fairygen_tpu.core.meshes import make_mesh
-    from fairygen_tpu.models.wan.dit import (
-        WanDiTConfig, init_dit_params, wan_dit_forward,
-    )
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
 
     n_dev = jax.device_count()
     seq = n_dev if args.seq == -1 else args.seq
-    mesh = make_mesh(data=1, seq=seq, devices=jax.devices()[: seq])
+    mesh = make_mesh(data=1, seq=seq, devices=jax.devices()[:seq])
     print(f"devices={n_dev} mesh seq={seq}", file=sys.stderr)
 
     cfg = WanDiTConfig.ti2v_5b()
@@ -49,40 +58,34 @@ def main():
     shapes = jax.eval_shape(lambda: init_dit_params(jax.random.key(0), cfg, dtype=dtype))
     params = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
 
-    lat = jnp.zeros(
-        (1, cfg.in_dim, (args.frames - 1) // 4 + 1, args.height // 16, args.width // 16),
-        dtype,
-    )
+    pipe = WanVideoPipeline(dit_params=params, dit_cfg=cfg, dtype=dtype)
+    pipe.use_mesh(mesh)
+
     ctx = jnp.zeros((1, 512, cfg.text_dim), dtype)
     nctx = jnp.zeros_like(ctx)
+    call = dict(
+        context=ctx, negative_context=nctx, seed=0,
+        height=args.height, width=args.width, num_frames=args.frames,
+        cfg_scale=5.0, cfg_merge=args.cfg_merge,
+        num_inference_steps=args.steps,
+    )
 
-    def cfg_step(params, lat, t):
-        posi = wan_dit_forward(params, cfg, lat, t, ctx,
-                               fuse_vae_embedding_in_latents=True, mesh=mesh)
-        nega = wan_dit_forward(params, cfg, lat, t, nctx,
-                               fuse_vae_embedding_in_latents=True, mesh=mesh)
-        v = nega + 5.0 * (posi - nega)
-        return lat + 0.02 * v.astype(lat.dtype)
+    # warm (compile) with a 2-step run, then measure the full sweep
+    out = pipe(**{**call, "num_inference_steps": 2})
+    float(out.astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    out = pipe(**call)
+    float(out.astype(jnp.float32).sum())
+    total = time.perf_counter() - t0
 
-    with mesh:
-        f = jax.jit(cfg_step)
-        t = jnp.asarray([500.0], jnp.float32)
-        o = f(params, lat, t)
-        float(o.astype(jnp.float32).sum())
-        t0 = time.perf_counter()
-        for _ in range(3):
-            o = f(params, o, t)
-        float(o.astype(jnp.float32).sum())
-        dt = (time.perf_counter() - t0) / 3
-
-    total = dt * args.steps
     print(json.dumps({
-        "metric": f"wan22_5b_{args.height}x{args.width}_{args.frames}f_denoise_seconds",
+        "metric": f"wan22_5b_{args.height}x{args.width}_{args.frames}f_pipeline_denoise_seconds",
         "value": round(total, 2),
         "unit": "s",
         "devices": n_dev,
         "seq_parallel": seq,
-        "per_step_s": round(dt, 3),
+        "cfg_merge": args.cfg_merge,
+        "per_step_s": round(total / args.steps, 3),
     }))
 
 
