@@ -43,25 +43,40 @@ def _resolve(impl: Optional[str]) -> str:
     return impl
 
 
-def xla_attention(q, k, v, scale=None):
+_LOG2E = 1.4426950408889634
+
+
+def xla_attention(q, k, v, scale=None, prescaled=False, kv_len=None):
     """Reference XLA path — fp32 softmax, works on any backend."""
     d = q.shape[-1]
-    scale = (d**-0.5) if scale is None else scale
+    if prescaled:
+        # caller folded scale·log2e into q (see flash_attention)
+        scale = 1.0 / _LOG2E
+    else:
+        scale = (d**-0.5) if scale is None else scale
     # (B,S,N,D) -> einsum over heads
     logits = jnp.einsum("bsnd,btnd->bnst", q, k).astype(jnp.float32) * scale
+    if kv_len is not None and kv_len != k.shape[1]:
+        col = jnp.arange(k.shape[1])[None, None, None, :]
+        logits = jnp.where(col < kv_len, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bnst,btnd->bsnd", probs, v)
 
 
-def attention(q, k, v, scale=None, impl: Optional[str] = None):
+def attention(q, k, v, scale=None, impl: Optional[str] = None,
+              prescaled: bool = False, kv_len: Optional[int] = None):
     """Scaled dot-product attention, (B, S, N, D) in/out, no mask.
 
     Video DiT self/cross attention is dense (no causal mask) —
-    reference wan_video_dit.py:27-60.
+    reference wan_video_dit.py:27-60.  ``prescaled``: q already carries
+    scale·log2e (folded into the producing norm — exactly free on TPU).
+    ``kv_len``: mask kv padding columns exactly (Ulysses ragged tokens).
     """
     resolved = _resolve(impl)
     if resolved == "pallas":
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
-    return xla_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale, prescaled=prescaled,
+                               kv_len=kv_len)
+    return xla_attention(q, k, v, scale=scale, prescaled=prescaled,
+                         kv_len=kv_len)

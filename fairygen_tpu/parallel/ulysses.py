@@ -41,15 +41,23 @@ def pad_to_multiple(x, axis: int, multiple: int):
     return jnp.pad(x, widths), size
 
 
-def make_ulysses_attention(mesh: Mesh, seq_axis: str = AXES.seq) -> Callable:
+def make_ulysses_attention(mesh: Mesh, seq_axis: str = AXES.seq,
+                           prescaled: bool = False,
+                           kv_len: int = None) -> Callable:
     """Returns attention(q, k, v) for (B, S, N, D) arrays whose S axis is
-    sharded over ``seq_axis``. N must be divisible by the axis size."""
+    sharded over ``seq_axis``. N must be divisible by the axis size.
+    ``prescaled``: q already carries scale·log2e (see ops.attention).
+    ``kv_len``: true (unpadded) token count — after the all-to-all every
+    shard holds the FULL padded sequence as kv, so the padding columns are
+    masked exactly (the reference lets them attend,
+    xdit_context_parallel.py:95-99)."""
     n_shards = mesh.shape[seq_axis]
 
     from ..ops.attention import attention as dense_attention
 
     if n_shards == 1:
-        return dense_attention
+        return functools.partial(dense_attention, prescaled=prescaled,
+                                 kv_len=kv_len)
 
     spec = P(AXES.data, seq_axis, None, None)
 
@@ -61,7 +69,7 @@ def make_ulysses_attention(mesh: Mesh, seq_axis: str = AXES.seq) -> Callable:
         q = lax.all_to_all(q, seq_axis, split_axis=2, concat_axis=1, tiled=True)
         k = lax.all_to_all(k, seq_axis, split_axis=2, concat_axis=1, tiled=True)
         v = lax.all_to_all(v, seq_axis, split_axis=2, concat_axis=1, tiled=True)
-        o = dense_attention(q, k, v)
+        o = dense_attention(q, k, v, prescaled=prescaled, kv_len=kv_len)
         # back: (b, S, N/n, D) -> (b, S/n, N, D)
         return lax.all_to_all(o, seq_axis, split_axis=1, concat_axis=2, tiled=True)
 

@@ -100,11 +100,10 @@ def test_dp_sp_combined_train_step():
 def test_dit_seq_parallel_ragged_padding():
     """Token count NOT divisible by the seq axis -> pad/mask path.
 
-    The reference pads per-rank chunks with zeros and lets padded kv tokens
-    attend (xdit_context_parallel.py:95-99) — our padded run is expected to
-    match within that approximation (exact here because padded k rows only
-    perturb softmax by exp(-inf-ish logits of zeroed q/k after rms-norm of
-    zeros... validated numerically at loose tolerance)."""
+    Unlike the reference (which pads per-rank chunks with zeros and lets
+    padded kv tokens attend, xdit_context_parallel.py:95-99), the padded kv
+    columns are masked EXACTLY via kv_len, so the sharded run must match
+    the dense run to float tolerance."""
     mesh = make_mesh(data=1, seq=8)
     cfg = WanDiTConfig(
         dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
@@ -127,5 +126,5 @@ def test_dit_seq_parallel_ragged_padding():
         )(params, lat, ts, ctx)
     err = float(jnp.abs(out - ref).max())
     scale = float(jnp.abs(ref).max())
-    # padded-token kv contributions are the (reference-matching) approximation
-    assert err / scale < 0.05, (err, scale)
+    # exact kv-padding mask: only float reassociation noise remains
+    assert err / scale < 1e-3, (err, scale)
