@@ -33,7 +33,7 @@ def main():
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--lora", type=str, default=None)
     p.add_argument("--lora_alpha", type=float, default=1.0)
-    p.add_argument("--input_image", type=str, required=True)
+    p.add_argument("--input_image", type=str, default=None)
     p.add_argument("--prompt", type=str, required=True)
     p.add_argument("--negative_prompt", type=str, default=NEGATIVE_PROMPT)
     p.add_argument("--height", type=int, default=480)
@@ -44,6 +44,29 @@ def main():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--fps", type=int, default=15)
     p.add_argument("--output", type=str, default="video.mp4")
+    # acceleration / memory (reference wan_video.py:233-253)
+    p.add_argument("--tiled", action="store_true",
+                   help="spatially tiled VAE (the reference flagship default)")
+    p.add_argument("--sliding_window_size", type=int, default=None)
+    p.add_argument("--sliding_window_stride", type=int, default=None)
+    p.add_argument("--tea_cache_l1_thresh", type=float, default=None)
+    p.add_argument("--tea_cache_model_id", type=str, default="Wan2.1-T2V-1.3B")
+    p.add_argument("--usp", type=int, default=0,
+                   help="Ulysses sequence-parallel degree (0 = off); shards "
+                        "the token axis over a (1, usp) device mesh")
+    # variants
+    p.add_argument("--vace_video", type=str, default=None,
+                   help="control video (mp4/gif/frame dir) for VACE models")
+    p.add_argument("--vace_video_mask", type=str, default=None)
+    p.add_argument("--vace_reference_image", type=str, default=None)
+    p.add_argument("--vace_scale", type=float, default=1.0)
+    p.add_argument("--camera_control_direction", type=str, default=None,
+                   choices=["Left", "Right", "Up", "Down", "LeftUp",
+                            "LeftDown", "RightUp", "RightDown"])
+    p.add_argument("--camera_control_speed", type=float, default=1 / 54)
+    p.add_argument("--motion_bucket_id", type=int, default=None)
+    p.add_argument("--end_image", type=str, default=None)
+    p.add_argument("--reference_image", type=str, default=None)
     args = p.parse_args()
 
     from PIL import Image
@@ -51,21 +74,50 @@ def main():
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
     from fairygen_tpu.utils.video import save_video
 
+    mesh = None
+    if args.usp:
+        from fairygen_tpu.core.meshes import make_mesh
+
+        mesh = make_mesh(data=1, seq=args.usp)
     pipe = WanVideoPipeline.from_pretrained(
-        json.loads(args.model_paths), tokenizer_path=args.tokenizer_path
+        json.loads(args.model_paths), tokenizer_path=args.tokenizer_path,
+        mesh=mesh,
     )
     if args.lora:
         pipe.load_lora(args.lora, alpha=args.lora_alpha)
 
+    def load_image(path):
+        return (Image.open(path).convert("RGB").resize((args.width, args.height))
+                if path else None)
+
+    def load_video(path):
+        if not path:
+            return None
+        from fairygen_tpu.utils.video import load_video_frames
+
+        return load_video_frames(path)
+
     frames = pipe(
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,
-        input_image=Image.open(args.input_image).convert("RGB").resize(
-            (args.width, args.height)
-        ),
+        input_image=load_image(args.input_image),
+        end_image=load_image(args.end_image),
+        reference_image=load_image(args.reference_image),
+        vace_video=load_video(args.vace_video),
+        vace_video_mask=load_video(args.vace_video_mask),
+        vace_reference_image=load_image(args.vace_reference_image),
+        vace_scale=args.vace_scale,
+        camera_control_direction=args.camera_control_direction,
+        camera_control_speed=args.camera_control_speed,
+        motion_bucket_id=args.motion_bucket_id,
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         cfg_scale=args.cfg_scale, seed=args.seed, streaming_vae=True,
+        tiled=args.tiled,
+        sliding_window_size=args.sliding_window_size,
+        sliding_window_stride=args.sliding_window_stride,
+        tea_cache_l1_thresh=args.tea_cache_l1_thresh,
+        tea_cache_model_id=args.tea_cache_model_id,
     )
     out = save_video(frames, args.output, fps=args.fps, quality=5)
     print(f"saved {out}")

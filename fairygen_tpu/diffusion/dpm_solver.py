@@ -27,6 +27,13 @@ class DPMState:
     has_prev: jnp.ndarray  # scalar bool/int — whether prev_x0 is valid
 
 
+import jax as _jax  # noqa: E402
+
+_jax.tree_util.register_dataclass(
+    DPMState, data_fields=["prev_x0", "has_prev"], meta_fields=[]
+)
+
+
 class DPMSolverMultistepScheduler:
     def __init__(
         self,
@@ -81,7 +88,40 @@ class DPMSolverMultistepScheduler:
         full = self.sigmas
         self._alpha_hat = 1.0 / np.sqrt(full**2 + 1)
         self._sigma_hat = full * self._alpha_hat
+        self._build_step_tables()
         return self
+
+    def _build_step_tables(self):
+        """Per-step update coefficients so ``step`` is a pure table lookup:
+
+            x_next = c_x[i]·x + c0[i]·x0 + c1[i]·(x0 − prev_x0)
+
+        (c1 = 0 on forced first-order steps), which makes the whole solver
+        indexable with a TRACED step index — the denoise loop can live
+        inside one jitted ``lax.fori_loop``."""
+        n = self.num_inference_steps
+        sig, ah, sh = self.sigmas, self._alpha_hat, self._sigma_hat
+
+        def lam(j):
+            return np.log(ah[j]) - np.log(sh[j]) if sig[j] > 0 else np.inf
+
+        c_x = np.zeros((n,), np.float64)
+        c0 = np.zeros((n,), np.float64)
+        c1 = np.zeros((n,), np.float64)
+        for i in range(n):
+            s, t = i, i + 1
+            first = (i == 0) or (self.lower_order_final and i == n - 1) or sig[t] == 0
+            if sig[t] == 0:
+                c_x[i], c0[i], c1[i] = 0.0, 1.0, 0.0
+                continue
+            h = lam(t) - lam(s)
+            e = np.exp(-h) - 1.0
+            c_x[i] = sh[t] / sh[s]
+            c0[i] = -ah[t] * e
+            if not first and np.isfinite(h):
+                r = (lam(s) - lam(i - 1)) / h
+                c1[i] = -0.5 * ah[t] * e / r
+        self._c_x, self._c0, self._c1 = c_x, c0, c1
 
     # ------------------------------------------------------------- state API
     def init_state(self, shape, dtype=jnp.float32) -> DPMState:
@@ -90,10 +130,10 @@ class DPMSolverMultistepScheduler:
         )
 
     def _to_x0(self, model_output, sample, step_index):
-        """Convert ε (or v / x0) prediction to x0 in sigma space."""
-        sigma = jnp.float32(self.sigmas[step_index])
-        alpha_hat = jnp.float32(self._alpha_hat[step_index])
-        sigma_hat = jnp.float32(self._sigma_hat[step_index])
+        """Convert ε (or v / x0) prediction to x0 in sigma space.
+        ``step_index`` may be a static int or a traced scalar."""
+        alpha_hat = jnp.asarray(self._alpha_hat[:-1], jnp.float32)[step_index]
+        sigma_hat = jnp.asarray(self._sigma_hat[:-1], jnp.float32)[step_index]
         x = sample.astype(jnp.float32)
         m = model_output.astype(jnp.float32)
         if self.prediction_type == "epsilon":
@@ -104,49 +144,46 @@ class DPMSolverMultistepScheduler:
             return m
         raise ValueError(self.prediction_type)
 
-    def step(self, state: DPMState, model_output, step_index: int, sample):
-        """DPM-Solver++(2M) step at static python int ``step_index``."""
-        i = step_index
-        n = self.num_inference_steps
-        x0 = self._to_x0(model_output, sample, i)
-
-        sig = self.sigmas
-        ah, sh = self._alpha_hat, self._sigma_hat
-
-        def lam(j):
-            return np.log(ah[j]) - np.log(sh[j]) if sig[j] > 0 else np.inf
-
-        s, t = i, i + 1  # current → next in the extended grid
-        lam_s, lam_t = lam(s), lam(t)
-        x = sample.astype(jnp.float32)
-
-        use_first_order = (i == 0) or (self.lower_order_final and i == n - 1) or sig[t] == 0
-
-        if use_first_order or not np.isfinite(lam_t):
-            # DPM-Solver++ 1st order == DDIM:  x_t = (σ̂_t/σ̂_s)x − α̂_t(e^{−h}−1)x0
-            if sig[t] == 0:
-                x_next = x0
-            else:
-                h = lam_t - lam_s
-                x_next = (sh[t] / sh[s]) * x - ah[t] * (np.exp(-h) - 1.0) * x0
-            # still record x0 so a 2nd-order step can follow a forced 1st-order one
-            new_state = DPMState(prev_x0=x0, has_prev=jnp.ones((), jnp.bool_))
-            return x_next.astype(sample.dtype), new_state
-
-        # 2nd order multistep: uses x0 at i and i-1
-        lam_p = lam(i - 1)
-        h = lam_t - lam_s
-        h_prev = lam_s - lam_p
-        r = h_prev / h
-        D0 = x0
-        D1 = (x0 - state.prev_x0) / r
-        x_next = (
-            (sh[t] / sh[s]) * x
-            - ah[t] * (np.exp(-h) - 1.0) * D0
-            - 0.5 * ah[t] * (np.exp(-h) - 1.0) * D1
+    def step(self, state: DPMState, model_output, step_index, sample):
+        """DPM-Solver++(2M) step.  ``step_index`` may be a static python int
+        OR a traced scalar (the coefficients are precomputed tables), so the
+        whole denoise loop can run inside one jitted ``lax.fori_loop``."""
+        return self.step_from_tables(
+            self.tables(), state, model_output, step_index, sample,
+            prediction_type=self.prediction_type,
         )
-        # fall back to first order when no previous output is available
-        x_first = (sh[t] / sh[s]) * x - ah[t] * (np.exp(-h) - 1.0) * D0
-        x_next = jnp.where(state.has_prev, x_next, x_first)
+
+    def tables(self):
+        """Step tables as a jnp pytree — pass into jitted loops as a traced
+        argument so one compiled program serves any step count."""
+        return dict(
+            timesteps=jnp.asarray(self.timesteps, jnp.float32),
+            alpha_hat=jnp.asarray(self._alpha_hat[:-1], jnp.float32),
+            sigma_hat=jnp.asarray(self._sigma_hat[:-1], jnp.float32),
+            c_x=jnp.asarray(self._c_x, jnp.float32),
+            c0=jnp.asarray(self._c0, jnp.float32),
+            c1=jnp.asarray(self._c1, jnp.float32),
+        )
+
+    @staticmethod
+    def step_from_tables(tables, state: DPMState, model_output, step_index,
+                         sample, prediction_type: str = "epsilon"):
+        """Pure-function form of :meth:`step` over a :meth:`tables` pytree."""
+        i = step_index
+        x = sample.astype(jnp.float32)
+        m = model_output.astype(jnp.float32)
+        if prediction_type == "epsilon":
+            x0 = (x - tables["sigma_hat"][i] * m) / tables["alpha_hat"][i]
+        elif prediction_type == "v_prediction":
+            x0 = tables["alpha_hat"][i] * x - tables["sigma_hat"][i] * m
+        elif prediction_type == "sample":
+            x0 = m
+        else:
+            raise ValueError(prediction_type)
+
+        # c1 == 0 on first-order steps (i==0 / lower_order_final / σ_t==0),
+        # so has_prev only matters for an externally-reset state mid-run
+        d1 = jnp.where(state.has_prev, x0 - state.prev_x0, jnp.zeros_like(x0))
+        x_next = tables["c_x"][i] * x + tables["c0"][i] * x0 + tables["c1"][i] * d1
         new_state = DPMState(prev_x0=x0, has_prev=jnp.ones((), jnp.bool_))
         return x_next.astype(sample.dtype), new_state

@@ -76,7 +76,7 @@ class VaceConfig:
 
 
 def vace_forward(params, cfg: VaceConfig, x_tokens, vace_context, context_emb,
-                 t_mod, freqs, num_main_layers: int):
+                 t_mod, freqs, num_main_layers: int, seg=None):
     """Produce per-main-layer hints (L_main, B, S, D), zeros off-mapping.
 
     x_tokens: the main DiT's patchified tokens (B, S, D) — reference
@@ -102,7 +102,7 @@ def vace_forward(params, cfg: VaceConfig, x_tokens, vace_context, context_emb,
     for i, blk in enumerate(params["blocks"]):
         if i == 0:
             c = _apply_dense(blk["before_proj"], c) + x_tokens
-        c = dit_block(blk, c, context_emb, t_mod, freqs, dcfg)
+        c = dit_block(blk, c, context_emb, t_mod, freqs, dcfg, seg=seg)
         hints.append(_apply_dense(blk["after_proj"], c))
 
     # scatter hints to main-layer slots (zeros elsewhere)

@@ -482,6 +482,15 @@ def wan_dit_forward(
     remat: bool = False,
     vace_hints=None,
     vace_scale: float = 1.0,
+    vace_params=None,  # VACE control branch (aux_models.vace_forward)
+    vace_cfg=None,
+    vace_context=None,  # (B, vace_in_dim, F(+ref), H/8... ) latent control video
+    control_camera_tokens=None,  # (B, f·h·w, D) SimpleAdapter features
+    reference_latents=None,  # (B, 16, H/8, W/8) Fun-Reference image latent
+    animate_params=None,  # Wan-Animate adapter (models.wan.animate)
+    animate_cfg=None,
+    pose_latents=None,  # (B, 16, F', H/8, W/8) animate pose video latents
+    face_pixel_values=None,  # (B, 3, F, 512, 512) animate face crops
     t_mod_bias=None,  # motion controller additive t_mod (B, 6, D)
     mesh=None,  # jax.sharding.Mesh with (data, seq, tensor) axes for SPMD
     tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> returns (out, state)
@@ -529,10 +538,53 @@ def wan_dit_forward(
         ctx = jnp.concatenate([clip_emb, ctx], axis=1)
 
     x, grid = patchify(params, cfg, x)
+    if control_camera_tokens is not None:
+        # camera plücker features added right after the patch embed
+        # (reference wan_video_dit.py:338-342)
+        x = x + control_camera_tokens.astype(x.dtype)
+
+    motion_vec = None
+    if (animate_params is not None and pose_latents is not None
+            and face_pixel_values is not None):
+        # Wan-Animate after_patch_embedding hook (reference
+        # wan_video.py:1255-1257) operates on the pre-flatten conv grid
+        from .animate import animate_after_patch_embedding
+
+        f_, h_, w_ = grid
+        xg = x.reshape(b, f_, h_, w_, cfg.dim).transpose(0, 4, 1, 2, 3)
+        xg, motion_vec = animate_after_patch_embedding(
+            animate_params, animate_cfg, xg, pose_latents, face_pixel_values
+        )
+        x = xg.transpose(0, 2, 3, 4, 1).reshape(b, f_ * h_ * w_, cfg.dim)
+
+    if reference_latents is not None and cfg.has_ref_conv:
+        # Fun-Reference image tokens prepended as an extra leading frame
+        # (reference wan_video.py:1264-1269)
+        r = reference_latents
+        if r.ndim == 5:
+            r = r[:, :, 0]
+        rb, rc, rh, rw = r.shape
+        r = r.reshape(rb, rc, rh // 2, 2, rw // 2, 2)
+        r = r.transpose(0, 2, 4, 1, 3, 5).reshape(rb, (rh // 2) * (rw // 2), rc * 4)
+        ref_tokens = _apply_dense(params["ref_conv"], r)
+        n_ref_tokens = ref_tokens.shape[1]
+        x = jnp.concatenate([ref_tokens, x], axis=1)
+        grid = (grid[0] + 1, grid[1], grid[2])
+    else:
+        n_ref_tokens = 0
 
     if freqs is None:
         tables = precompute_freqs_3d(cfg.head_dim)
         freqs = build_freqs_grid(tables, *grid)
+
+    if vace_context is not None:
+        assert mesh is None, "VACE hints are not yet supported with Ulysses SP"
+        from .aux_models import vace_forward
+
+        vace_hints = vace_forward(
+            vace_params, vace_cfg, x, vace_context, ctx, t_mod, freqs,
+            cfg.num_layers, seg=seg_boundary,
+        )
 
     attn_fn = None
     s_orig = x.shape[1]
@@ -554,7 +606,24 @@ def wan_dit_forward(
             x, NamedSharding(mesh, P(AXES.data, AXES.seq))
         )
 
-    if tea_cache_state is not None:
+    if motion_vec is not None:
+        # python-unrolled block loop: the animate face adapter injects a
+        # cross-attention residual every adapter_stride blocks (reference
+        # wan_video.py:1374-1376) — incompatible with the scan body
+        from .animate import animate_after_transformer_block
+
+        assert tea_cache_state is None, "TeaCache + animate not supported"
+        new_tc = None
+        for i in range(cfg.num_layers):
+            blk = jax.tree.map(lambda a: a[i], params["blocks"])
+            x = dit_block(blk, x, ctx, t_mod, freqs, cfg, attn_fn,
+                          seg=seg_boundary)
+            if vace_hints is not None:
+                x = x + vace_hints[i] * vace_scale
+            x = animate_after_transformer_block(
+                animate_params, animate_cfg, i, x, motion_vec
+            )
+    elif tea_cache_state is not None:
         from ...utils.tea_cache import tea_cache_blocks
 
         x, new_tc = tea_cache_blocks(
@@ -576,6 +645,11 @@ def wan_dit_forward(
     x = head_forward(params["head"], x, t, cfg, seg=seg_boundary)
     if x.shape[1] != s_orig:
         x = x[:, :s_orig]
+    if n_ref_tokens:
+        # strip the reference-frame tokens before unpatchify (reference
+        # wan_video.py:1383-1387)
+        x = x[:, n_ref_tokens:]
+        grid = (grid[0] - 1, grid[1], grid[2])
     out = unpatchify(x, grid, cfg)
     if tea_cache_state is not None:
         return out, new_tc

@@ -36,6 +36,66 @@ from ..models.sdxl.vae import (
 from ..core.noise import generate_noise
 
 
+# Module-scope jitted denoise chunk (same design as pipelines/wan_video.py):
+# everything data-like is traced, only hashable config is static, so repeat
+# calls at the same resolution reuse one compiled program across prompts,
+# seeds and scales.  The reference runs 50 un-jitted python steps
+# (pipeline_brushnet_sd_xl.py:1376-1455); here the BrushNet sweep, UNet
+# sweep, CFG combine and the DPM-Solver++(2M) update are ONE device program
+# per chunk of steps.
+import functools
+
+from ..diffusion.dpm_solver import DPMSolverMultistepScheduler as _DPM
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "bn_cfg", "length", "do_cfg", "dtype"),
+)
+def _sdxl_denoise_chunk(
+    unet_params, bn_params, latents, dstate, ehs, text_embeds, time_ids,
+    cond_lat, keep_sched, guidance_scale, bn_scale, tables, start,
+    *, unet_cfg, bn_cfg, length, do_cfg, dtype,
+):
+    use_bn = bn_params is not None and cond_lat is not None
+
+    def step(i, carry):
+        lat, st = carry
+        t = tables["timesteps"][i]
+        x_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+
+        kwargs = {}
+        if use_bn:
+            down, mid, up = brushnet_forward(
+                bn_params, bn_cfg, x_in.astype(dtype), t, ehs.astype(dtype),
+                cond_lat.astype(dtype), text_embeds=text_embeds,
+                time_ids=time_ids,
+                conditioning_scale=bn_scale * keep_sched[i],
+            )
+            kwargs = dict(
+                down_block_add_samples=list(down),
+                mid_block_add_sample=mid,
+                up_block_add_samples=list(up),
+            )
+        noise_pred = unet2d_forward(
+            unet_params, unet_cfg, x_in.astype(dtype), t, ehs.astype(dtype),
+            text_embeds=text_embeds, time_ids=time_ids, **kwargs,
+        ).astype(jnp.float32)
+        if do_cfg:
+            uncond, text = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance_scale * (text - uncond)
+        lat, st = _DPM.step_from_tables(tables, st, noise_pred, i, lat)
+        return (lat, st)
+
+    return jax.lax.fori_loop(start, start + length, step, (latents, dstate))
+
+
+# jitted VAE entries: unjitted op-by-op dispatch keeps every intermediate
+# alive and OOMs HBM at 1024px; one compiled program lets XLA reuse buffers
+_vae_decode_jit = jax.jit(vae_decode, static_argnums=(1,))
+_vae_encode_jit = jax.jit(vae_encode, static_argnums=(1, 3))
+
+
 def scale_adapters(params, scale: float):
     """Rescale every adapter's effective scale (lora_scale kwarg)."""
 
@@ -63,6 +123,7 @@ class SDXLBrushNetPipeline:
     tokenizer1: Any = None
     tokenizer2: Any = None
     dtype: Any = jnp.float32
+    steps_per_dispatch: int = 10  # denoise steps per jit dispatch
 
     def encode_prompt(self, prompt: str):
         ids1 = jnp.asarray(self.tokenizer1(prompt))
@@ -118,7 +179,7 @@ class SDXLBrushNetPipeline:
             img = _to_nchw_pm1(image)
             msk = _to_nchw_pm1(mask, channels=None)
             original_mask = (jnp.sum(msk, axis=1, keepdims=True) < 0).astype(jnp.float32)
-            cond_lat = vae_encode(self.vae_params, self.vae_cfg, img.astype(self.dtype))
+            cond_lat = _vae_encode_jit(self.vae_params, self.vae_cfg, img.astype(self.dtype))
             cond_lat = cond_lat.astype(jnp.float32) * sf
             m = _nearest_resize(original_mask, cond_lat.shape[-2], cond_lat.shape[-1])
             conditioning_latents = jnp.concatenate([cond_lat, m], axis=1)
@@ -138,43 +199,36 @@ class SDXLBrushNetPipeline:
 
         state = sched.init_state(latents.shape)
         n = num_inference_steps
-        for i in range(n):
-            t = jnp.asarray(float(sched.timesteps[i]))
-            x_in = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
-
-            kwargs = {}
-            if use_brushnet:
-                keep = 1.0 - float(
-                    i / n < control_guidance_start or (i + 1) / n > control_guidance_end
-                )
-                down, mid, up = brushnet_forward(
-                    self.brushnet_params, self.brushnet_cfg,
-                    x_in.astype(self.dtype), t, ehs.astype(self.dtype),
-                    conditioning_latents.astype(self.dtype),
-                    text_embeds=text_embeds, time_ids=time_ids,
-                    conditioning_scale=brushnet_conditioning_scale * keep,
-                )
-                kwargs = dict(
-                    down_block_add_samples=list(down),
-                    mid_block_add_sample=mid,
-                    up_block_add_samples=list(up),
-                )
-
-            noise_pred = unet2d_forward(
-                self.unet_params, self.unet_cfg,
-                x_in.astype(self.dtype), t, ehs.astype(self.dtype),
-                text_embeds=text_embeds, time_ids=time_ids, **kwargs,
-            ).astype(jnp.float32)
-
-            if do_cfg:
-                uncond, text = jnp.split(noise_pred, 2, axis=0)
-                noise_pred = uncond + guidance_scale * (text - uncond)
-            latents, state = sched.step(state, noise_pred, i, latents)
+        # brushnet_keep start/end schedule (reference :1303-1310)
+        keep_sched = jnp.asarray(
+            [
+                1.0 - float(i / n < control_guidance_start
+                            or (i + 1) / n > control_guidance_end)
+                for i in range(n)
+            ],
+            jnp.float32,
+        )
+        tables = sched.tables()
+        cond = conditioning_latents if use_brushnet else None
+        bn_params = self.brushnet_params if use_brushnet else None
+        s = 0
+        while s < n:
+            ln = min(self.steps_per_dispatch, n - s)
+            latents, state = _sdxl_denoise_chunk(
+                self.unet_params, bn_params, latents, state, ehs,
+                text_embeds, time_ids, cond, keep_sched,
+                jnp.asarray(guidance_scale, jnp.float32),
+                jnp.asarray(brushnet_conditioning_scale, jnp.float32),
+                tables, jnp.int32(s),
+                unet_cfg=self.unet_cfg, bn_cfg=self.brushnet_cfg,
+                length=ln, do_cfg=do_cfg, dtype=self.dtype,
+            )
+            s += ln
 
         if output_type == "latent":
             return latents
         # fp32 decode (reference upcasts the fp16 VAE — :1474-1497)
-        image_out = vae_decode(
+        image_out = _vae_decode_jit(
             self.vae_params, self.vae_cfg, (latents / sf).astype(jnp.float32)
         )
         if output_type == "np_pm1":

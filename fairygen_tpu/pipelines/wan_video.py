@@ -60,13 +60,16 @@ from ..models.wan.vae import WanVAEConfig, vae38_decode, vae38_encode
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "length", "cfg_merge", "fuse", "mesh",
-                     "tea_opts"),
+                     "tea_opts", "vace_cfg", "animate_cfg"),
 )
 def _denoise_chunk(
     params, lat, ffl, context, negative_context, y, clip_feature, t_mod_bias,
+    vace_params, vace_context, vace_scale, camera_tokens,
+    reference_latents, animate_params, pose_latents, face_pixel_values,
+    face_pixel_values_nega,
     timesteps, sigmas, cfg_scale, tea_state_a, tea_state_b, start,
     *, dit_cfg: WanDiTConfig, length: int, cfg_merge: bool, fuse: bool,
-    mesh, tea_opts: Optional[tuple],
+    mesh, tea_opts: Optional[tuple], vace_cfg=None, animate_cfg=None,
 ):
     """Run ``length`` Euler flow-match steps starting at step ``start``.
 
@@ -84,12 +87,34 @@ def _denoise_chunk(
             num_inference_steps=tea_opts[2],
         )
 
-    def call(x, t, c, y_, clip_, tc):
+    vace_kw: Dict[str, Any] = {}
+    if vace_context is not None:
+        vace_kw = dict(vace_params=vace_params, vace_cfg=vace_cfg,
+                       vace_scale=vace_scale)
+
+    def call(x, t, c, y_, clip_, tc, face=None):
+        b_ = x.shape[0]
+
+        def rep(a):
+            if a is None or a.shape[0] == b_:
+                return a
+            return jnp.concatenate([a] * (b_ // a.shape[0]), axis=0)
+
+        vk = dict(vace_kw)
+        if vace_context is not None:
+            vk["vace_context"] = rep(vace_context)
+        if pose_latents is not None:
+            vk.update(animate_params=animate_params, animate_cfg=animate_cfg,
+                      pose_latents=rep(pose_latents),
+                      face_pixel_values=rep(face))
         out = wan_dit_forward(
             params, dit_cfg, x, t, c, y=y_, clip_feature=clip_,
             fuse_vae_embedding_in_latents=fuse, mesh=mesh,
             t_mod_bias=t_mod_bias,
+            control_camera_tokens=rep(camera_tokens),
+            reference_latents=rep(reference_latents),
             tea_cache_state=tc if tea_opts is not None else None, **tea_kw,
+            **vk,
         )
         if tea_opts is not None:
             return out  # (v, new_state)
@@ -106,15 +131,20 @@ def _denoise_chunk(
             cl2 = (None if clip_feature is None
                    else jnp.concatenate([clip_feature, clip_feature], axis=0))
             ctx2 = jnp.concatenate([context, negative_context], axis=0)
-            v2, tc_a = call(x2, t2, ctx2, y2, cl2, tc_a)
+            face2 = (None if face_pixel_values is None else jnp.concatenate(
+                [face_pixel_values, face_pixel_values_nega], axis=0))
+            v2, tc_a = call(x2, t2, ctx2, y2, cl2, tc_a, face2)
             v_posi, v_nega = v2[:b], v2[b:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
         elif use_cfg:
-            v_posi, tc_a = call(lat, t1, context, y, clip_feature, tc_a)
-            v_nega, tc_b = call(lat, t1, negative_context, y, clip_feature, tc_b)
+            v_posi, tc_a = call(lat, t1, context, y, clip_feature, tc_a,
+                                face_pixel_values)
+            v_nega, tc_b = call(lat, t1, negative_context, y, clip_feature,
+                                tc_b, face_pixel_values_nega)
             v = v_nega + cfg_scale * (v_posi - v_nega)
         else:
-            v, tc_a = call(lat, t1, context, y, clip_feature, tc_a)
+            v, tc_a = call(lat, t1, context, y, clip_feature, tc_a,
+                           face_pixel_values)
         dt = (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
         lat = lat + v.astype(lat.dtype) * dt
         if fuse:
@@ -127,6 +157,36 @@ def _denoise_chunk(
     return lat, tea_state_a, tea_state_b
 
 
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "mot_cfg"))
+def _vap_sweep(dit_params, mot_params, lat, t, ctx, y, clip_feature,
+               vap_hidden_state, context_vap, vap_clip_feature,
+               *, dit_cfg, mot_cfg):
+    """One VAP (video-as-prompt, MoT joint-attention) sweep — reference
+    model_fn_wan_video's VAP weave (wan_video.py:1278-1346)."""
+    from ..models.wan.mot import wan_dit_forward_vap
+
+    return wan_dit_forward_vap(
+        dit_params, dit_cfg, mot_params, mot_cfg, lat, t, ctx,
+        clip_feature=clip_feature, y=y,
+        vap_hidden_state=vap_hidden_state, context_vap=context_vap,
+        vap_clip_feature=vap_clip_feature,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("s2v_cfg", "drop_motion"))
+def _s2v_sweep(params, lat, t, ctx, audio, motion_latents, pose,
+               *, s2v_cfg, drop_motion: bool):
+    """One S2V denoiser sweep (reference model_fn_wans2v,
+    wan_video.py:1421-1519) — jitted, cached per shape."""
+    from ..models.wan.s2v import wan_s2v_forward
+
+    return wan_s2v_forward(
+        params, s2v_cfg, lat, t, ctx, audio,
+        motion_latents=motion_latents, pose_cond=pose,
+        drop_motion_frames=drop_motion,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("dit_cfg", "fuse", "mesh"))
 def _dit_sweep(params, x, t, c, y, clip_feature, t_mod_bias,
                *, dit_cfg: WanDiTConfig, fuse: bool, mesh):
@@ -136,6 +196,14 @@ def _dit_sweep(params, x, t, c, y, clip_feature, t_mod_bias,
         params, dit_cfg, x, t, c, y=y, clip_feature=clip_feature,
         fuse_vae_embedding_in_latents=fuse, mesh=mesh, t_mod_bias=t_mod_bias,
     )
+
+
+def _as_pil(image, width, height):
+    from PIL import Image
+
+    if isinstance(image, (np.ndarray, jnp.ndarray)):
+        image = Image.fromarray(np.asarray(image))
+    return image.resize((width, height))
 
 
 @dataclasses.dataclass
@@ -152,6 +220,16 @@ class WanVideoPipeline:
     image_encoder_cfg: Any = None
     motion_controller_params: Any = None  # speed control (t_mod bias)
     motion_controller_cfg: Any = None
+    vace_params: Any = None  # VACE control branch (aux_models)
+    vace_cfg: Any = None
+    s2v_params: Any = None  # speech-to-video DiT (models.wan.s2v)
+    s2v_cfg: Any = None
+    camera_params: Any = None  # camera-control SimpleAdapter (models.wan.camera)
+    camera_cfg: Any = None
+    animate_params: Any = None  # Wan-Animate adapter (models.wan.animate)
+    animate_cfg: Any = None
+    vap_params: Any = None  # VAP/MoT side branch (models.wan.mot)
+    vap_cfg: Any = None
     mesh: Any = None  # jax.sharding.Mesh — Ulysses SP inside the DiT
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 5  # denoise steps per jit dispatch
@@ -289,6 +367,157 @@ class WanVideoPipeline:
         msk = msk.reshape(1, T4, 4, height // 8, width // 8).transpose(0, 2, 1, 3, 4)[0]
         return jnp.concatenate([msk.astype(self.dtype), y.astype(self.dtype)])[None]
 
+    def encode_vace_context(self, vace_video, vace_video_mask,
+                            vace_reference_image, height, width, num_frames,
+                            tiled=False):
+        """VACE control conditioning — reference WanVideoUnit_VACE
+        (wan_video.py:616-677): inactive/reactive VAE latents + 64-channel
+        pixel-shuffled mask latents (+ optional reference frames prepended
+        with zero masks).  Returns (vace_context, num_ref_frames)."""
+        if vace_video is None:
+            vv = jnp.zeros((1, 3, num_frames, height, width), self.dtype)
+        else:
+            vv = jnp.asarray(preprocess_video(vace_video), self.dtype)
+        if vace_video_mask is None:
+            vm = jnp.ones_like(vv)
+        else:
+            vm = jnp.asarray(
+                preprocess_video(vace_video_mask, min_value=0, max_value=1),
+                self.dtype,
+            )
+            if vm.shape != vv.shape:
+                raise ValueError(
+                    f"vace_video_mask frames/size {vm.shape} must match "
+                    f"vace_video {vv.shape}"
+                )
+
+        inactive = vv * (1 - vm)
+        reactive = vv * vm
+        inactive = vae38_encode(self.vae_params, self.vae_cfg, inactive)
+        reactive = vae38_encode(self.vae_params, self.vae_cfg, reactive)
+        vace_video_latents = jnp.concatenate([inactive, reactive], axis=1)
+
+        # mask: (T, H, W) -> (1, 64, T, H/8, W/8) pixel shuffle, then
+        # nearest-exact temporal resize to (T+3)//4 (reference :649-651)
+        m = vm[0, 0]  # (T, H, W)
+        T, H, W = m.shape
+        m = m.reshape(T, H // 8, 8, W // 8, 8).transpose(2, 4, 0, 1, 3)
+        m = m.reshape(1, 64, T, H // 8, W // 8)
+        t_new = (T + 3) // 4
+        idx = jnp.clip(
+            jnp.floor((jnp.arange(t_new) + 0.5) * T / t_new).astype(jnp.int32),
+            0, T - 1,
+        )
+        vace_mask_latents = m[:, :, idx]
+
+        n_ref = 0
+        if vace_reference_image is not None:
+            refs = (vace_reference_image
+                    if isinstance(vace_reference_image, list)
+                    else [vace_reference_image])
+            n_ref = len(refs)
+            ref_lat = [
+                vae38_encode(
+                    self.vae_params, self.vae_cfg,
+                    jnp.asarray(preprocess_image(r), self.dtype)[None][:, :, None],
+                )
+                for r in refs
+            ]
+            ref_lat = jnp.concatenate(ref_lat, axis=2)
+            ref_lat = jnp.concatenate([ref_lat, jnp.zeros_like(ref_lat)], axis=1)
+            vace_video_latents = jnp.concatenate([ref_lat, vace_video_latents], axis=2)
+            vace_mask_latents = jnp.concatenate(
+                [jnp.zeros_like(vace_mask_latents[:, :, :n_ref]), vace_mask_latents],
+                axis=2,
+            )
+        ctx = jnp.concatenate([vace_video_latents.astype(self.dtype),
+                               vace_mask_latents.astype(self.dtype)], axis=1)
+        return ctx, n_ref
+
+    def encode_camera_control(self, direction, speed, input_image,
+                              height, width, num_frames):
+        """Camera-control conditioning — reference
+        WanVideoUnit_FunCameraControl (wan_video.py:550-597): plücker
+        embedding -> 4-fold temporal grouping -> SimpleAdapter features
+        (precomputed ONCE; the reference recomputes them every step), plus
+        the first-frame ``y`` latent conditioning."""
+        from ..models.wan.camera import (
+            generate_camera_coordinates, process_pose_file,
+            simple_adapter_forward,
+        )
+
+        valid = ("Left", "Right", "Up", "Down", "LeftUp", "LeftDown",
+                 "RightUp", "RightDown")
+        if direction not in valid:
+            raise ValueError(
+                f"camera_control_direction {direction!r} not in {valid}")
+        coords = generate_camera_coordinates(direction, num_frames, speed)
+        plucker = process_pose_file(coords, width=width, height=height)
+        v = np.asarray(plucker).transpose(3, 0, 1, 2)[None]  # (1,6,F,H,W)
+        v = np.concatenate([np.repeat(v[:, :, 0:1], 4, axis=2), v[:, :, 1:]],
+                           axis=2)  # (1, 6, F+3, H, W)
+        b, c, f4, H, W = v.shape
+        # torch view/transpose chain (reference :566-575): (b, c·4, f4/4, H, W)
+        v = v.transpose(0, 2, 1, 3, 4).reshape(b, f4 // 4, 4, c, H, W)
+        v = v.transpose(0, 1, 3, 2, 4, 5).reshape(b, f4 // 4, c * 4, H, W)
+        v = v.transpose(0, 2, 1, 3, 4)
+        cam = simple_adapter_forward(
+            self.camera_params, self.camera_cfg, jnp.asarray(v, self.dtype)
+        )  # (B, D, f, h, w)
+        B, D = cam.shape[:2]
+        cam_tokens = cam.reshape(B, D, -1).transpose(0, 2, 1)
+
+        # first-frame y conditioning (reference :577-596)
+        z = self.vae_cfg.z_dim
+        lat_shape = self._latent_shape(height, width, num_frames)
+        if self.dit_cfg.in_dim - z == z:
+            img_lat = self.encode_first_frame(input_image, height, width)
+            y = jnp.zeros(lat_shape, self.dtype)
+            y = y.at[:, :, :1].set(img_lat)
+        else:
+            y = self.encode_i2v_conditioning(input_image, height, width,
+                                             num_frames)
+        return cam_tokens.astype(self.dtype), y
+
+    def encode_animate_inpaint(self, inpaint_video, mask_video, ref_image,
+                               height, width):
+        """Wan-Animate inpaint conditioning — reference
+        WanVideoUnit_AnimateInpaint (wan_video.py:954-996): ref-image y
+        frame (mask=1 on frame 0) prepended to background-video y frames
+        with the inverted mask video."""
+        def i2v_mask(lat_t, lat_h, lat_w, mask_len=1, mask_pix=None):
+            if mask_pix is None:
+                msk = jnp.zeros((1, (lat_t - 1) * 4 + 1, lat_h, lat_w),
+                                jnp.float32)
+            else:
+                msk = mask_pix
+            if mask_len:
+                msk = msk.at[:, :mask_len].set(1.0)
+            msk = jnp.concatenate(
+                [jnp.repeat(msk[:, 0:1], 4, axis=1), msk[:, 1:]], axis=1)
+            msk = msk.reshape(1, msk.shape[1] // 4, 4, lat_h, lat_w)
+            return msk.transpose(0, 2, 1, 3, 4)[0]
+
+        bg = jnp.asarray(preprocess_video(inpaint_video), self.dtype)
+        y_reft = vae38_encode(self.vae_params, self.vae_cfg, bg)[0]
+        _, lat_t, lat_h, lat_w = y_reft.shape
+
+        ref = jnp.asarray(preprocess_video([ref_image]), self.dtype)
+        ref_lat = vae38_encode(self.vae_params, self.vae_cfg, ref)
+        mask_ref = i2v_mask(1, lat_h, lat_w, 1)
+        y_ref = jnp.concatenate([mask_ref.astype(self.dtype), ref_lat[0]])
+
+        mask_pix = 1.0 - jnp.asarray(
+            preprocess_video(mask_video, min_value=0, max_value=1), jnp.float32
+        )[0, 0]  # (T, H, W)
+        T = mask_pix.shape[0]
+        ih = (jnp.arange(lat_h) * mask_pix.shape[1] // lat_h).astype(jnp.int32)
+        iw = (jnp.arange(lat_w) * mask_pix.shape[2] // lat_w).astype(jnp.int32)
+        mask_pix = mask_pix[:, ih][:, :, iw][None]  # (1, T, lat_h, lat_w)
+        msk_reft = i2v_mask(lat_t, lat_h, lat_w, 0, mask_pix=mask_pix)
+        y_reft = jnp.concatenate([msk_reft.astype(self.dtype), y_reft])
+        return jnp.concatenate([y_ref, y_reft], axis=1)[None]
+
     def encode_clip_feature(self, input_image):
         """I2V CLIP image conditioning — reference ImageEmbedderCLIP
         (wan_video.py:421-441) via the open-CLIP ViT-H visual tower."""
@@ -325,6 +554,33 @@ class WanVideoPipeline:
         sigma_shift: float = 5.0,
         # Speed control (reference SpeedControl unit, wan_video.py:601)
         motion_bucket_id: Optional[int] = None,
+        # VACE (reference WanVideoUnit_VACE, wan_video.py:616-677)
+        vace_video=None,
+        vace_video_mask=None,
+        vace_reference_image=None,
+        vace_scale: float = 1.0,
+        # Speech-to-video (reference WanVideoUnit_S2V, wan_video.py:806-896)
+        audio_embeds=None,  # precomputed wav2vec features (1, 25, D, T)
+        s2v_pose_video=None,
+        s2v_pose_latents=None,
+        motion_video=None,
+        # Camera control (reference WanVideoUnit_FunCameraControl,
+        # wan_video.py:550-597)
+        camera_control_direction: Optional[str] = None,
+        camera_control_speed: float = 1 / 54,
+        # Fun-Reference (reference WanVideoUnit_FunReference, wan_video.py:527)
+        reference_image=None,
+        # Animate (reference wan_video.py:901-996 units)
+        animate_pose_video=None,
+        animate_face_video=None,
+        animate_inpaint_video=None,
+        animate_mask_video=None,
+        # VAP / video-as-prompt (reference WanVideoUnit_VAP, wan_video.py:679)
+        vap_video=None,
+        vap_prompt: str = " ",
+        negative_vap_prompt: str = " ",
+        context_vap=None,
+        negative_context_vap=None,
         # VAE tiling (reference wan_video.py:233-235, latent-space units)
         tiled: bool = False,
         tile_size: Tuple[int, int] = (30, 52),
@@ -363,10 +619,56 @@ class WanVideoPipeline:
                 )
                 negative_context = jnp.zeros_like(context)
 
-        # Noise / latents
+        if audio_embeds is not None:
+            assert self.s2v_params is not None, "no S2V model loaded"
+            return self._generate_s2v(
+                context, negative_context, audio_embeds,
+                input_image=input_image, s2v_pose_video=s2v_pose_video,
+                s2v_pose_latents=s2v_pose_latents, motion_video=motion_video,
+                height=height, width=width, num_frames=num_frames,
+                cfg_scale=cfg_scale, seed=seed,
+                num_inference_steps=num_inference_steps,
+                sigma_shift=sigma_shift, tiled=tiled, tile_size=tile_size,
+                tile_stride=tile_stride, streaming_vae=streaming_vae,
+                output_type=output_type,
+                torch_compat_noise=torch_compat_noise,
+            )
+
+        if vap_video is not None:
+            assert self.vap_params is not None, "no VAP/MoT branch loaded"
+            return self._generate_vap(
+                context, negative_context, vap_video, vap_prompt,
+                negative_vap_prompt, context_vap, negative_context_vap,
+                input_image=input_image, end_image=end_image,
+                height=height, width=width, num_frames=num_frames,
+                cfg_scale=cfg_scale, seed=seed,
+                num_inference_steps=num_inference_steps,
+                sigma_shift=sigma_shift, streaming_vae=streaming_vae,
+                output_type=output_type,
+                torch_compat_noise=torch_compat_noise,
+            )
+
+        # VACE control conditioning
+        vace_context, n_ref = None, 0
+        if (vace_video is not None or vace_video_mask is not None
+                or vace_reference_image is not None):
+            assert self.vace_params is not None, "no VACE branch loaded"
+            vace_context, n_ref = self.encode_vace_context(
+                vace_video, vace_video_mask, vace_reference_image,
+                height, width, num_frames, tiled=tiled,
+            )
+
+        # Noise / latents (+n_ref reference frames rolled to the front,
+        # reference NoiseInitializer wan_video.py:354-362)
         shape = self._latent_shape(height, width, num_frames)
+        if n_ref:
+            shape = shape[:2] + (shape[2] + n_ref,) + shape[3:]
         noise = generate_noise(shape, seed=seed, dtype=self.dtype,
                                torch_compat=torch_compat_noise)
+        if n_ref:
+            noise = jnp.concatenate(
+                [noise[:, :, -n_ref:], noise[:, :, :-n_ref]], axis=2
+            )
         latents = noise
 
         scheduler = FlowMatchScheduler("Wan").set_timesteps(
@@ -389,7 +691,9 @@ class WanVideoPipeline:
         first_frame_latents = None
         y = None
         clip_feature = None
-        if input_image is not None:
+        # camera control builds its own y conditioning (reference
+        # FunCameraControl owns the "y" output param, wan_video.py:554)
+        if input_image is not None and camera_control_direction is None:
             if self.dit_cfg.fuse_vae_embedding_in_latents:
                 img = as_pil(input_image)
                 first_frame_latents = self.encode_first_frame(img, height, width)
@@ -417,6 +721,53 @@ class WanVideoPipeline:
                     )
                 clip_feature = self.encode_clip_feature(as_pil(input_image))
 
+        reference_latents = None
+        if reference_image is not None:
+            # FunReference unit (wan_video.py:527-546)
+            ref = jnp.asarray(
+                preprocess_video([as_pil(reference_image)]), self.dtype
+            )
+            reference_latents = vae38_encode(self.vae_params, self.vae_cfg, ref)
+            if self.dit_cfg.require_clip_embedding and clip_feature is None:
+                clip_feature = self.encode_clip_feature(as_pil(reference_image))
+
+        pose_latents = None
+        face_pixel_values = None
+        face_pixel_values_nega = None
+        if animate_pose_video is not None and animate_face_video is not None:
+            # AnimateVideoSplit trims control videos 4 frames short of the
+            # input video (reference wan_video.py:908-920)
+            if input_video is not None:
+                n_keep = len(input_video) - 4
+                animate_pose_video = animate_pose_video[:n_keep]
+                animate_face_video = animate_face_video[:n_keep]
+                if animate_inpaint_video is not None:
+                    animate_inpaint_video = animate_inpaint_video[:n_keep]
+                if animate_mask_video is not None:
+                    animate_mask_video = animate_mask_video[:n_keep]
+            pv = jnp.asarray(preprocess_video(animate_pose_video), self.dtype)
+            pose_latents = vae38_encode(self.vae_params, self.vae_cfg, pv)
+            face_pixel_values = jnp.asarray(
+                preprocess_video(animate_face_video), self.dtype
+            )
+            # CFG negative branch uses a blanked (-1) face video
+            # (reference AnimateFacePixelValues unit, wan_video.py:948-951)
+            face_pixel_values_nega = jnp.zeros_like(face_pixel_values) - 1
+            if animate_inpaint_video is not None and animate_mask_video is not None:
+                y = self.encode_animate_inpaint(
+                    animate_inpaint_video, animate_mask_video,
+                    as_pil(input_image), height, width,
+                )
+
+        control_camera_tokens = None
+        if camera_control_direction is not None:
+            assert self.camera_params is not None, "no camera adapter loaded"
+            assert input_image is not None, "camera control needs input_image"
+            control_camera_tokens, y = self.encode_camera_control(
+                camera_control_direction, camera_control_speed,
+                as_pil(input_image), height, width, num_frames,
+            )
+
         t_mod_bias = None
         if motion_bucket_id is not None:
             from ..models.wan.aux_models import motion_controller_forward
@@ -430,6 +781,12 @@ class WanVideoPipeline:
             latents, context, negative_context, scheduler,
             first_frame_latents=first_frame_latents, y=y,
             clip_feature=clip_feature, t_mod_bias=t_mod_bias,
+            vace_context=vace_context, vace_scale=vace_scale,
+            camera_tokens=control_camera_tokens,
+            reference_latents=reference_latents,
+            pose_latents=pose_latents,
+            face_pixel_values=face_pixel_values,
+            face_pixel_values_nega=face_pixel_values_nega,
             cfg_scale=cfg_scale, cfg_merge=cfg_merge,
             switch_dit_boundary=switch_dit_boundary,
             sliding_window_size=sliding_window_size,
@@ -438,6 +795,12 @@ class WanVideoPipeline:
             tea_cache_model_id=tea_cache_model_id,
             num_inference_steps=num_inference_steps,
         )
+        if n_ref:
+            # drop the denoised reference frames (reference wan_video.py:312-317)
+            latents = latents[:, :, n_ref:]
+        if pose_latents is not None:
+            # animate: frame 0 is the reference-y frame (wan_video.py:312-317)
+            latents = latents[:, :, 1:]
 
         if self.vae_params is None or output_type == "latents":
             return latents
@@ -455,12 +818,194 @@ class WanVideoPipeline:
             return video
         return postprocess_video(np.asarray(video.astype(jnp.float32)))
 
+    # ------------------------------------------------------------------ vap
+    def _generate_vap(self, context, negative_context, vap_video, vap_prompt,
+                      negative_vap_prompt, context_vap, negative_context_vap,
+                      *, input_image, end_image, height, width, num_frames,
+                      cfg_scale, seed, num_inference_steps, sigma_shift,
+                      streaming_vae, output_type, torch_compat_noise):
+        """Video-as-prompt generation — ports WanVideoUnit_VAP (reference
+        wan_video.py:679-755) and the MoT joint-attention denoise
+        (:1278-1346): the reference video rides a frozen side branch whose
+        kv join the main self-attention at the mot layers."""
+        # VAP prompt contexts (posi/nega)
+        if context_vap is None:
+            context_vap = self.encode_prompt(vap_prompt)
+        use_cfg = cfg_scale != 1.0 and negative_context is not None
+        if use_cfg and negative_context_vap is None:
+            negative_context_vap = (self.encode_prompt(negative_vap_prompt)
+                                    if self.tokenizer is not None
+                                    else jnp.zeros_like(context_vap))
+
+        first = vap_video[0]
+        vap_clip_feature = None
+        if self.vap_cfg.has_image_input:
+            vap_clip_feature = self.encode_clip_feature(
+                _as_pil(first, width, height))
+
+        # vap_hidden_state = [VAE(vap video), i2v mask+y of its first frame]
+        vv = jnp.asarray(preprocess_video(vap_video), self.dtype)
+        vap_latent = vae38_encode(self.vae_params, self.vae_cfg, vv)
+        y_vap = self.encode_i2v_conditioning(
+            _as_pil(first, width, height), height, width, num_frames,
+            end_image=(_as_pil(vap_video[-1], width, height)
+                       if end_image is not None else None),
+        )
+        vap_hidden_state = jnp.concatenate([vap_latent, y_vap], axis=1)
+
+        # main-branch conditioning (I2V y + clip)
+        y = None
+        clip_feature = None
+        if input_image is not None:
+            img = _as_pil(input_image, width, height)
+            if self.dit_cfg.require_vae_embedding:
+                y = self.encode_i2v_conditioning(
+                    img, height, width, num_frames,
+                    end_image=(_as_pil(end_image, width, height)
+                               if end_image is not None else None),
+                )
+            if self.dit_cfg.require_clip_embedding:
+                clip_feature = self.encode_clip_feature(img)
+
+        shape = self._latent_shape(height, width, num_frames)
+        latents = generate_noise(shape, seed=seed, dtype=self.dtype,
+                                 torch_compat=torch_compat_noise)
+        scheduler = FlowMatchScheduler("Wan").set_timesteps(
+            num_inference_steps, shift=sigma_shift)
+        sigmas = jnp.asarray(np.append(scheduler.sigmas, 0.0), jnp.float32)
+        timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
+        cfg_scale = jnp.asarray(cfg_scale, jnp.float32)
+
+        for i in range(num_inference_steps):
+            t1 = jnp.broadcast_to(timesteps[i], (1,))
+            v = _vap_sweep(self.dit_params, self.vap_params, latents, t1,
+                           context, y, clip_feature, vap_hidden_state,
+                           context_vap, vap_clip_feature,
+                           dit_cfg=self.dit_cfg, mot_cfg=self.vap_cfg)
+            if use_cfg:
+                v_n = _vap_sweep(self.dit_params, self.vap_params, latents,
+                                 t1, negative_context, y, clip_feature,
+                                 vap_hidden_state, negative_context_vap,
+                                 vap_clip_feature,
+                                 dit_cfg=self.dit_cfg, mot_cfg=self.vap_cfg)
+                v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+            dt = (sigmas[i + 1] - sigmas[i]).astype(latents.dtype)
+            latents = latents + v.astype(latents.dtype) * dt
+
+        if self.vae_params is None or output_type == "latents":
+            return latents
+        video = vae38_decode(self.vae_params, self.vae_cfg,
+                             latents.astype(self.dtype), streaming=streaming_vae)
+        if output_type == "floatpoint":
+            return video
+        return postprocess_video(np.asarray(video.astype(jnp.float32)))
+
+    # ------------------------------------------------------------------ s2v
+    def _generate_s2v(self, context, negative_context, audio_embeds, *,
+                      input_image, s2v_pose_video, s2v_pose_latents,
+                      motion_video, height, width, num_frames, cfg_scale,
+                      seed, num_inference_steps, sigma_shift, tiled,
+                      tile_size, tile_stride, streaming_vae, output_type,
+                      torch_compat_noise):
+        """Speech-to-video generation — ports WanVideoUnit_S2V
+        (reference wan_video.py:806-896), the model_fn_wans2v denoise
+        (:1421-1519) and WanVideoPostUnit_S2V (:898).
+
+        latents frame 0 is the VAE-encoded reference image (passed through
+        the model untouched and re-pinned every step); the CFG negative
+        branch uses ZERO audio embeddings (:871-873)."""
+        motion_frames = 73
+        # motion latents — only used when a motion video is given (the
+        # reference encodes a zeros video even under its
+        # drop_motion_frames=True default, where the model ignores it;
+        # we skip that wasted VAE encode)
+        if motion_video is not None:
+            mv = jnp.asarray(preprocess_video(motion_video), self.dtype)
+            assert mv.shape[2] == motion_frames, mv.shape
+            drop_motion = False
+            motion_latents = vae38_encode(self.vae_params, self.vae_cfg, mv)
+        else:
+            drop_motion = True
+            motion_latents = None
+
+        # pose conditioning (reference :841-862)
+        if s2v_pose_latents is None and s2v_pose_video is not None:
+            infer_frames = num_frames - 1
+            pv = jnp.asarray(preprocess_video(s2v_pose_video), self.dtype)
+            pv = pv[:, :, :infer_frames]
+            pad = infer_frames - pv.shape[2]
+            if pad > 0:
+                pv = jnp.concatenate(
+                    [pv, -jnp.ones((1, 3, pad, height, width), self.dtype)],
+                    axis=2,
+                )
+            pv = jnp.concatenate([pv[:, :, 0:1], pv], axis=2)
+            s2v_pose_latents = vae38_encode(self.vae_params, self.vae_cfg, pv)[:, :, 1:]
+
+        # noise + reference first frame
+        shape = self._latent_shape(height, width, num_frames)
+        latents = generate_noise(shape, seed=seed, dtype=self.dtype,
+                                 torch_compat=torch_compat_noise)
+        ref_latents = None
+        if input_image is not None:
+            from PIL import Image
+
+            img = input_image
+            if isinstance(img, (np.ndarray, jnp.ndarray)):
+                img = Image.fromarray(np.asarray(img))
+            img = img.resize((width, height))
+            ref_latents = self.encode_first_frame(img, height, width)
+            latents = latents.at[:, :, 0:1].set(ref_latents)
+
+        scheduler = FlowMatchScheduler("Wan").set_timesteps(
+            num_inference_steps, shift=sigma_shift
+        )
+        sigmas = jnp.asarray(np.append(scheduler.sigmas, 0.0), jnp.float32)
+        timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
+        use_cfg = cfg_scale != 1.0 and negative_context is not None
+        audio = jnp.asarray(audio_embeds, self.dtype)
+        audio_zero = jnp.zeros_like(audio)
+        cfg_scale = jnp.asarray(cfg_scale, jnp.float32)
+
+        for i in range(num_inference_steps):
+            t1 = jnp.broadcast_to(timesteps[i], (1,))
+            v = _s2v_sweep(self.s2v_params, latents, t1, context, audio,
+                           motion_latents, s2v_pose_latents,
+                           s2v_cfg=self.s2v_cfg, drop_motion=drop_motion)
+            if use_cfg:
+                v_n = _s2v_sweep(self.s2v_params, latents, t1,
+                                 negative_context, audio_zero,
+                                 motion_latents, s2v_pose_latents,
+                                 s2v_cfg=self.s2v_cfg, drop_motion=drop_motion)
+                v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+            dt = (sigmas[i + 1] - sigmas[i]).astype(latents.dtype)
+            latents = latents + v.astype(latents.dtype) * dt
+            if ref_latents is not None:
+                latents = latents.at[:, :, 0:1].set(ref_latents)
+
+        # motion-video mode stitches motion latents before decode
+        # (reference WanVideoPostUnit_S2V, wan_video.py:898-906)
+        if not drop_motion:
+            latents = jnp.concatenate([motion_latents, latents[:, :, 1:]], axis=2)
+
+        if self.vae_params is None or output_type == "latents":
+            return latents
+        video = vae38_decode(self.vae_params, self.vae_cfg,
+                             latents.astype(self.dtype), streaming=streaming_vae)
+        if output_type == "floatpoint":
+            return video
+        return postprocess_video(np.asarray(video.astype(jnp.float32)))
+
     # --------------------------------------------------------------- denoise
     def _denoise(self, latents, context, negative_context, scheduler,
                  first_frame_latents, y, clip_feature, t_mod_bias,
                  cfg_scale, cfg_merge, switch_dit_boundary,
                  sliding_window_size, sliding_window_stride,
-                 tea_cache_l1_thresh, tea_cache_model_id, num_inference_steps):
+                 tea_cache_l1_thresh, tea_cache_model_id, num_inference_steps,
+                 vace_context=None, vace_scale: float = 1.0,
+                 camera_tokens=None, reference_latents=None,
+                 pose_latents=None, face_pixel_values=None,
+                 face_pixel_values_nega=None):
         sigmas = jnp.asarray(np.append(scheduler.sigmas, 0.0), jnp.float32)
         timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
         n = len(scheduler.timesteps)
@@ -495,16 +1040,27 @@ class WanVideoPipeline:
                 latents, use_cfg=use_cfg, cfg_merge=cfg_merge, fuse=fuse, y=y
             )
 
+        vace_scale = jnp.asarray(vace_scale, jnp.float32)
+
         def run(params, lat, tea_a, tea_b, start, stop):
             s = start
             while s < stop:
                 ln = min(self.steps_per_dispatch, stop - s)
                 lat, tea_a, tea_b = _denoise_chunk(
                     params, lat, ffl, context, negative_context, y,
-                    clip_feature, t_mod_bias, timesteps, sigmas, cfg_scale,
+                    clip_feature, t_mod_bias,
+                    self.vace_params if vace_context is not None else None,
+                    vace_context, vace_scale, camera_tokens,
+                    reference_latents,
+                    self.animate_params if pose_latents is not None else None,
+                    pose_latents, face_pixel_values, face_pixel_values_nega,
+                    timesteps, sigmas, cfg_scale,
                     tea_a, tea_b, jnp.int32(s),
                     dit_cfg=self.dit_cfg, length=ln, cfg_merge=cfg_merge,
                     fuse=fuse, mesh=self.mesh, tea_opts=tea_opts,
+                    vace_cfg=self.vace_cfg if vace_context is not None else None,
+                    animate_cfg=(self.animate_cfg
+                                 if pose_latents is not None else None),
                 )
                 s += ln
             return lat, tea_a, tea_b

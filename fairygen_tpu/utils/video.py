@@ -92,3 +92,12 @@ class VideoData:
         if self.height and self.width:
             img = img.resize((self.width, self.height))
         return img
+
+
+def load_video_frames(path: str, height: Optional[int] = None,
+                      width: Optional[int] = None):
+    """Load all frames of a video file or frame directory as PIL images."""
+    vd = (VideoData(image_folder=path, height=height, width=width)
+          if os.path.isdir(path)
+          else VideoData(video_file=path, height=height, width=width))
+    return [vd[i] for i in range(len(vd))]

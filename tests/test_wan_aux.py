@@ -65,3 +65,26 @@ def test_vace_conditioned_forward(goldens):
         vace_hints=hints, vace_scale=0.8,
     )
     np.testing.assert_allclose(np.asarray(out), g["vace_out"], atol=5e-4, rtol=1e-3)
+
+
+def test_vace_context_internal_matches_external(goldens):
+    """wan_dit_forward(vace_context=...) computes hints internally (the
+    pipeline path, reference wan_video.py:1302-1307) and must equal the
+    manually-composed golden wiring above."""
+    g = goldens("wan_aux")
+    dit_cfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=4,
+    )
+    vace_cfg = VaceConfig(
+        vace_layers=(0, 2), vace_in_dim=16, dim=96, num_heads=4, ffn_dim=128,
+    )
+    dit_params = convert_dit_state_dict(_sd(g, "dit"), dit_cfg)
+    vace_params = convert_vace_state_dict(_sd(g, "vace"), vace_cfg)
+    out = wan_dit_forward(
+        dit_params, dit_cfg, jnp.asarray(g["lat"]), jnp.asarray(g["ts"]),
+        jnp.asarray(g["ctx"]),
+        vace_params=vace_params, vace_cfg=vace_cfg,
+        vace_context=jnp.asarray(g["vctx"]), vace_scale=0.8,
+    )
+    np.testing.assert_allclose(np.asarray(out), g["vace_out"], atol=5e-4, rtol=1e-3)

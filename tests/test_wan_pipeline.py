@@ -272,3 +272,325 @@ def test_unsupported_image_config_raises(goldens):
 
 
 import dataclasses  # noqa: E402  (used by test_unsupported_image_config_raises)
+
+
+def _tiny_vace_params(key, vcfg):
+    """Random-init VACE params in our layout (converter-layout-free)."""
+    import jax
+    from fairygen_tpu.models.wan.dit import init_dit_params
+
+    dcfg = vcfg.dit_cfg()
+    base = init_dit_params(key, dcfg)
+    blocks = []
+    ks = jax.random.split(key, len(vcfg.vace_layers) + 1)
+    for n in range(len(vcfg.vace_layers)):
+        blk = jax.tree.map(lambda a: a[n], base["blocks"])
+        blk["after_proj"] = {
+            "w": jax.random.normal(ks[n], (vcfg.dim, vcfg.dim)) * 0.02,
+            "b": jnp.zeros((vcfg.dim,)),
+        }
+        if n == 0:
+            blk["before_proj"] = {
+                "w": jax.random.normal(ks[-1], (vcfg.dim, vcfg.dim)) * 0.02,
+                "b": jnp.zeros((vcfg.dim,)),
+            }
+        blocks.append(blk)
+    pe_in = vcfg.vace_in_dim * vcfg.patch_size[0] * vcfg.patch_size[1] * vcfg.patch_size[2]
+    return {
+        "patch_embedding": {
+            "w": jax.random.normal(ks[0], (pe_in, vcfg.dim)) * 0.02,
+            "b": jnp.zeros((vcfg.dim,)),
+        },
+        "blocks": blocks,
+    }
+
+
+def test_vace_pipeline_e2e():
+    """VACE through pipe(__call__): control video + mask + reference image
+    (VERDICT round-1 gap 5 — variant generation paths)."""
+    import jax
+    from fairygen_tpu.models.wan.aux_models import VaceConfig
+    from fairygen_tpu.models.wan.dit import init_dit_params
+    from fairygen_tpu.models.wan.vae import convert_vae_v1_state_dict
+
+    g = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg_vae = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: g[k] for k in g.files if k.startswith("sd::")}, vcfg_vae)
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=False, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=False,
+    )
+    # vace_in_dim = 2*z + 64 mask channels = 72 (tiny z=4)
+    vace_cfg = VaceConfig(vace_layers=(0,), vace_in_dim=72, dim=96,
+                          num_heads=4, ffn_dim=128)
+    pipe = WanVideoPipeline(
+        dit_params=init_dit_params(jax.random.key(0), dcfg), dit_cfg=dcfg,
+        vae_params=vae_params, vae_cfg=vcfg_vae,
+        vace_params=_tiny_vace_params(jax.random.key(1), vace_cfg),
+        vace_cfg=vace_cfg, dtype=jnp.float32,
+    )
+    rs = np.random.RandomState(0)
+    H = W = 32
+    F = 9
+    ctx = jnp.asarray(rs.randn(1, 6, 32), jnp.float32)
+    vid = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(F)]
+    msk = [np.full((H, W, 3), 255, np.uint8) for _ in range(F)]
+    kwargs = dict(context=ctx, cfg_scale=1.0, seed=3, height=H, width=W,
+                  num_frames=F, num_inference_steps=2, output_type="latents",
+                  torch_compat_noise=True)
+    plain = np.asarray(pipe(**kwargs))
+    vace = np.asarray(pipe(vace_video=vid, vace_video_mask=msk,
+                           vace_scale=0.7, **kwargs))
+    assert vace.shape == plain.shape
+    assert np.isfinite(vace).all()
+    assert not np.allclose(vace, plain, atol=1e-5)  # hints reached the DiT
+
+    # reference image: +1 latent frame during denoise, stripped before return
+    ref = rs.randint(0, 255, (H, W, 3), np.uint8)
+    with_ref = np.asarray(pipe(vace_video=vid, vace_reference_image=ref,
+                               **kwargs))
+    assert with_ref.shape == plain.shape
+    assert np.isfinite(with_ref).all()
+
+
+def test_s2v_pipeline_e2e():
+    """S2V through pipe(__call__): audio conditioning with zero-audio CFG
+    negative branch (VERDICT round-1 gap 5 — variant generation paths).
+    The S2V model itself is golden-tested (test_wan_s2v); this exercises
+    the pipeline wiring with the same golden checkpoint."""
+    from fairygen_tpu.models.wan.s2v import S2VConfig, convert_s2v_state_dict
+
+    g = np.load("tests/goldens/wan_s2v.npz")
+    s2v_cfg = S2VConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        cond_dim=16, audio_dim=8, num_audio_token=2, enable_adain=True,
+        audio_inject_layers=(0, 1),
+    )
+    s2v_params = convert_s2v_state_dict(
+        {k[4:]: g[k] for k in g.files if k.startswith("sd::")}, s2v_cfg)
+    pipe = WanVideoPipeline(
+        dit_params=None, dit_cfg=WanDiTConfig.tiny(),
+        vae_cfg=WanVAEConfig.wan21_16(),  # shape metadata only (f=8, z=16)
+        s2v_params=s2v_params, s2v_cfg=s2v_cfg, dtype=jnp.float32,
+    )
+    rs = np.random.RandomState(0)
+    ctx_p = jnp.asarray(rs.randn(1, 7, 32), jnp.float32)
+    ctx_n = jnp.asarray(rs.randn(1, 7, 32), jnp.float32)
+    audio = rs.randn(*g["audio"].shape).astype(np.float32)
+    kwargs = dict(context=ctx_p, negative_context=ctx_n,
+                  seed=5, height=64, width=64, num_frames=13,
+                  cfg_scale=4.5, num_inference_steps=2,
+                  s2v_pose_latents=jnp.asarray(rs.randn(1, 16, 3, 8, 8), jnp.float32),
+                  output_type="latents", torch_compat_noise=True)
+    out = np.asarray(pipe(audio_embeds=audio, **kwargs))
+    # (num_frames-1)//4+1 = 4 latent frames at f=8 -> 8x8 spatial
+    assert out.shape == (1, 16, 4, 8, 8)
+    assert np.isfinite(out).all()
+    # audio actually conditions the result
+    out2 = np.asarray(pipe(audio_embeds=audio * 2.0, **kwargs))
+    assert not np.allclose(out, out2, atol=1e-5)
+
+
+def test_camera_control_pipeline_e2e():
+    """Fun camera control through pipe(__call__): plücker -> SimpleAdapter
+    tokens + first-frame y conditioning (VERDICT round-1 gap 5)."""
+    import jax
+    from fairygen_tpu.models.wan.camera import SimpleAdapterConfig
+    from fairygen_tpu.models.wan.dit import init_dit_params
+    from fairygen_tpu.models.wan.vae import convert_vae_v1_state_dict
+
+    g = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: g[k] for k in g.files if k.startswith("sd::")}, vcfg)
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=False, require_clip_embedding=False,
+        require_vae_embedding=True, fuse_vae_embedding_in_latents=False,
+    )
+    ccfg = SimpleAdapterConfig(in_dim=24, out_dim=96)
+    ks = jax.random.split(jax.random.key(7), 4)
+    cam_params = {
+        "conv": {"w": jax.random.normal(ks[0], (2, 2, 24 * 64, 96)) * 0.01,
+                 "b": jnp.zeros((96,))},
+        "blocks": [{
+            "conv1": {"w": jax.random.normal(ks[1], (3, 3, 96, 96)) * 0.01,
+                      "b": jnp.zeros((96,))},
+            "conv2": {"w": jax.random.normal(ks[2], (3, 3, 96, 96)) * 0.01,
+                      "b": jnp.zeros((96,))},
+        }],
+    }
+    pipe = WanVideoPipeline(
+        dit_params=init_dit_params(jax.random.key(0), dcfg), dit_cfg=dcfg,
+        vae_params=vae_params, vae_cfg=vcfg,
+        camera_params=cam_params, camera_cfg=ccfg, dtype=jnp.float32,
+    )
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    ctx = jnp.asarray(rs.randn(1, 6, 32), jnp.float32)
+    kwargs = dict(context=ctx, input_image=img, cfg_scale=1.0, seed=2,
+                  height=32, width=32, num_frames=9, num_inference_steps=2,
+                  output_type="latents", torch_compat_noise=True)
+    left = np.asarray(pipe(camera_control_direction="Left", **kwargs))
+    up = np.asarray(pipe(camera_control_direction="Up", **kwargs))
+    assert left.shape == (1, 4, 3, 4, 4)
+    assert np.isfinite(left).all()
+    # direction actually conditions the result
+    assert not np.allclose(left, up, atol=1e-5)
+
+
+def test_animate_pipeline_e2e():
+    """Wan-Animate through pipe(__call__): pose latents + face motion
+    adapter + inpaint y (VERDICT round-1 gap 5)."""
+    import jax
+    from tests.test_wan_animate import CFG as ANIMATE_CFG, _params
+    from fairygen_tpu.models.wan.dit import init_dit_params
+    from fairygen_tpu.models.wan.vae import convert_vae_v1_state_dict
+
+    g = np.load("tests/goldens/wan_animate.npz")
+    animate_params = _params(g)
+    rs = np.random.RandomState(0)
+    # tiny VAE is z=4: swap in a 4-channel pose patch embedding
+    animate_params["pose_patch_embedding"] = {
+        "w": jnp.asarray(rs.randn(4 * 1 * 2 * 2, 96) * 0.05, jnp.float32),
+        "b": jnp.zeros((96,), jnp.float32),
+    }
+
+    gv = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: gv[k] for k in gv.files if k.startswith("sd::")}, vcfg)
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=12, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=False, require_clip_embedding=False,
+        require_vae_embedding=True, fuse_vae_embedding_in_latents=False,
+    )
+    pipe = WanVideoPipeline(
+        dit_params=init_dit_params(jax.random.key(0), dcfg), dit_cfg=dcfg,
+        vae_params=vae_params, vae_cfg=vcfg,
+        animate_params=animate_params, animate_cfg=ANIMATE_CFG,
+        dtype=jnp.float32,
+    )
+    H = W = 32
+    F = 9  # latent frames f=3; pose/face/inpaint videos are F-4=5 frames
+    ctx = jnp.asarray(rs.randn(1, 6, 32), jnp.float32)
+    img = rs.randint(0, 255, (H, W, 3), np.uint8)
+    pose = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(5)]
+    face = [rs.randint(0, 255, (8, 8, 3), np.uint8) for _ in range(5)]
+    inpaint = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(5)]
+    mask = [np.full((H, W, 3), 255, np.uint8) for _ in range(5)]
+    kwargs = dict(context=ctx, input_image=img, cfg_scale=1.0, seed=4,
+                  height=H, width=W, num_frames=F, num_inference_steps=2,
+                  output_type="latents", torch_compat_noise=True)
+    out = np.asarray(pipe(
+        animate_pose_video=pose, animate_face_video=face,
+        animate_inpaint_video=inpaint, animate_mask_video=mask, **kwargs))
+    # f=3 latent frames, animate strips the reference-y frame -> 2
+    assert out.shape == (1, 4, 2, 4, 4)
+    assert np.isfinite(out).all()
+    face2 = [rs.randint(0, 255, (8, 8, 3), np.uint8) for _ in range(5)]
+    out2 = np.asarray(pipe(
+        animate_pose_video=pose, animate_face_video=face2,
+        animate_inpaint_video=inpaint, animate_mask_video=mask, **kwargs))
+    assert not np.allclose(out, out2, atol=1e-6)  # face motion conditions
+
+
+def test_fun_reference_pipeline_e2e():
+    """Fun-Reference image through pipe(__call__): ref_conv tokens
+    prepended as an extra frame (reference wan_video.py:527-546,1264-1269)."""
+    import jax
+    from fairygen_tpu.models.wan.dit import init_dit_params
+    from fairygen_tpu.models.wan.vae import convert_vae_v1_state_dict
+
+    gv = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: gv[k] for k in gv.files if k.startswith("sd::")}, vcfg)
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2, has_ref_conv=True,
+        seperated_timestep=False, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=False,
+    )
+    import jax.random as jr
+
+    params = init_dit_params(jr.key(0), dcfg)
+    # tiny VAE z=4 -> ref_conv consumes 4·2·2 channels (init defaults to 16)
+    params["ref_conv"] = {
+        "w": jr.normal(jr.key(1), (4 * 2 * 2, 96)) * 0.05,
+        "b": jnp.zeros((96,)),
+    }
+    pipe = WanVideoPipeline(dit_params=params, dit_cfg=dcfg,
+                            vae_params=vae_params, vae_cfg=vcfg,
+                            dtype=jnp.float32)
+    rs = np.random.RandomState(1)
+    ctx = jnp.asarray(rs.randn(1, 6, 32), jnp.float32)
+    ref = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    ref2 = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    kwargs = dict(context=ctx, cfg_scale=1.0, seed=6, height=32, width=32,
+                  num_frames=9, num_inference_steps=2,
+                  output_type="latents", torch_compat_noise=True)
+    a = np.asarray(pipe(reference_image=ref, **kwargs))
+    b = np.asarray(pipe(reference_image=ref2, **kwargs))
+    assert a.shape == (1, 4, 3, 4, 4)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, b, atol=1e-6)
+
+
+def test_vap_pipeline_e2e():
+    """VAP (video-as-prompt / MoT) through pipe(__call__): reference video
+    rides the frozen side branch (VERDICT round-1 gap 5)."""
+    import jax
+    from fairygen_tpu.models.wan.mot import MotConfig
+    from fairygen_tpu.models.wan.dit import init_dit_params
+    from fairygen_tpu.models.wan.vae import convert_vae_v1_state_dict
+
+    gv = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: gv[k] for k in gv.files if k.startswith("sd::")}, vcfg)
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=12, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=False, require_clip_embedding=False,
+        require_vae_embedding=True, fuse_vae_embedding_in_latents=False,
+        has_image_input=False,
+    )
+    mot_cfg = MotConfig(
+        mot_layers=(0,), has_image_input=False, dim=96, num_heads=4,
+        ffn_dim=128, freq_dim=32, text_dim=32, in_dim=12,
+    )
+    mot_params = init_dit_params(jax.random.key(1), mot_cfg.dit_cfg())
+    mot_params["patch_embedding"] = mot_params.pop("patch_embed")
+    mot_params["blocks"] = [
+        jax.tree.map(lambda a: a[i], mot_params["blocks"])
+        for i in range(len(mot_cfg.mot_layers))
+    ]
+    pipe = WanVideoPipeline(
+        dit_params=init_dit_params(jax.random.key(0), dcfg), dit_cfg=dcfg,
+        vae_params=vae_params, vae_cfg=vcfg,
+        vap_params=mot_params, vap_cfg=mot_cfg, dtype=jnp.float32,
+    )
+    rs = np.random.RandomState(0)
+    H = W = 32
+    F = 9
+    ctx = jnp.asarray(rs.randn(1, 6, 32), jnp.float32)
+    ctx_vap = jnp.asarray(rs.randn(1, 6, 32), jnp.float32)
+    img = rs.randint(0, 255, (H, W, 3), np.uint8)
+    vap_vid = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(F)]
+    vap_vid2 = [rs.randint(0, 255, (H, W, 3), np.uint8) for _ in range(F)]
+    kwargs = dict(context=ctx, context_vap=ctx_vap, input_image=img,
+                  cfg_scale=1.0, seed=8, height=H, width=W, num_frames=F,
+                  num_inference_steps=2, output_type="latents",
+                  torch_compat_noise=True)
+    a = np.asarray(pipe(vap_video=vap_vid, **kwargs))
+    b = np.asarray(pipe(vap_video=vap_vid2, **kwargs))
+    assert a.shape == (1, 4, 3, 4, 4)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, b, atol=1e-6)  # the vap video conditions
