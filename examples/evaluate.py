@@ -1,9 +1,10 @@
 """Quality-metric battery over generated vs reference images/frames.
 
 Mirror of ``stylization/BrushNet/examples/brushnet/evaluate_brushnet.py``:
-PSNR / SSIM / MSE / MAE on image pairs, plus CLIPScore when CLIP weights +
-tokenizer are provided (LAION-aesthetic / ImageReward / HPSv2 heads need
-their own checkpoints and plug into the same CLIP features).
+PSNR / SSIM / MSE / MAE on image pairs, plus — with the corresponding
+checkpoints — CLIPScore (in-repo CLIP-L towers), LPIPS-squeeze, and the
+LAION aesthetic head.  ImageReward / HPSv2.1 need their own BLIP/OpenCLIP-H
+models and are out of scope (documented in PARITY.md).
 """
 import os as _os
 import sys as _sys
@@ -22,14 +23,60 @@ def main():
     p.add_argument("--reference_dir", type=str, required=True)
     p.add_argument("--prompts_dir", type=str, default=None,
                    help="dir of .txt prompts for CLIPScore")
-    p.add_argument("--clip_weights", type=str, default=None)
+    p.add_argument("--clip_vision_weights", type=str, default=None,
+                   help="openai CLIP-L/14 vision tower safetensors")
+    p.add_argument("--clip_text_weights", type=str, default=None)
     p.add_argument("--clip_tokenizer", type=str, default=None)
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="lpips.LPIPS(net='squeeze') state dict")
+    p.add_argument("--aesthetic_weights", type=str, default=None,
+                   help="LAION sa_0_4_vit_l_14_linear head")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 
     from PIL import Image
 
-    from fairygen_tpu.utils.metrics import mae, mse, psnr, ssim
+    from fairygen_tpu.utils.metrics import (
+        aesthetic_score, clip_score_from_pixels, lpips, mae, mse, psnr, ssim,
+    )
+
+    clip_v = clip_t = tok = lp_params = aes = None
+    if args.clip_vision_weights:
+        from fairygen_tpu.core.io import load_state_dict
+        from fairygen_tpu.models.sdxl.clip import (
+            CLIPTextConfig, CLIPVisionConfig, convert_clip_text_state_dict,
+            convert_clip_vision_state_dict,
+        )
+
+        clip_v = (convert_clip_vision_state_dict(
+            load_state_dict(args.clip_vision_weights), CLIPVisionConfig.clip_l14()),
+            CLIPVisionConfig.clip_l14())
+        if args.clip_text_weights and args.clip_tokenizer:
+            from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
+
+            clip_t = (convert_clip_text_state_dict(
+                load_state_dict(args.clip_text_weights), CLIPTextConfig()),
+                CLIPTextConfig())
+            tok = CLIPTokenizerWrapper(args.clip_tokenizer)
+    if args.lpips_weights:
+        from fairygen_tpu.core.io import load_state_dict
+        from fairygen_tpu.models.lpips import convert_lpips_state_dict
+
+        lp_params = convert_lpips_state_dict(load_state_dict(args.lpips_weights))
+    if args.aesthetic_weights and clip_v is not None:
+        from fairygen_tpu.core.io import load_state_dict
+
+        aes_sd = load_state_dict(args.aesthetic_weights)
+        aes = (np.asarray(aes_sd["weight"]), np.asarray(aes_sd["bias"]))
+
+    def prompt_for(name):
+        if not args.prompts_dir:
+            return None
+        path = os.path.join(args.prompts_dir, os.path.splitext(name)[0] + ".txt")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read().strip()
 
     names = sorted(
         f for f in os.listdir(args.generated_dir)
@@ -44,23 +91,31 @@ def main():
                        np.float32)
         b = np.asarray(Image.open(ref_path).convert("RGB").resize(
             (a.shape[1], a.shape[0])), np.float32)
-        rows.append({
+        row = {
             "name": name,
             "psnr": float(psnr(a, b)),
             "ssim": float(ssim(a, b)),
             "mse": float(mse(a, b)),
             "mae": float(mae(a, b)),
-        })
+        }
+        if lp_params is not None:
+            row["lpips"] = float(lpips(
+                (a / 127.5 - 1.0).transpose(2, 0, 1)[None],
+                (b / 127.5 - 1.0).transpose(2, 0, 1)[None], lp_params)[0])
+        prompt = prompt_for(name)
+        if clip_v is not None and clip_t is not None and prompt:
+            row["clip_score"] = clip_score_from_pixels(
+                a.astype(np.uint8), tok(prompt), clip_v[0], clip_v[1],
+                clip_t[0], clip_t[1])
+        if aes is not None:
+            row["aesthetic"] = aesthetic_score(
+                a.astype(np.uint8), clip_v[0], clip_v[1], aes[0], aes[1])
+        rows.append(row)
 
-    summary = {
-        k: float(np.mean([r[k] for r in rows]))
-        for k in ("psnr", "ssim", "mse", "mae")
-    } if rows else {}
+    keys = sorted({k for r in rows for k in r if k != "name"})
+    summary = {k: float(np.mean([r[k] for r in rows if k in r]))
+               for k in keys} if rows else {}
     result = {"per_image": rows, "summary": summary, "count": len(rows)}
-
-    if args.clip_weights and args.prompts_dir:
-        print("CLIPScore: wire clip_image features via models/sdxl/clip + a "
-              "vision tower checkpoint (models/wan/image_encoder).")
 
     out = json.dumps(result, indent=1)
     if args.output:

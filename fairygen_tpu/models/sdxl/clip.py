@@ -175,3 +175,111 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray], cfg: CLIPTextConfig,
     else:
         params = jax.tree.map(jnp.asarray, params)
     return params
+
+
+# ------------------------------------------------------------- vision tower
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT vision tower with projection — CLIPScore / aesthetic metrics
+    use openai CLIP-L/14 (evaluate_brushnet.py:41,54)."""
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    image_size: int = 224
+    patch_size: int = 14
+    projection_dim: int = 768
+
+    @staticmethod
+    def clip_l14() -> "CLIPVisionConfig":
+        return CLIPVisionConfig()
+
+    @staticmethod
+    def tiny(**over) -> "CLIPVisionConfig":
+        base = dict(hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, image_size=32, patch_size=8,
+                    projection_dim=16)
+        base.update(over)
+        return CLIPVisionConfig(**base)
+
+
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def clip_vision_encode(params, cfg: CLIPVisionConfig, pixel_values):
+    """pixel_values (B, 3, H, W) CLIP-normalized -> projected image embeds
+    (B, projection_dim) — HF CLIPVisionModelWithProjection forward."""
+    b = pixel_values.shape[0]
+    x = jnp.transpose(pixel_values, (0, 2, 3, 1))  # NHWC
+    p = cfg.patch_size
+    # patch conv (no bias) as rearrange + matmul
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // p, p, W // p, p, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4).reshape(B, (H // p) * (W // p), C * p * p)
+    x = jnp.dot(x, params["patch_embedding"].astype(x.dtype))
+    cls = jnp.broadcast_to(params["class_embedding"][None, None].astype(x.dtype),
+                           (B, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"][: x.shape[1]].astype(x.dtype)
+    x = _ln(params["pre_layernorm"], x)
+    full = jnp.ones((x.shape[1], x.shape[1]), bool)  # bidirectional
+    for blk in params["layers"]:
+        h = _ln(blk["ln1"], x)
+        x = x + _attn(blk["attn"], h, cfg.num_heads, full)
+        h = _ln(blk["ln2"], x)
+        h = _dense(blk["fc1"], h)
+        h = _dense(blk["fc2"], _act(h, "quick_gelu"))
+        x = x + h
+    pooled = _ln(params["post_layernorm"], x[:, 0])
+    return jnp.dot(pooled, params["visual_projection"].astype(pooled.dtype))
+
+
+def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray],
+                                   cfg: CLIPVisionConfig, dtype=None):
+    pre = "vision_model." if any(k.startswith("vision_model.")
+                                 for k in sd) else ""
+
+    def g(name):
+        return np.asarray(sd[name])
+
+    def lw(name):
+        return {"w": g(name + ".weight").T, "b": g(name + ".bias")}
+
+    def nw(name):
+        return {"w": g(name + ".weight"), "b": g(name + ".bias")}
+
+    pe = g(pre + "embeddings.patch_embedding.weight")  # (D, 3, p, p)
+    params = {
+        # (3, p, p) pixel vector order matches the forward's rearrange
+        "patch_embedding": pe.reshape(cfg.hidden_size, -1).T,
+        "class_embedding": g(pre + "embeddings.class_embedding"),
+        "position_embedding": g(pre + "embeddings.position_embedding.weight"),
+        # HF typo preserved in checkpoints: "pre_layrnorm"
+        "pre_layernorm": nw(pre + ("pre_layrnorm" if pre + "pre_layrnorm.weight"
+                                   in sd else "pre_layernorm")),
+        "post_layernorm": nw(pre + "post_layernorm"),
+        "visual_projection": np.asarray(sd["visual_projection.weight"]).T,
+        "layers": [],
+    }
+    i = 0
+    while f"{pre}encoder.layers.{i}.layer_norm1.weight" in sd:
+        lp = f"{pre}encoder.layers.{i}"
+        params["layers"].append({
+            "ln1": nw(lp + ".layer_norm1"),
+            "ln2": nw(lp + ".layer_norm2"),
+            "attn": {
+                "q_proj": lw(lp + ".self_attn.q_proj"),
+                "k_proj": lw(lp + ".self_attn.k_proj"),
+                "v_proj": lw(lp + ".self_attn.v_proj"),
+                "out_proj": lw(lp + ".self_attn.out_proj"),
+            },
+            "fc1": lw(lp + ".mlp.fc1"),
+            "fc2": lw(lp + ".mlp.fc2"),
+        })
+        i += 1
+    if dtype is not None:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return params

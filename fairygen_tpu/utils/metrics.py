@@ -80,3 +80,56 @@ def clip_score(image_features, text_features):
     a = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
     t = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
     return 100.0 * jnp.maximum((a * t).sum(-1), 0.0)
+
+
+def clip_preprocess(image_uint8, size: int = 224):
+    """PIL/uint8 HWC -> CLIP-normalized (1, 3, size, size) — bicubic resize
+    + center crop + normalize (transformers CLIPProcessor defaults)."""
+    from PIL import Image
+
+    from ..models.sdxl.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    img = image_uint8
+    if not isinstance(img, Image.Image):
+        img = Image.fromarray(np.asarray(img))
+    w, h = img.size
+    short = min(w, h)
+    img = img.resize((round(w * size / short), round(h * size / short)),
+                     Image.BICUBIC)
+    w, h = img.size
+    left, top = (w - size) // 2, (h - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    x = np.asarray(img, np.float32) / 255.0
+    x = (x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    return jnp.asarray(x.transpose(2, 0, 1))[None]
+
+
+def clip_score_from_pixels(image_uint8, text_ids, vision_params, vision_cfg,
+                           text_params, text_cfg):
+    """CLIPScore from a raw image + tokenized prompt through the in-repo
+    CLIP towers (reference evaluate_brushnet.py:41,76-84 uses CLIP-L/14)."""
+    from ..models.sdxl.clip import clip_text_encode, clip_vision_encode
+
+    pix = clip_preprocess(image_uint8, vision_cfg.image_size)
+    img_emb = clip_vision_encode(vision_params, vision_cfg, pix)
+    txt = clip_text_encode(text_params, text_cfg, jnp.asarray(text_ids))
+    return float(clip_score(img_emb, txt["text_embeds"])[0])
+
+
+def lpips(img_a, img_b, lpips_params):
+    """LPIPS-squeeze distance for images in [-1, 1] NCHW
+    (reference evaluate_brushnet.py:43,110-118)."""
+    from ..models.lpips import lpips_distance
+
+    return lpips_distance(lpips_params, jnp.asarray(img_a), jnp.asarray(img_b))
+
+
+def aesthetic_score(image_uint8, vision_params, vision_cfg, linear_w, linear_b):
+    """LAION aesthetic predictor: linear head on unit-normalized CLIP-L
+    image embeddings (reference evaluate_brushnet.py:46-73)."""
+    from ..models.sdxl.clip import clip_vision_encode
+
+    pix = clip_preprocess(image_uint8, vision_cfg.image_size)
+    emb = clip_vision_encode(vision_params, vision_cfg, pix)
+    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return float(jnp.dot(emb, jnp.asarray(linear_w).T)[0] + jnp.asarray(linear_b))
