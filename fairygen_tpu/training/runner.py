@@ -109,10 +109,12 @@ def launch_training_task(
     rng=None,
     log_every: int = 10,
     mesh=None,
+    metrics_logger=None,  # utils.train_logging.MetricsLogger
 ):
     """Reference launch_training_task (runner.py:8-47) as a plain loop:
     per-sample batches (collate = identity on element 0), AdamW/schedule
-    live inside train_step, loss printed every ``log_every``."""
+    live inside train_step, loss printed every ``log_every`` (and streamed
+    to JSONL/TensorBoard via ``metrics_logger``)."""
     rng = rng if rng is not None else jax.random.key(0)
     step = 0
     import contextlib
@@ -127,6 +129,8 @@ def launch_training_task(
                 step += 1
                 if step % log_every == 0:
                     print(f"epoch {epoch} step {step} loss {float(loss):.5f}", flush=True)
+                    if metrics_logger is not None:
+                        metrics_logger.log(step, loss=float(loss), epoch=epoch)
                 if logger is not None:
                     logger.on_step_end(state, step, save_steps)
             if logger is not None:
