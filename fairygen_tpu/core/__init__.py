@@ -7,6 +7,11 @@ from .io import (
     hash_model_file,
 )
 from .registry import ModelRegistry, ModelSpec, MODEL_REGISTRY
+from .model_config import (
+    ModelConfig,
+    resolve_model_paths,
+    register_download_backend,
+)
 from .meshes import make_mesh, AxisNames
 from .imaging import (
     check_resize_height_width,

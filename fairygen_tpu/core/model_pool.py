@@ -69,8 +69,17 @@ class ModelPool:
 
     def load(self, paths, dtype=jnp.bfloat16, hints: Optional[Dict[str, Any]] = None):
         """hints: path -> (model_name, extra_kwargs) for checkpoints whose
-        hash is not in the registry (e.g. resized/test models)."""
+        hash is not in the registry (e.g. resized/test models).
+
+        ``paths`` items may be plain path strings or ``ModelConfig``
+        records (hub model_id + file pattern), which are resolved —
+        downloading only if necessary — before loading
+        (reference ``download_and_load_models``, base_pipeline.py:282).
+        """
+        from .model_config import resolve_model_paths
+
         hints = hints or {}
+        paths = resolve_model_paths(list(paths))
         for path in paths:
             if path in hints:
                 from .io import load_state_dict
