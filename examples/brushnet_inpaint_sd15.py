@@ -22,6 +22,48 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import numpy as np
 
 
+def load_pipeline(args):
+    """Build the SD1.5+BrushNet pipeline from --unet/--brushnet/--vae/--te/
+    --tokenizer checkpoint paths (shared by this CLI and app_brushnet.py)."""
+    import jax.numpy as jnp
+
+    from fairygen_tpu.core.io import load_state_dict
+    from fairygen_tpu.models.sdxl.clip import (
+        CLIPTextConfig, convert_clip_text_state_dict,
+    )
+    from fairygen_tpu.models.sdxl.unet2d import (
+        UNet2DConfig, convert_unet2d_state_dict,
+    )
+    from fairygen_tpu.models.sdxl.vae import (
+        AutoencoderKLConfig, convert_autoencoder_kl_state_dict,
+    )
+    from fairygen_tpu.pipelines.sd15_brushnet import SD15BrushNetPipeline
+    from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
+
+    dtype = jnp.bfloat16
+    vae_cfg = AutoencoderKLConfig(scaling_factor=0.18215)  # SD1.5 VAE
+    return SD15BrushNetPipeline(
+        unet_params=convert_unet2d_state_dict(
+            load_state_dict(args.unet), UNet2DConfig.sd15_base(), dtype
+        ),
+        unet_cfg=UNet2DConfig.sd15_base(),
+        vae_params=convert_autoencoder_kl_state_dict(
+            load_state_dict(args.vae), vae_cfg, jnp.float32
+        ),
+        vae_cfg=vae_cfg,
+        brushnet_params=convert_unet2d_state_dict(
+            load_state_dict(args.brushnet), UNet2DConfig.brushnet_sd15(), dtype
+        ),
+        brushnet_cfg=UNet2DConfig.brushnet_sd15(),
+        te_params=convert_clip_text_state_dict(
+            load_state_dict(args.te), CLIPTextConfig(), dtype
+        ),
+        te_cfg=CLIPTextConfig(),
+        tokenizer=CLIPTokenizerWrapper(args.tokenizer),
+        dtype=dtype,
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--unet", type=str, required=True, help="SD1.5 UNet safetensors")
@@ -45,44 +87,9 @@ def main():
     p.add_argument("--output", type=str, default="output.png")
     args = p.parse_args()
 
-    import jax.numpy as jnp
     from PIL import Image
 
-    from fairygen_tpu.core.io import load_state_dict
-    from fairygen_tpu.models.sdxl.clip import (
-        CLIPTextConfig, convert_clip_text_state_dict,
-    )
-    from fairygen_tpu.models.sdxl.unet2d import (
-        UNet2DConfig, convert_unet2d_state_dict,
-    )
-    from fairygen_tpu.models.sdxl.vae import (
-        AutoencoderKLConfig, convert_autoencoder_kl_state_dict,
-    )
-    from fairygen_tpu.pipelines.sd15_brushnet import SD15BrushNetPipeline
-    from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
-
-    dtype = jnp.bfloat16
-    vae_cfg = AutoencoderKLConfig(scaling_factor=0.18215)  # SD1.5 VAE
-    pipe = SD15BrushNetPipeline(
-        unet_params=convert_unet2d_state_dict(
-            load_state_dict(args.unet), UNet2DConfig.sd15_base(), dtype
-        ),
-        unet_cfg=UNet2DConfig.sd15_base(),
-        vae_params=convert_autoencoder_kl_state_dict(
-            load_state_dict(args.vae), vae_cfg, jnp.float32
-        ),
-        vae_cfg=vae_cfg,
-        brushnet_params=convert_unet2d_state_dict(
-            load_state_dict(args.brushnet), UNet2DConfig.brushnet_sd15(), dtype
-        ),
-        brushnet_cfg=UNet2DConfig.brushnet_sd15(),
-        te_params=convert_clip_text_state_dict(
-            load_state_dict(args.te), CLIPTextConfig(), dtype
-        ),
-        te_cfg=CLIPTextConfig(),
-        tokenizer=CLIPTokenizerWrapper(args.tokenizer),
-        dtype=dtype,
-    )
+    pipe = load_pipeline(args)
 
     size = (args.size, args.size)
     init = np.asarray(Image.open(args.image).convert("RGB").resize(size),

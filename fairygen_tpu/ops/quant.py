@@ -57,8 +57,34 @@ def quantized_dense(p: Dict[str, Any], x):
     return y.reshape(orig_shape[:-1] + (p["w_int8"].shape[1],))
 
 
+def _check_int8_backend():
+    """Refuse int8 on backends where it is known to hang.
+
+    The int8 ``dot_general`` hung the remote compile on the tunneled
+    'axon' TPU backend (docs/NOTES.md round 1); it compiles and runs fine
+    on CPU and directly-attached TPUs. Set FAIRYGEN_FORCE_INT8=1 to
+    override once re-validated on the target backend.
+    """
+    import os
+
+    if os.environ.get("FAIRYGEN_FORCE_INT8") == "1":
+        return
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return
+    if platform == "axon":
+        raise RuntimeError(
+            "int8 W8A8 is disabled on the tunneled 'axon' backend: the "
+            "int8 dot_general hung its remote compiler (docs/NOTES.md). "
+            "Re-test on a directly-attached TPU, or set "
+            "FAIRYGEN_FORCE_INT8=1 to override."
+        )
+
+
 def quantize_wan_dit_ffn(params) -> Any:
     """Swap the (stacked) DiT FFN projections to W8A8."""
+    _check_int8_backend()
     params = dict(params)
     blocks = dict(params["blocks"])
     ffn = dict(blocks["ffn"])
