@@ -2,9 +2,9 @@
 
 Mirror of ``stylization/BrushNet/examples/brushnet/evaluate_brushnet.py``:
 PSNR / SSIM / MSE / MAE on image pairs, plus — with the corresponding
-checkpoints — CLIPScore (in-repo CLIP-L towers), LPIPS-squeeze, and the
-LAION aesthetic head.  ImageReward / HPSv2.1 need their own BLIP/OpenCLIP-H
-models and are out of scope (documented in PARITY.md).
+checkpoints — CLIPScore (in-repo CLIP-L towers), LPIPS-squeeze, the
+LAION aesthetic head, and HPSv2.1 (OpenCLIP ViT-H/14 via --hps_weights).
+ImageReward needs its own BLIP model (documented in PARITY.md).
 """
 import os as _os
 import sys as _sys
@@ -31,13 +31,17 @@ def main():
                    help="lpips.LPIPS(net='squeeze') state dict")
     p.add_argument("--aesthetic_weights", type=str, default=None,
                    help="LAION sa_0_4_vit_l_14_linear head")
+    p.add_argument("--hps_weights", type=str, default=None,
+                   help="HPSv2.1 OpenCLIP ViT-H/14 checkpoint "
+                        "(open_clip state-dict format)")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 
     from PIL import Image
 
     from fairygen_tpu.utils.metrics import (
-        aesthetic_score, clip_score_from_pixels, lpips, mae, mse, psnr, ssim,
+        aesthetic_score, clip_score_from_pixels, hps_score, lpips, mae, mse,
+        psnr, ssim,
     )
 
     clip_v = clip_t = tok = lp_params = aes = None
@@ -68,6 +72,20 @@ def main():
 
         aes_sd = load_state_dict(args.aesthetic_weights)
         aes = (np.asarray(aes_sd["weight"]), np.asarray(aes_sd["bias"]))
+    hps = None
+    if args.hps_weights and args.clip_tokenizer:
+        from fairygen_tpu.core.io import load_state_dict
+        from fairygen_tpu.models.sdxl.clip import (
+            CLIPTextConfig, CLIPVisionConfig, convert_open_clip_state_dict,
+        )
+        from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
+
+        hv, ht, _ = convert_open_clip_state_dict(
+            load_state_dict(args.hps_weights))
+        hps = (hv, CLIPVisionConfig.openclip_h14(),
+               ht, CLIPTextConfig.openclip_h14_text())
+        if tok is None:
+            tok = CLIPTokenizerWrapper(args.clip_tokenizer)
 
     def prompt_for(name):
         if not args.prompts_dir:
@@ -110,6 +128,10 @@ def main():
         if aes is not None:
             row["aesthetic"] = aesthetic_score(
                 a.astype(np.uint8), clip_v[0], clip_v[1], aes[0], aes[1])
+        if hps is not None and prompt:
+            row["hpsv2"] = hps_score(
+                a.astype(np.uint8), tok(prompt), hps[0], hps[1],
+                hps[2], hps[3])
         rows.append(row)
 
     keys = sorted({k for r in rows for k in r if k != "name"})

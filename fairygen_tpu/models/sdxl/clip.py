@@ -45,6 +45,14 @@ class CLIPTextConfig:
         )
 
     @staticmethod
+    def openclip_h14_text() -> "CLIPTextConfig":
+        """OpenCLIP ViT-H/14 text tower (HPSv2.1 backbone)."""
+        return CLIPTextConfig(
+            hidden_size=1024, intermediate_size=4096, num_layers=24,
+            num_heads=16, hidden_act="gelu", projection_dim=1024,
+        )
+
+    @staticmethod
     def tiny(**over) -> "CLIPTextConfig":
         base = dict(vocab_size=100, hidden_size=32, intermediate_size=64,
                     num_layers=2, num_heads=4, max_position_embeddings=16)
@@ -189,10 +197,19 @@ class CLIPVisionConfig:
     image_size: int = 224
     patch_size: int = 14
     projection_dim: int = 768
+    hidden_act: str = "quick_gelu"  # openai CLIP; OpenCLIP H/14 uses gelu
 
     @staticmethod
     def clip_l14() -> "CLIPVisionConfig":
         return CLIPVisionConfig()
+
+    @staticmethod
+    def openclip_h14() -> "CLIPVisionConfig":
+        """OpenCLIP ViT-H/14 vision tower (HPSv2.1 backbone)."""
+        return CLIPVisionConfig(
+            hidden_size=1280, num_layers=32, num_heads=16,
+            intermediate_size=5120, projection_dim=1024, hidden_act="gelu",
+        )
 
     @staticmethod
     def tiny(**over) -> "CLIPVisionConfig":
@@ -229,7 +246,7 @@ def clip_vision_encode(params, cfg: CLIPVisionConfig, pixel_values):
         x = x + _attn(blk["attn"], h, cfg.num_heads, full)
         h = _ln(blk["ln2"], x)
         h = _dense(blk["fc1"], h)
-        h = _dense(blk["fc2"], _act(h, "quick_gelu"))
+        h = _dense(blk["fc2"], _act(h, cfg.hidden_act))
         x = x + h
     pooled = _ln(params["post_layernorm"], x[:, 0])
     return jnp.dot(pooled, params["visual_projection"].astype(pooled.dtype))
@@ -283,3 +300,78 @@ def convert_clip_vision_state_dict(sd: Dict[str, np.ndarray],
     else:
         params = jax.tree.map(jnp.asarray, params)
     return params
+
+
+# ------------------------------------------------------- OpenCLIP checkpoints
+def convert_open_clip_state_dict(sd: Dict[str, np.ndarray], dtype=None):
+    """Convert an OpenCLIP-format checkpoint (both towers) to our trees.
+
+    OpenCLIP/HPSv2 checkpoints (``visual.transformer.resblocks...``,
+    fused ``attn.in_proj_weight``) — the format of HPSv2.1's ViT-H/14
+    (reference evaluate_brushnet.py:65 ``hpsv2.score``).  Returns
+    ``(visual_params, text_params, logit_scale)``; pair with
+    ``CLIPVisionConfig.openclip_h14()`` / ``CLIPTextConfig.openclip_h14_text()``
+    for the real model.
+    """
+
+    def g(name):
+        return np.asarray(sd[name])
+
+    def nw(name):
+        return {"w": g(name + ".weight"), "b": g(name + ".bias")}
+
+    def block(prefix, dim):
+        w = g(prefix + ".attn.in_proj_weight")  # (3D, D)
+        b = g(prefix + ".attn.in_proj_bias")
+        qw, kw, vw = w[:dim], w[dim:2 * dim], w[2 * dim:]
+        qb, kb, vb = b[:dim], b[dim:2 * dim], b[2 * dim:]
+        return {
+            "ln1": nw(prefix + ".ln_1"),
+            "ln2": nw(prefix + ".ln_2"),
+            "attn": {
+                "q_proj": {"w": qw.T, "b": qb},
+                "k_proj": {"w": kw.T, "b": kb},
+                "v_proj": {"w": vw.T, "b": vb},
+                "out_proj": {"w": g(prefix + ".attn.out_proj.weight").T,
+                             "b": g(prefix + ".attn.out_proj.bias")},
+            },
+            "fc1": {"w": g(prefix + ".mlp.c_fc.weight").T,
+                    "b": g(prefix + ".mlp.c_fc.bias")},
+            "fc2": {"w": g(prefix + ".mlp.c_proj.weight").T,
+                    "b": g(prefix + ".mlp.c_proj.bias")},
+        }
+
+    vdim = g("visual.class_embedding").shape[0]
+    conv1 = g("visual.conv1.weight")  # (D, 3, p, p), no bias
+    visual = {
+        "patch_embedding": conv1.reshape(vdim, -1).T,
+        "class_embedding": g("visual.class_embedding"),
+        "position_embedding": g("visual.positional_embedding"),
+        "pre_layernorm": nw("visual.ln_pre"),
+        "post_layernorm": nw("visual.ln_post"),
+        # already (D, proj): no transpose, unlike HF's (proj, D)
+        "visual_projection": g("visual.proj"),
+        "layers": [],
+    }
+    i = 0
+    while f"visual.transformer.resblocks.{i}.ln_1.weight" in sd:
+        visual["layers"].append(block(f"visual.transformer.resblocks.{i}",
+                                      vdim))
+        i += 1
+
+    tdim = g("token_embedding.weight").shape[1]
+    text = {
+        "token_embedding": g("token_embedding.weight"),
+        "position_embedding": g("positional_embedding"),
+        "final_layer_norm": nw("ln_final"),
+        "text_projection": g("text_projection"),
+        "layers": [],
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        text["layers"].append(block(f"transformer.resblocks.{i}", tdim))
+        i += 1
+
+    cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    return (jax.tree.map(cast, visual), jax.tree.map(cast, text),
+            float(np.exp(g("logit_scale"))) if "logit_scale" in sd else 100.0)

@@ -133,3 +133,24 @@ def aesthetic_score(image_uint8, vision_params, vision_cfg, linear_w, linear_b):
     emb = clip_vision_encode(vision_params, vision_cfg, pix)
     emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     return float(jnp.dot(emb, jnp.asarray(linear_w).T)[0] + jnp.asarray(linear_b))
+
+
+def hps_score(image_uint8, text_ids, visual_params, vision_cfg,
+              text_params, text_cfg):
+    """Human Preference Score v2: cosine(image, text) through an
+    HPSv2.1-finetuned OpenCLIP ViT-H/14 (evaluate_brushnet.py:65-67;
+    hpsv2.score computes the diagonal of the unit-normalized logits).
+
+    Load the checkpoint with
+    ``models.sdxl.clip.convert_open_clip_state_dict`` +
+    ``CLIPVisionConfig.openclip_h14()`` / ``CLIPTextConfig.openclip_h14_text()``.
+    """
+    from ..models.sdxl.clip import clip_text_encode, clip_vision_encode
+
+    pix = clip_preprocess(image_uint8, vision_cfg.image_size)
+    img = clip_vision_encode(visual_params, vision_cfg, pix)
+    txt = clip_text_encode(text_params, text_cfg, jnp.asarray(text_ids))
+    t = txt["text_embeds"]
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    return float((img * t).sum(-1)[0])
