@@ -3,8 +3,8 @@
 Mirror of ``stylization/BrushNet/examples/brushnet/evaluate_brushnet.py``:
 PSNR / SSIM / MSE / MAE on image pairs, plus — with the corresponding
 checkpoints — CLIPScore (in-repo CLIP-L towers), LPIPS-squeeze, the
-LAION aesthetic head, and HPSv2.1 (OpenCLIP ViT-H/14 via --hps_weights).
-ImageReward needs its own BLIP model (documented in PARITY.md).
+LAION aesthetic head, HPSv2.1 (OpenCLIP ViT-H/14 via --hps_weights), and
+ImageReward-v1.0 (BLIP via --image_reward_weights + --bert_tokenizer).
 """
 import os as _os
 import sys as _sys
@@ -34,6 +34,11 @@ def main():
     p.add_argument("--hps_weights", type=str, default=None,
                    help="HPSv2.1 OpenCLIP ViT-H/14 checkpoint "
                         "(open_clip state-dict format)")
+    p.add_argument("--image_reward_weights", type=str, default=None,
+                   help="ImageReward-v1.0 state dict (blip.* naming)")
+    p.add_argument("--bert_tokenizer", type=str, default=None,
+                   help="local bert-base-uncased tokenizer dir "
+                        "(for ImageReward)")
     p.add_argument("--output", type=str, default=None)
     args = p.parse_args()
 
@@ -86,6 +91,19 @@ def main():
                ht, CLIPTextConfig.openclip_h14_text())
         if tok is None:
             tok = CLIPTokenizerWrapper(args.clip_tokenizer)
+    ir = None
+    if args.image_reward_weights and args.bert_tokenizer:
+        from transformers import BertTokenizer
+
+        from fairygen_tpu.core.io import load_state_dict
+        from fairygen_tpu.models.image_reward import (
+            convert_image_reward_state_dict,
+        )
+
+        ir_params, ir_vcfg, ir_tcfg = convert_image_reward_state_dict(
+            load_state_dict(args.image_reward_weights))
+        ir = (ir_params, ir_vcfg, ir_tcfg,
+              BertTokenizer.from_pretrained(args.bert_tokenizer))
 
     def prompt_for(name):
         if not args.prompts_dir:
@@ -132,6 +150,18 @@ def main():
             row["hpsv2"] = hps_score(
                 a.astype(np.uint8), tok(prompt), hps[0], hps[1],
                 hps[2], hps[3])
+        if ir is not None and prompt:
+            from fairygen_tpu.models.image_reward import (
+                blip_preprocess, image_reward_score,
+            )
+
+            enc = ir[3](prompt, padding="max_length", truncation=True,
+                        max_length=35, return_tensors="np")
+            row["image_reward"] = float(image_reward_score(
+                ir[0], blip_preprocess(a.astype(np.uint8),
+                                       ir[1].image_size),
+                enc["input_ids"], enc["attention_mask"],
+                vit_cfg=ir[1], bert_cfg=ir[2])[0])
         rows.append(row)
 
     keys = sorted({k for r in rows for k in r if k != "name"})
