@@ -33,6 +33,7 @@ def _fwd(params):
     return wan_dit_forward(params, CFG, lat, ts, ctx, fuse_vae_embedding_in_latents=True)
 
 
+@pytest.mark.slow
 def test_zero_init_lora_is_identity():
     params = init_dit_params(jax.random.key(0), CFG)
     ref = _fwd(params)
@@ -41,6 +42,7 @@ def test_zero_init_lora_is_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_runtime_lora_matches_fused():
     params = init_dit_params(jax.random.key(0), CFG)
     with_lora = add_lora_to_wan_dit(params, jax.random.key(1), rank=4)
@@ -80,6 +82,7 @@ def test_runtime_lora_matches_fused():
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_runtime), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dora_magnitude_identity_at_init():
     # DoRA with zero B: mag = ||W||, mns = 1, update = 0
     key = jax.random.key(0)
@@ -106,6 +109,7 @@ def test_mask_gated_adapter():
     np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(full[0, 0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stage_dropout_and_b2():
     params = init_dit_params(jax.random.key(0), CFG)
     with_lora = add_lora_to_wan_dit(params, jax.random.key(1), rank=4, with_b2=True)
@@ -157,6 +161,7 @@ def test_rank_concat():
     assert m["x.lora_B.weight"].shape == (8, 6)
 
 
+@pytest.mark.slow
 def test_lora_only_training_updates_adapters():
     import optax
     from fairygen_tpu.training.train_step import make_wan_sft_train_step
@@ -184,6 +189,7 @@ def test_lora_only_training_updates_adapters():
     assert np.abs(a_new - a_old).max() > 0
 
 
+@pytest.mark.slow
 def test_direct_distill_loss_runs_and_differentiates():
     from fairygen_tpu.training.losses import direct_distill_loss
     from fairygen_tpu.models.wan.dit import wan_dit_forward
@@ -204,6 +210,7 @@ def test_direct_distill_loss_runs_and_differentiates():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+@pytest.mark.slow
 def test_trajectory_imitation_loss():
     from fairygen_tpu.training.losses import trajectory_imitation_loss
     from fairygen_tpu.models.wan.dit import wan_dit_forward

@@ -1,4 +1,5 @@
 """End-to-end SDXL+BrushNet pipeline parity vs the reference pipeline."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -42,6 +43,7 @@ def _sd(g, prefix):
     return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
 
 
+@pytest.mark.slow
 def test_brushnet_sdxl_pipeline_end_to_end(goldens):
     g = goldens("brushnet_pipeline")
     pipe = SDXLBrushNetPipeline(
@@ -75,6 +77,7 @@ def test_brushnet_sdxl_pipeline_end_to_end(goldens):
     assert psnr > 45, f"PSNR {psnr:.1f} dB"
 
 
+@pytest.mark.slow
 def test_plain_sdxl_text2image_shapes(goldens):
     g = goldens("brushnet_pipeline")
     pipe = SDXLBrushNetPipeline(

@@ -1,4 +1,5 @@
 """BrushNet trainer + data_process cache round-trip."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_mask_generators():
     assert mm.sum() == 8
 
 
+@pytest.mark.slow
 def test_brushnet_train_step_updates_brushnet_only(goldens):
     g = goldens("sdxl_unet")
     unet_params = convert_unet2d_state_dict(

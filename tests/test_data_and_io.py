@@ -116,6 +116,7 @@ def test_lora_checkpoint_roundtrip(tmp_path):
     assert any("lora_B" in k for k in merged)
 
 
+@pytest.mark.slow
 def test_orbax_train_state_roundtrip(tmp_path):
     import optax
 

@@ -1,4 +1,5 @@
 """Masked Style-DoRA SDXL trainer tests."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ def test_masked_mse_matches_reference_formula():
     np.testing.assert_allclose(float(loss), ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dora_injection_is_identity_and_counts(goldens):
     params = _params(goldens)
     from fairygen_tpu.models.sdxl.unet2d import unet2d_forward
@@ -60,6 +62,7 @@ def test_dora_injection_is_identity_and_counts(goldens):
     assert any("lora_magnitude_vector" in k for k in sd)
 
 
+@pytest.mark.slow
 def test_dora_train_step_updates_adapters_only(goldens):
     params = add_dora_to_sdxl_unet(_params(goldens), jax.random.key(0), rank=4)
     init_state, train_step = make_sdxl_dora_train_step(

@@ -20,6 +20,7 @@ from fairygen_tpu.ops.flash_attention import _flash_fwd_impl, flash_attention
         (1, 1024, 4, 128),
     ],
 )
+@pytest.mark.slow
 def test_flash_matches_xla_interpret(shape):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -34,6 +35,7 @@ def test_flash_matches_xla_interpret(shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_cross_attention_shape_interpret():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -47,6 +49,7 @@ def test_flash_cross_attention_shape_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_backward_grads():
     ks = jax.random.split(jax.random.key(2), 3)
     q = jax.random.normal(ks[0], (1, 64, 2, 32), jnp.float32)

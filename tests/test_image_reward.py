@@ -76,6 +76,7 @@ def _vit_sd(model, prefix="blip.visual_encoder."):
             model.state_dict().items()}
 
 
+@pytest.mark.slow
 def test_blip_vit_matches_torch():
     torch.manual_seed(0)
     cfg = BlipViTConfig.tiny()
@@ -133,6 +134,7 @@ def _mlp_sd(hidden):
     return out
 
 
+@pytest.mark.slow
 def test_med_bert_matches_blip_text_model():
     tcfg = MedBertConfig.tiny()
     m = _tiny_blip_text(tcfg)
@@ -162,6 +164,7 @@ def test_med_bert_matches_blip_text_model():
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_image_reward_score_end_to_end():
     vcfg, tcfg = BlipViTConfig.tiny(), MedBertConfig.tiny()
     vit = TimmViT(vcfg)

@@ -159,6 +159,7 @@ def _randomize_bn_stats(model, gen):
             nn.init.normal_(m.bias, 0.0, 0.2, generator=gen)
 
 
+@pytest.mark.slow
 def test_isnet_matches_torch_tiny():
     cfg = ISNetConfig.tiny()
     gen = torch.Generator().manual_seed(0)
@@ -197,6 +198,7 @@ def test_isnet_full_config_structure():
     assert 40e6 < n_params < 50e6  # ISNetDIS is ~44M params
 
 
+@pytest.mark.slow
 def test_extract_mask_binary():
     cfg = ISNetConfig.tiny()
     params = init_isnet_params(jax.random.key(1), cfg)

@@ -1,4 +1,5 @@
 """CLIP vision tower / CLIPScore / LPIPS-squeeze vs torch goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ def _sd(g, prefix):
     return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
 
 
+@pytest.mark.slow
 def test_clip_vision_tower(goldens):
     g = goldens("metrics")
     cfg = CLIPVisionConfig.tiny()
@@ -31,6 +33,7 @@ def test_clip_score_composition(goldens):
     np.testing.assert_allclose(np.asarray(score), g["cs_score"], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_lpips_squeeze(goldens):
     g = goldens("metrics")
     params = convert_lpips_state_dict(_sd(g, "lp"))

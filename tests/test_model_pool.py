@@ -38,6 +38,7 @@ def test_pool_loads_with_hints(tmp_path, goldens):
     assert params["blocks"]["modulation"].shape[0] == 2
 
 
+@pytest.mark.slow
 def test_from_pretrained_with_hints(tmp_path, goldens):
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
 

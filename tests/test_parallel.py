@@ -28,6 +28,7 @@ CFG = WanDiTConfig(
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_ulysses_matches_dense():
     mesh = make_mesh(data=1, seq=8)
     key = jax.random.key(0)
@@ -42,6 +43,7 @@ def test_ulysses_matches_dense():
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_dit_forward_seq_parallel_matches_single():
     mesh = make_mesh(data=1, seq=8)
     params = init_dit_params(jax.random.key(1), CFG)
@@ -61,6 +63,7 @@ def test_dit_forward_seq_parallel_matches_single():
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_data_parallel_train_step():
     mesh = make_mesh(data=8, seq=1)
     init_state, train_step = make_wan_sft_train_step(
@@ -80,6 +83,7 @@ def test_data_parallel_train_step():
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_dp_sp_combined_train_step():
     mesh = make_mesh(data=2, seq=4)
     init_state, train_step = make_wan_sft_train_step(
@@ -97,6 +101,7 @@ def test_dp_sp_combined_train_step():
 
 
 @requires_8dev
+@pytest.mark.slow
 def test_dit_seq_parallel_ragged_padding():
     """Token count NOT divisible by the seq axis -> pad/mask path.
 

@@ -1,4 +1,5 @@
 """W8A8 quantized dense — the FP8-linear capability port."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ def test_quantized_dense_accuracy():
     assert rel < 0.02, rel
 
 
+@pytest.mark.slow
 def test_quantized_ffn_dit_forward_close():
     params = init_dit_params(jax.random.key(0), CFG)
     lat = jax.random.normal(jax.random.key(1), (1, 8, 3, 8, 8)) * 0.5

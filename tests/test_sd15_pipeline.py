@@ -1,5 +1,6 @@
 """End-to-end SD1.5+BrushNet pipeline parity vs the reference pipeline
 (UniPC sampler — the test_brushnet.py configuration)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def _sd(g, prefix):
     return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
 
 
+@pytest.mark.slow
 def test_brushnet_sd15_pipeline_end_to_end(goldens):
     g = goldens("sd15_pipeline")
     pipe = SD15BrushNetPipeline(
@@ -90,6 +92,7 @@ def test_blended_paste():
     assert np.abs(out[:, :, 10:14, 10:14] - np.asarray(gen)[:, :, 10:14, 10:14]).max() < 0.2
 
 
+@pytest.mark.slow
 def test_sd15_text_encode_shapes(goldens):
     """SD1.5 prompt embedding uses the FINAL layer norm states (768-dim),
     not SDXL's penultimate concat."""

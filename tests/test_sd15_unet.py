@@ -1,4 +1,5 @@
 """SD1.5-style UNet (conv projections, no text_time) + BrushNet injection."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def _sd(g, prefix):
     return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
 
 
+@pytest.mark.slow
 def test_sd15_dual_branch(goldens):
     g = goldens("sd15_unet")
     unet = convert_unet2d_state_dict(_sd(g, "unet"), UNET_CFG)

@@ -1,4 +1,5 @@
 """SDXL VAE + CLIP text encoder parity vs reference goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def _sd(g, prefix):
     return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
 
 
+@pytest.mark.slow
 def test_autoencoder_kl(goldens):
     g = goldens("sdxl_aux")
     params = convert_autoencoder_kl_state_dict(_sd(g, "vae"), VAE_CFG)
@@ -35,6 +37,7 @@ def test_autoencoder_kl(goldens):
     np.testing.assert_allclose(np.asarray(dec), g["vae_dec"], atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_clip_text_encoders(goldens):
     g = goldens("sdxl_aux")
     te1 = convert_clip_text_state_dict(_sd(g, "te1"), TE1_CFG)

@@ -1,4 +1,5 @@
 """TeaCache-gated DiT forward."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ CFG = WanDiTConfig(
 )
 
 
+@pytest.mark.slow
 def test_tea_cache_first_step_matches_plain_and_skips_later():
     params = init_dit_params(jax.random.key(0), CFG)
     lat = jax.random.normal(jax.random.key(1), (1, 8, 3, 8, 8))

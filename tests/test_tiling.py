@@ -1,4 +1,5 @@
 """VAE spatial tiling + temporal sliding-window tiler."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -15,6 +16,7 @@ def _params(goldens):
     return convert_vae38_state_dict(sd, CFG)
 
 
+@pytest.mark.slow
 def test_tiled_decode_covering_tile_equals_untiled(goldens):
     g = goldens("wan_vae")
     params = _params(goldens)
@@ -25,6 +27,7 @@ def test_tiled_decode_covering_tile_equals_untiled(goldens):
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_decode_overlapping(goldens):
     g = goldens("wan_vae")
     params = _params(goldens)
@@ -38,6 +41,7 @@ def test_tiled_decode_overlapping(goldens):
     assert float(jnp.abs(tiled - ref).mean()) < 0.3
 
 
+@pytest.mark.slow
 def test_tiled_encode_covering_tile_equals_untiled(goldens):
     g = goldens("wan_vae")
     params = _params(goldens)

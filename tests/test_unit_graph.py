@@ -32,6 +32,7 @@ def test_updating_unit_pulled_in():
     assert "noise" in other and "embed" in other
 
 
+@pytest.mark.slow
 def test_differential_vs_reference_graph():
     if not os.path.isdir(REF):
         pytest.skip("reference not mounted")

@@ -1,4 +1,5 @@
 """Animate adapter component parity vs reference goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def _params(g):
     return convert_animate_state_dict(sd, CFG)
 
 
+@pytest.mark.slow
 def test_motion_encoder(goldens):
     g = goldens("wan_animate")
     params = _params(g)
@@ -39,6 +41,7 @@ def test_motion_encoder(goldens):
     np.testing.assert_allclose(np.asarray(motion), g["gen_motion"], atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_face_encoder(goldens):
     g = goldens("wan_animate")
     params = _params(g)

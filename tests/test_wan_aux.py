@@ -1,4 +1,5 @@
 """Motion controller + VACE parity vs reference goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def test_motion_controller(goldens):
     np.testing.assert_allclose(np.asarray(out), g["mc_out"], atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vace_conditioned_forward(goldens):
     g = goldens("wan_aux")
     dit_cfg = WanDiTConfig(

@@ -16,6 +16,7 @@ def _sd(g, prefix):
     return {k[plen:]: g[k] for k in g.files if k.startswith(prefix + "::")}
 
 
+@pytest.mark.slow
 def test_standard_path_with_image_branch(goldens):
     g = goldens("wan_dit")
     cfg = WanDiTConfig(
@@ -54,6 +55,7 @@ def test_ti2v_separated_timestep_path(goldens):
     np.testing.assert_allclose(np.asarray(out), g["ti_out"], atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_init_params_shapes_match_converter(goldens):
     g = goldens("wan_dit")
     cfg = WanDiTConfig(

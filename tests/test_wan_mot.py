@@ -1,4 +1,5 @@
 """MoT (VAP) joint forward parity vs reference goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ MOT_CFG = MotConfig(
 )
 
 
+@pytest.mark.slow
 def test_vap_forward(goldens):
     g = goldens("wan_mot")
     dit = convert_dit_state_dict(

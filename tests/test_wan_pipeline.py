@@ -1,5 +1,6 @@
 """End-to-end TI2V pipeline parity vs a reference-composed denoise loop."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fairygen_tpu.models.wan.dit import WanDiTConfig, convert_dit_state_dict
@@ -27,6 +28,7 @@ def _pipe(g):
     )
 
 
+@pytest.mark.slow
 def test_ti2v_end_to_end(goldens):
     g = goldens("wan_pipeline")
     pipe = _pipe(g)
@@ -60,6 +62,7 @@ def test_cfg_merge_matches_separate(goldens):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_t2v_shapes(goldens):
     g = goldens("wan_pipeline")
     pipe = _pipe(g)
@@ -72,6 +75,7 @@ def test_t2v_shapes(goldens):
     assert video.shape == (1, 3, 5, 32, 32)
 
 
+@pytest.mark.slow
 def test_i2v_conditioning_mask_layout(goldens):
     """encode_i2v_conditioning: mask packing matches the reference math
     (wan_video.py:457-474) and y channels follow."""
@@ -133,6 +137,7 @@ def test_no_retrace_across_prompts(goldens):
     assert _denoise_chunk._cache_size() == size0
 
 
+@pytest.mark.slow
 def test_pipeline_mesh_matches_single_device(goldens):
     """Ulysses SP through pipe(__call__) — VERDICT round-1 gap 2: the mesh
     must reach wan_dit_forward inside the denoise loop.  64x64 -> 12 tokens,
@@ -150,6 +155,7 @@ def test_pipeline_mesh_matches_single_device(goldens):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_mesh_cfg_merge_data_parallel(goldens):
     """cfg_merge makes the DiT batch 2 — shardable over data=2 on top of
     seq=2 (posi/nega branches run on disjoint device rows)."""
@@ -164,6 +170,7 @@ def test_pipeline_mesh_cfg_merge_data_parallel(goldens):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tea_cache_always_calc_matches_baseline(goldens):
     """A -inf threshold forces recompute every step (the rescaled-drift
     polynomial can be negative, so 0.0 does NOT mean always-calc) ->
@@ -188,6 +195,7 @@ def test_tea_cache_skips_engage(goldens):
     assert not np.allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sliding_window_full_cover_matches_dense(goldens):
     """A window covering the whole clip (size=stride=T) must equal the
     non-windowed path (single window, unity blend mask)."""
@@ -208,6 +216,7 @@ def test_sliding_window_overlap_shapes(goldens):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_tiled_vae_decode_through_call(goldens):
     """tiled=True routes the decode through vae38_tiled_decode; a tile
     covering the full latent equals the plain decode."""
@@ -305,6 +314,7 @@ def _tiny_vace_params(key, vcfg):
     }
 
 
+@pytest.mark.slow
 def test_vace_pipeline_e2e():
     """VACE through pipe(__call__): control video + mask + reference image
     (VERDICT round-1 gap 5 — variant generation paths)."""
@@ -356,6 +366,7 @@ def test_vace_pipeline_e2e():
     assert np.isfinite(with_ref).all()
 
 
+@pytest.mark.slow
 def test_s2v_pipeline_e2e():
     """S2V through pipe(__call__): audio conditioning with zero-audio CFG
     negative branch (VERDICT round-1 gap 5 — variant generation paths).
@@ -395,6 +406,7 @@ def test_s2v_pipeline_e2e():
     assert not np.allclose(out, out2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_camera_control_pipeline_e2e():
     """Fun camera control through pipe(__call__): plücker -> SimpleAdapter
     tokens + first-frame y conditioning (VERDICT round-1 gap 5)."""
@@ -444,6 +456,7 @@ def test_camera_control_pipeline_e2e():
     assert not np.allclose(left, up, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_animate_pipeline_e2e():
     """Wan-Animate through pipe(__call__): pose latents + face motion
     adapter + inpaint y (VERDICT round-1 gap 5)."""
@@ -543,6 +556,7 @@ def test_fun_reference_pipeline_e2e():
     assert not np.allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vap_pipeline_e2e():
     """VAP (video-as-prompt / MoT) through pipe(__call__): reference video
     rides the frozen side branch (VERDICT round-1 gap 5)."""

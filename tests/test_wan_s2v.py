@@ -1,4 +1,5 @@
 """S2V DiT parity vs reference goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -15,6 +16,7 @@ CFG = S2VConfig(
 )
 
 
+@pytest.mark.slow
 def test_s2v_forward(goldens):
     g = goldens("wan_s2v")
     sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}

@@ -5,6 +5,7 @@ decode; our full-sequence mode must match them exactly — that validates the
 causal-equivalence derivation — and our streaming mode must match our
 full-sequence mode.
 """
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def test_roundtrip_decode(goldens):
     np.testing.assert_allclose(np.asarray(dec), g["dec"], atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_streaming_matches_full(goldens):
     g = goldens("wan_vae")
     params = _params(g)

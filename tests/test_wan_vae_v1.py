@@ -1,4 +1,5 @@
 """Wan2.1 16-ch causal VAE parity vs reference goldens."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -28,6 +29,7 @@ def test_v1_decode(goldens):
     np.testing.assert_allclose(np.asarray(dec), g["dec"], atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_v1_streaming_matches_full(goldens):
     g = goldens("wan_vae_v1")
     params = _params(g)
