@@ -54,7 +54,10 @@ def main():
     from fairygen_tpu.models.wan.vae import vae38_encode
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
     from fairygen_tpu.training.runner import ModelLogger, launch_training_task
-    from fairygen_tpu.training.train_step import make_wan_sft_train_step
+    from fairygen_tpu.training.train_step import (
+        make_wan_distill_train_step,
+        make_wan_sft_train_step,
+    )
 
     pipe = WanVideoPipeline.from_pretrained(
         json.loads(args.model_paths), tokenizer_path=args.tokenizer_path,
@@ -89,14 +92,25 @@ def main():
 
     mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq)
     trainable = lora_trainable_filter(("B2",) if stage2 else ("A", "B"))
-    init_state, train_step = make_wan_sft_train_step(
-        pipe.dit_cfg,
-        optax.adamw(args.learning_rate, weight_decay=args.weight_decay),
-        mesh=mesh,
-        remat=args.use_gradient_checkpointing,
-        trainable_filter=trainable,
-        lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
-    )
+    if args.task.startswith("direct_distill"):
+        # few-step distillation (reference train.py:59-61 DirectDistillLoss)
+        init_state, train_step = make_wan_distill_train_step(
+            pipe.dit_cfg,
+            optax.adamw(args.learning_rate, weight_decay=args.weight_decay),
+            mesh=mesh,
+            num_inference_steps=args.distill_steps,
+            remat=args.use_gradient_checkpointing,
+            trainable_filter=trainable,
+        )
+    else:
+        init_state, train_step = make_wan_sft_train_step(
+            pipe.dit_cfg,
+            optax.adamw(args.learning_rate, weight_decay=args.weight_decay),
+            mesh=mesh,
+            remat=args.use_gradient_checkpointing,
+            trainable_filter=trainable,
+            lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
+        )
     state = init_state(params)
 
     dataset = UnifiedDataset(

@@ -35,7 +35,12 @@ def add_training_config(parser):
     parser.add_argument("--trainable_models", type=str, default=None)
     parser.add_argument("--weight_decay", type=float, default=0.01)
     parser.add_argument("--task", type=str, default="sft",
-                        choices=["sft", "sft:data_process", "sft:train"])
+                        choices=["sft", "sft:data_process", "sft:train",
+                                 "direct_distill",
+                                 "direct_distill:data_process",
+                                 "direct_distill:train"])
+    parser.add_argument("--distill_steps", type=int, default=4,
+                        help="student inference steps for direct_distill")
     return parser
 
 

@@ -117,3 +117,97 @@ def make_wan_sft_train_step(
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
 
     return init_state, train_step
+
+
+def make_wan_distill_train_step(
+    dit_cfg: WanDiTConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    *,
+    method: str = "direct",  # "direct" | "trajectory"
+    num_inference_steps: int = 4,
+    num_teacher_steps: int = 50,
+    sigma_shift: float = 5.0,
+    remat: bool = True,
+    first_frame_clean: Optional[bool] = None,
+    trainable_filter: Optional[Callable] = None,
+    perceptual_fn: Optional[Callable] = None,
+    decode_fn: Optional[Callable] = None,
+):
+    """Few-step distillation step — the reference's ``--task direct_distill``
+    (train.py:59-61 -> DirectDistillLoss, diffusion/loss.py:24-33) and the
+    TrajectoryImitationLoss variant (loss.py:36-119).
+
+    method="direct": the student rolls out its own few-step trajectory from
+    noise and matches the batch's clean latents (teacher-free; the teacher
+    signal is the data, as in the reference).
+    method="trajectory": the student's per-step velocities match finite
+    differences of a frozen teacher's many-step rollout; pass the teacher
+    params as ``train_step(state, batch, rng, teacher_params=...)``.
+
+    This is the recipe that buys >1 img/s SDXL / <30 s clips: distill the
+    50-step sampler into ``num_inference_steps`` student steps, then run
+    the pipeline with that step count.
+    """
+    from .losses import direct_distill_loss, trajectory_imitation_loss
+
+    if first_frame_clean is None:
+        first_frame_clean = dit_cfg.fuse_vae_embedding_in_latents
+
+    def model_fn(params, noisy, timestep, context):
+        if mesh is not None:
+            noisy = jax.lax.with_sharding_constraint(
+                noisy, NamedSharding(mesh, P(AXES.data))
+            )
+            context = jax.lax.with_sharding_constraint(
+                context, NamedSharding(mesh, P(AXES.data))
+            )
+        return wan_dit_forward(
+            params, dit_cfg, noisy, timestep, context,
+            fuse_vae_embedding_in_latents=first_frame_clean,
+            remat=remat,
+        )
+
+    def loss_fn(params, batch, rng, teacher_params):
+        if method == "direct":
+            return direct_distill_loss(
+                model_fn, params, batch["latents"], batch["context"], rng,
+                num_inference_steps=num_inference_steps,
+                sigma_shift=sigma_shift,
+            )
+        noise = jax.random.normal(rng, batch["latents"].shape,
+                                  batch["latents"].dtype)
+        return trajectory_imitation_loss(
+            model_fn,
+            lambda lat, t, ctx: model_fn(teacher_params, lat, t, ctx),
+            params, noise, batch["context"],
+            num_student_steps=num_inference_steps,
+            num_teacher_steps=num_teacher_steps,
+            sigma_shift=sigma_shift,
+            perceptual_fn=perceptual_fn, decode_fn=decode_fn,
+        )
+
+    if trainable_filter is not None:
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: "train" if trainable_filter(path) else "freeze",
+                params,
+            ),
+        )
+
+    def init_state(params):
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def train_step(state: TrainState, batch, rng, teacher_params=None):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, rng, teacher_params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), loss)
+
+    return init_state, train_step

@@ -250,3 +250,42 @@ def test_reset_lora_rank_reconstructs():
     W_new = out["x.lora_B.weight"] @ out["x.lora_A.weight"]
     np.testing.assert_allclose(W_new, W_ref, atol=1e-4)
     assert out["x.lora_A.weight"].shape == (2, 16)
+
+
+@pytest.mark.slow
+def test_distill_train_step_direct_and_trajectory():
+    """make_wan_distill_train_step (reference --task direct_distill,
+    train.py:59-61): both methods step, keep base weights frozen under the
+    LoRA filter, and update the adapters."""
+    import optax
+
+    from fairygen_tpu.training.train_step import make_wan_distill_train_step
+
+    params = init_dit_params(jax.random.key(0), CFG)
+    teacher = params
+    params = add_lora_to_wan_dit(params, jax.random.key(1), rank=4)
+    batch = {
+        "latents": jax.random.normal(jax.random.key(2), (1, 4, 3, 8, 8)),
+        "context": jax.random.normal(jax.random.key(3), (1, 10, 32)),
+    }
+    for method, kw in (("direct", {}),
+                       ("trajectory", {"num_teacher_steps": 6})):
+        init_state, train_step = make_wan_distill_train_step(
+            CFG, optax.adamw(1e-2), remat=False, method=method,
+            num_inference_steps=2,
+            trainable_filter=lora_trainable_filter(("A", "B")), **kw)
+        state = init_state(params)
+        args = (state, batch, jax.random.key(4))
+        if method == "trajectory":
+            new_state, loss = train_step(*args, teacher_params=teacher)
+        else:
+            new_state, loss = train_step(*args)
+        assert np.isfinite(float(loss)), method
+        np.testing.assert_allclose(
+            np.asarray(new_state.params["blocks"]["self_attn"]["q"]["w"]),
+            np.asarray(params["blocks"]["self_attn"]["q"]["w"]),
+        )
+        a_old = np.asarray(params["blocks"]["self_attn"]["q"]["lora"]["A"])
+        a_new = np.asarray(
+            new_state.params["blocks"]["self_attn"]["q"]["lora"]["A"])
+        assert np.abs(a_new - a_old).max() > 0, method
