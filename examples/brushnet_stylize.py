@@ -33,6 +33,11 @@ def main():
     p.add_argument("--brushnet_conditioning_scale", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=333)
     p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="prompts per pipeline call; combine with "
+                        "--mesh_data for data-parallel multi-chip throughput")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-parallel mesh size (0 = no mesh)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -88,23 +93,38 @@ def main():
     mask = (np.asarray(Image.open(args.mask).convert("L").resize(size), np.float32) > 250 / 255.0 * 255)[..., None].astype(np.float32)
     masked = init * (1.0 - mask)  # character blanked; background to paint
 
+    if args.mesh_data > 0:
+        import jax
+
+        from fairygen_tpu.core.meshes import make_mesh
+
+        pipe.mesh = make_mesh(data=args.mesh_data, seq=1,
+                              devices=jax.devices()[:args.mesh_data])
+
     os.makedirs(args.output_dir, exist_ok=True)
+    names, prompts = [], []
     for fname in sorted(os.listdir(args.prompt_dir)):
-        if not fname.endswith(".txt"):
-            continue
-        with open(os.path.join(args.prompt_dir, fname)) as f:
-            prompt = f.read().strip()
+        if fname.endswith(".txt"):
+            with open(os.path.join(args.prompt_dir, fname)) as f:
+                prompts.append(f.read().strip())
+            names.append(os.path.splitext(fname)[0])
+
+    bs = max(args.batch_size, 1)
+    for i in range(0, len(prompts), bs):
+        chunk = prompts[i:i + bs]
         frames = pipe(
-            prompt=prompt, image=masked, mask=mask,
+            prompt=chunk if len(chunk) > 1 else chunk[0],
+            image=masked, mask=mask,
             height=args.size, width=args.size,
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
             brushnet_conditioning_scale=args.brushnet_conditioning_scale,
-            seed=args.seed,
+            seed=args.seed + i,
         )
-        out_path = os.path.join(args.output_dir, os.path.splitext(fname)[0] + ".png")
-        Image.fromarray(frames[0]).save(out_path)
-        print(f"{fname} -> {out_path}")
+        for j, frame in enumerate(frames):
+            out_path = os.path.join(args.output_dir, names[i + j] + ".png")
+            Image.fromarray(frame).save(out_path)
+            print(f"{names[i + j]} -> {out_path}")
 
 
 if __name__ == "__main__":

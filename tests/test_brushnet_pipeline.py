@@ -94,3 +94,66 @@ def test_plain_sdxl_text2image_shapes(goldens):
         height=64, width=64, num_inference_steps=3, guidance_scale=5.0, seed=1,
     )
     assert frames[0].shape == (64, 64, 3)
+
+
+@pytest.mark.slow
+def test_batched_generation_matches_single(goldens):
+    """A batch of 2 prompts equals two single-sample calls (same seeds)."""
+    g = goldens("brushnet_pipeline")
+    pipe = SDXLBrushNetPipeline(
+        unet_params=convert_unet2d_state_dict(_sd(g, "unet"), UNET_CFG),
+        unet_cfg=UNET_CFG,
+        vae_params=convert_autoencoder_kl_state_dict(_sd(g, "vae"), VAE_CFG),
+        vae_cfg=VAE_CFG,
+    )
+    pe = jnp.asarray(g["pe"])
+    ppe = jnp.asarray(g["ppe"])
+    pe2 = jnp.concatenate([pe, pe * 0.5], axis=0)
+    ppe2 = jnp.concatenate([ppe, ppe * 0.5], axis=0)
+    kw = dict(
+        negative_prompt_embeds=jnp.asarray(g["npe"]),
+        negative_pooled_embeds=jnp.asarray(g["nppe"]),
+        height=64, width=64, num_inference_steps=3, guidance_scale=5.0,
+        output_type="np_pm1",
+    )
+    batched = pipe(prompt_embeds=pe2, pooled_embeds=ppe2, seed=7, **kw)
+    single0 = pipe(prompt_embeds=pe, pooled_embeds=ppe, seed=7, **kw)
+    single1 = pipe(prompt_embeds=pe * 0.5, pooled_embeds=ppe * 0.5, seed=8,
+                   **kw)
+    assert batched.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(single0[0]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single1[0]),
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_batched_generation_data_parallel_mesh(goldens):
+    """Batched generation over a data-parallel mesh matches no-mesh."""
+    from fairygen_tpu.core.meshes import make_mesh
+
+    import jax
+
+    g = goldens("brushnet_pipeline")
+    mesh = make_mesh(data=2, seq=1, devices=jax.devices()[:2])
+    kw = dict(
+        unet_params=convert_unet2d_state_dict(_sd(g, "unet"), UNET_CFG),
+        unet_cfg=UNET_CFG,
+        vae_params=convert_autoencoder_kl_state_dict(_sd(g, "vae"), VAE_CFG),
+        vae_cfg=VAE_CFG,
+    )
+    pe = jnp.asarray(g["pe"])
+    ppe = jnp.asarray(g["ppe"])
+    pe2 = jnp.concatenate([pe, pe * 0.5], axis=0)
+    ppe2 = jnp.concatenate([ppe, ppe * 0.5], axis=0)
+    call_kw = dict(
+        prompt_embeds=pe2, pooled_embeds=ppe2,
+        negative_prompt_embeds=jnp.asarray(g["npe"]),
+        negative_pooled_embeds=jnp.asarray(g["nppe"]),
+        height=64, width=64, num_inference_steps=3, guidance_scale=5.0,
+        seed=3, output_type="np_pm1",
+    )
+    ref = SDXLBrushNetPipeline(**kw)(**call_kw)
+    got = SDXLBrushNetPipeline(mesh=mesh, **kw)(**call_kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
