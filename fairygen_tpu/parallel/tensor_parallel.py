@@ -1,0 +1,64 @@
+"""Tensor (Megatron-style) parallelism for the Wan DiT FFN.
+
+The reference scales only by data parallelism + Ulysses sequence
+parallelism (``xdit_context_parallel.py``); on TPU the mesh carries a third
+``tensor`` axis (core/meshes.py) that this module puts to work: the FFN —
+the largest single cost in a DiT block (~45% of block FLOPs at 5B scale) —
+is column/row-split across it.
+
+TPU-native design: no communication code at all.  ``fc1`` weights are
+placed column-sharded (P(None, None, "tensor")) and ``fc2`` row-sharded
+(P(None, "tensor", None)); XLA's SPMD partitioner propagates the sharding
+through the gelu and inserts exactly one reduce-scatter/all-reduce after
+``fc2`` — the same schedule Megatron hand-writes with NCCL.
+
+Attention stays on the data/seq axes on purpose: the flash-attention
+kernel runs inside a ``shard_map`` over ``seq`` (parallel/ulysses.py), and
+head-sharding its inputs over ``tensor`` would conflict with the
+all-to-all layout.  dp x sp x tp compose: see
+``tests/test_parallel.py::test_ffn_tensor_parallel_*``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.meshes import AXES
+
+
+def wan_dit_param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding pytree for DiT params: FFN split over ``tensor``,
+    everything else replicated (data/seq parallelism shard activations,
+    not weights)."""
+    tensor = AXES.tensor
+    rep = NamedSharding(mesh, P())
+    col_w = NamedSharding(mesh, P(None, None, tensor))  # (L, D, F)
+    col_b = NamedSharding(mesh, P(None, tensor))        # (L, F)
+    row_w = NamedSharding(mesh, P(None, tensor, None))  # (L, F, D)
+
+    def fn(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if "ffn" in keys:
+            if "fc1" in keys:
+                return col_w if leaf.ndim == 3 else col_b
+            if "fc2" in keys:
+                return row_w if leaf.ndim == 3 else rep
+        return rep
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def shard_wan_dit_params(params: Any, mesh: Mesh, ffn_dim: int = None):
+    """Place DiT params on the mesh with FFN tensor sharding.
+
+    ``device_put`` is a no-op for leaves already resident with the right
+    sharding, so calling this repeatedly (e.g. per pipeline call) is free.
+    """
+    tp = mesh.shape[AXES.tensor]
+    if ffn_dim is not None and ffn_dim % tp != 0:
+        raise ValueError(
+            f"ffn_dim={ffn_dim} not divisible by tensor axis size {tp}")
+    shardings = wan_dit_param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -133,3 +133,55 @@ def test_dit_seq_parallel_ragged_padding():
     scale = float(jnp.abs(ref).max())
     # exact kv-padding mask: only float reassociation noise remains
     assert err / scale < 1e-3, (err, scale)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_ffn_tensor_parallel_matches_single():
+    """FFN weights split over the tensor axis (Megatron column/row split
+    via shardings only) — forward matches the unsharded program."""
+    from fairygen_tpu.parallel.tensor_parallel import shard_wan_dit_params
+
+    mesh = make_mesh(data=1, seq=1, tensor=8)
+    params = init_dit_params(jax.random.key(1), CFG)
+    lat = jax.random.normal(jax.random.key(2), (1, 4, 4, 8, 8))
+    ts = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.key(3), (1, 12, 32))
+
+    ref = wan_dit_forward(params, CFG, lat, ts, ctx,
+                          fuse_vae_embedding_in_latents=True)
+    sharded = shard_wan_dit_params(params, mesh, ffn_dim=CFG.ffn_dim)
+    # fc1 columns really live split across devices
+    fc1 = sharded["blocks"]["ffn"]["fc1"]["w"]
+    assert len({s.device for s in fc1.addressable_shards}) == 8
+    assert fc1.addressable_shards[0].data.shape[-1] == CFG.ffn_dim // 8
+    out = jax.jit(
+        lambda p, l, t, c: wan_dit_forward(
+            p, CFG, l, t, c, fuse_vae_embedding_in_latents=True)
+    )(sharded, lat, ts, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_dp_sp_tp_combined_forward():
+    """All three mesh axes at once: batch over data, tokens over seq
+    (Ulysses), FFN over tensor."""
+    from fairygen_tpu.parallel.tensor_parallel import shard_wan_dit_params
+
+    mesh = make_mesh(data=2, seq=2, tensor=2)
+    params = init_dit_params(jax.random.key(1), CFG)
+    lat = jax.random.normal(jax.random.key(2), (2, 4, 4, 8, 8))
+    ts = jnp.asarray([500.0, 500.0])
+    ctx = jax.random.normal(jax.random.key(3), (2, 12, 32))
+
+    ref = wan_dit_forward(params, CFG, lat, ts, ctx,
+                          fuse_vae_embedding_in_latents=True)
+    sharded = shard_wan_dit_params(params, mesh, ffn_dim=CFG.ffn_dim)
+    with mesh:
+        out = jax.jit(
+            lambda p, l, t, c: wan_dit_forward(
+                p, CFG, l, t, c, fuse_vae_embedding_in_latents=True,
+                mesh=mesh)
+        )(sharded, lat, ts, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
