@@ -273,18 +273,27 @@ class WanVideoPipeline:
         return pipe
 
     def use_mesh(self, mesh):
-        """Replicate params over ``mesh`` and run the denoise SPMD (Ulysses
+        """Place params over ``mesh`` and run the denoise SPMD: Ulysses
         sequence parallelism over the seq axis, data parallelism for the CFG
-        batch over the data axis)."""
-        from ..core.meshes import replicated
+        batch over the data axis, and — when the mesh has a tensor axis —
+        the DiT FFN weights Megatron-split over it
+        (parallel/tensor_parallel.py)."""
+        from ..core.meshes import AXES, replicated
 
         rep = replicated(mesh)
 
         def put(tree):
             return None if tree is None else jax.device_put(tree, rep)
 
-        self.dit_params = put(self.dit_params)
-        self.dit2_params = put(self.dit2_params)
+        if mesh.shape.get(AXES.tensor, 1) > 1:
+            from ..parallel.tensor_parallel import shard_wan_dit_params
+
+            put_dit = lambda t: None if t is None else shard_wan_dit_params(  # noqa: E731
+                t, mesh, ffn_dim=self.dit_cfg.ffn_dim)
+        else:
+            put_dit = put
+        self.dit_params = put_dit(self.dit_params)
+        self.dit2_params = put_dit(self.dit2_params)
         self.vae_params = put(self.vae_params)
         self.te_params = put(self.te_params)
         self.mesh = mesh

@@ -608,3 +608,22 @@ def test_vap_pipeline_e2e():
     assert a.shape == (1, 4, 3, 4, 4)
     assert np.isfinite(a).all()
     assert not np.allclose(a, b, atol=1e-6)  # the vap video conditions
+
+
+@pytest.mark.slow
+def test_pipeline_mesh_tensor_parallel(goldens):
+    """FFN tensor parallelism through pipe(__call__): use_mesh on a mesh
+    with a tensor axis Megatron-splits the DiT FFN weights."""
+    from fairygen_tpu.core.meshes import make_mesh
+    import jax
+
+    g = goldens("wan_pipeline")
+    kwargs = _full_kwargs(g, height=64, width=64)
+    ref = np.asarray(_pipe(g)(**kwargs))
+
+    mesh = make_mesh(data=1, seq=2, tensor=2, devices=jax.devices()[:4])
+    pipe = _pipe(g).use_mesh(mesh)
+    fc1 = pipe.dit_params["blocks"]["ffn"]["fc1"]["w"]
+    assert fc1.addressable_shards[0].data.shape[-1] == fc1.shape[-1] // 2
+    out = np.asarray(pipe(**kwargs))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
