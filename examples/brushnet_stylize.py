@@ -56,13 +56,13 @@ def main():
     unet_cfg = UNet2DConfig.sdxl_base()
     unet_params = convert_unet2d_state_dict(load_state_dict(args.unet), unet_cfg, dtype)
     if args.dora:
-        # fuse style DoRA at load (merge semantics); runtime mask-gated path
-        # is available through training.dora_trainer adapters instead.
-        from fairygen_tpu.models.adapters import normalize_lora_keys
+        # runtime DoRA adapters (reference passes the scale via
+        # cross_attention_kwargs, test_brushnet_sdxl.py:158)
+        from fairygen_tpu.training.dora_trainer import load_sdxl_dora_state_dict
 
-        print("NOTE: loading style adapter with scale", args.lora_scale)
-        # adapters saved by our trainer load back into params; peft-format
-        # checkpoints fuse via normalize_lora_keys + per-target matching.
+        unet_params, n = load_sdxl_dora_state_dict(
+            unet_params, load_state_dict(args.dora), scale=args.lora_scale)
+        print(f"{n} style-adapter modules loaded (scale {args.lora_scale})")
 
     pipe = SDXLBrushNetPipeline(
         unet_params=unet_params,

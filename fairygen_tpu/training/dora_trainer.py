@@ -186,3 +186,60 @@ def sdxl_dora_state_dict(params) -> dict:
 
     walk(params, [])
     return out
+
+
+def load_sdxl_dora_state_dict(params, sd: dict, scale: float = 1.0):
+    """Inverse of :func:`sdxl_dora_state_dict`: re-inject saved adapters
+    into a UNet param tree as runtime DoRA/LoRA modules (the dense layers
+    apply them when a "lora" entry exists — models/adapters.py).
+
+    ``scale`` is the inference-time lora weight (the reference passes
+    ``cross_attention_kwargs={"scale": 0.66}``, test_brushnet_sdxl.py:158).
+    Returns (params, n_adapters).
+    """
+    import jax.numpy as jnp
+
+    groups = {}
+    for k, v in sd.items():
+        if ".lora_A.weight" in k:
+            groups.setdefault(k[: -len(".lora_A.weight")], {})["A"] = v
+        elif ".lora_B.weight" in k:
+            groups.setdefault(k[: -len(".lora_B.weight")], {})["B"] = v
+        elif ".lora_magnitude_vector.weight" in k:
+            base = k[: -len(".lora_magnitude_vector.weight")]
+            groups.setdefault(base, {})["mag"] = v
+
+    n = 0
+    for base, g in groups.items():
+        path = base.split(".")
+        if path[0] == "unet":
+            path = path[1:]
+        node = params
+        parents = []
+        ok = True
+        for tok in path:
+            parents.append(node)
+            if isinstance(node, (list, tuple)):
+                idx = int(tok)
+                if idx >= len(node):
+                    ok = False
+                    break
+                node = node[idx]
+            elif isinstance(node, dict) and tok in node:
+                node = node[tok]
+            else:
+                ok = False
+                break
+        if not ok or not isinstance(node, dict) or "w" not in node:
+            print(f"[dora] no target layer for {base!r}; skipped")
+            continue
+        lora = {
+            "A": jnp.asarray(np.asarray(g["A"], np.float32).T),
+            "B": jnp.asarray(np.asarray(g["B"], np.float32).T),
+            "scale": float(scale),
+        }
+        if "mag" in g:
+            lora["mag"] = jnp.asarray(np.asarray(g["mag"], np.float32))
+        node["lora"] = lora
+        n += 1
+    return params, n

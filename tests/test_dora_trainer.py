@@ -84,3 +84,48 @@ def test_dora_train_step_updates_adapters_only(goldens):
     q_new = new_state.params["down_blocks"][1]["attentions"][0]["blocks"][0]["attn1"]["to_q"]
     np.testing.assert_allclose(np.asarray(q_new["w"]), np.asarray(q["w"]))
     assert np.abs(np.asarray(q_new["lora"]["A"]) - np.asarray(q["lora"]["A"])).max() > 0
+
+
+@pytest.mark.slow
+def test_dora_save_load_roundtrip(goldens):
+    """sdxl_dora_state_dict -> load_sdxl_dora_state_dict reproduces the
+    adapted forward on fresh base params (the inference path that
+    brushnet_stylize.py --dora / sdxl_t2i.py --dora uses)."""
+    from fairygen_tpu.models.sdxl.unet2d import unet2d_forward
+    from fairygen_tpu.training.dora_trainer import load_sdxl_dora_state_dict
+
+    g = goldens("sdxl_unet")
+    args = (jnp.asarray(g["sample"]), jnp.asarray(g["t"]),
+            jnp.asarray(g["ehs"]))
+    kw = dict(text_embeds=jnp.asarray(g["text_embeds"]),
+              time_ids=jnp.asarray(g["time_ids"]))
+
+    with_dora = add_dora_to_sdxl_unet(_params(goldens), jax.random.key(0),
+                                      rank=4)
+    # make the adapters non-trivial (B is zero-init -> perturb)
+    leaves = []
+
+    def bump(path, leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        if "lora" in keys and keys[-1] == "B":
+            leaves.append(path)
+            return leaf + 0.01 * jax.random.normal(
+                jax.random.key(len(leaves)), leaf.shape, leaf.dtype)
+        return leaf
+
+    with_dora = jax.tree_util.tree_map_with_path(bump, with_dora)
+    assert leaves
+    ref = unet2d_forward(with_dora, CFG, *args, **kw)
+
+    sd = sdxl_dora_state_dict(with_dora)
+    reloaded, n = load_sdxl_dora_state_dict(_params(goldens), sd, scale=1.0)
+    assert n == sum(1 for k in sd if k.endswith(".lora_A.weight"))
+    out = unet2d_forward(reloaded, CFG, *args, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # scale=0 disables the update entirely
+    zero, _ = load_sdxl_dora_state_dict(_params(goldens), sd, scale=0.0)
+    base = unet2d_forward(_params(goldens), CFG, *args, **kw)
+    np.testing.assert_allclose(
+        np.asarray(unet2d_forward(zero, CFG, *args, **kw)),
+        np.asarray(base), atol=2e-5)
