@@ -1,0 +1,235 @@
+"""Production serving: request batching + HTTP front end.
+
+The reference ships only a Gradio demo (app_brushnet.py) that serves one
+request at a time; this module is the deployment-grade path the framework
+is designed around on TPU:
+
+  - **One dispatch thread.** XLA dispatch is single-stream per device; a
+    pool of worker threads would serialize on the device anyway and wreck
+    the compile cache with interleaved shapes.  All device work funnels
+    through one ``BatchingEngine`` thread.
+  - **Shape-bucketed dynamic batching.** Requests are grouped by their
+    compile signature (height, width, steps, guidance...) so every batch
+    reuses one compiled SPMD program; the batch axis rides the ``data``
+    mesh axis when the pipeline carries a mesh (pipelines/sdxl_brushnet.py),
+    giving near-linear img/s across chips.
+  - **Bounded latency.** A batch launches when ``max_batch`` requests are
+    waiting or the oldest request has waited ``max_wait_ms`` — the standard
+    throughput/latency knob.
+
+The HTTP layer is stdlib-only (ThreadingHTTPServer): POST /generate with a
+JSON body, GET /healthz, GET /metrics.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import defaultdict, deque
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+
+@dataclass
+class Request:
+    prompt: str
+    params: Dict[str, Any] = field(default_factory=dict)
+    enqueued_at: float = field(default_factory=time.monotonic)
+    _done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[str] = None
+
+    def signature(self) -> Tuple:
+        """Compile signature: requests in one batch must share it."""
+        return tuple(sorted(self.params.items()))
+
+    def wait(self, timeout: Optional[float] = None):
+        if not self._done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if self.error is not None:
+            raise RuntimeError(self.error)
+        return self.result
+
+
+class BatchingEngine:
+    """Collects requests and drives the pipeline from one thread.
+
+    generate_fn(prompts: list[str], **params) -> list of per-prompt results.
+    """
+
+    def __init__(self, generate_fn: Callable, *, max_batch: int = 4,
+                 max_wait_ms: float = 50.0):
+        self._generate = generate_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queues: Dict[Tuple, deque] = defaultdict(deque)
+        self._lock = threading.Condition()
+        self._stop = False
+        self._stats = {"requests": 0, "batches": 0, "errors": 0,
+                       "batched_total": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="fairygen-batcher")
+        self._thread.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(self, prompt: str, **params) -> Request:
+        req = Request(prompt=prompt, params=params)
+        with self._lock:
+            self._queues[req.signature()].append(req)
+            self._stats["requests"] += 1
+            self._lock.notify()
+        return req
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            out = dict(self._stats)
+        out["mean_batch"] = (out["batched_total"] / out["batches"]
+                             if out["batches"] else 0.0)
+        return out
+
+    def shutdown(self, timeout: float = 5.0):
+        with self._lock:
+            self._stop = True
+            self._lock.notify()
+        self._thread.join(timeout)
+
+    # -- dispatch thread ---------------------------------------------------
+    def _take_batch(self) -> List[Request]:
+        """Called under the lock: pick the ripest signature bucket."""
+        best, best_age = None, -1.0
+        now = time.monotonic()
+        for sig, q in self._queues.items():
+            if not q:
+                continue
+            age = now - q[0].enqueued_at
+            if len(q) >= self.max_batch or age >= self.max_wait:
+                if age > best_age:
+                    best, best_age = sig, age
+        if best is None:
+            return []
+        q = self._queues[best]
+        return [q.popleft() for _ in range(min(self.max_batch, len(q)))]
+
+    def _run(self):
+        while True:
+            with self._lock:
+                batch = self._take_batch()
+                while not batch and not self._stop:
+                    # wake when the oldest pending request ripens
+                    waits = [q[0].enqueued_at for q in self._queues.values()
+                             if q]
+                    timeout = None
+                    if waits:
+                        timeout = max(
+                            0.0, min(waits) + self.max_wait - time.monotonic()
+                        )
+                    self._lock.wait(timeout=timeout if timeout != 0.0
+                                    else 0.001)
+                    batch = self._take_batch()
+                if self._stop and not batch:
+                    return
+            prompts = [r.prompt for r in batch]
+            params = dict(batch[0].params)
+            try:
+                results = self._generate(prompts, **params)
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"backend returned {len(results)} results for "
+                        f"{len(batch)} prompts")
+                for r, res in zip(batch, results):
+                    r.result = res
+            except Exception as e:  # noqa: BLE001 - surfaced per-request
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+                with self._lock:
+                    self._stats["errors"] += len(batch)
+            finally:
+                with self._lock:
+                    self._stats["batches"] += 1
+                    self._stats["batched_total"] += len(batch)
+                for r in batch:
+                    r._done.set()
+
+
+def sdxl_generate_fn(pipe):
+    """Adapt an SDXLBrushNetPipeline to the engine's callable contract."""
+
+    def fn(prompts, **params):
+        frames = pipe(prompt=list(prompts) if len(prompts) > 1
+                      else prompts[0], **params)
+        return list(frames)
+
+    return fn
+
+
+class InferenceServer:
+    """Minimal stdlib HTTP front end over a BatchingEngine.
+
+    POST /generate  {"prompt": "...", "params": {...}} -> result JSON
+    GET  /healthz   -> {"ok": true}
+    GET  /metrics   -> engine counters
+    """
+
+    def __init__(self, engine: BatchingEngine, *, host: str = "127.0.0.1",
+                 port: int = 0, encode_result: Optional[Callable] = None,
+                 request_timeout: float = 600.0):
+        self.engine = engine
+        self._encode = encode_result or _default_encode
+        timeout = request_timeout
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True})
+                elif self.path == "/metrics":
+                    self._json(200, outer.engine.stats())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    req = outer.engine.submit(
+                        payload["prompt"], **payload.get("params", {}))
+                    result = req.wait(timeout=timeout)
+                    self._json(200, {"result": outer._encode(result)})
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="fairygen-http")
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self.engine.shutdown()
+
+
+def _default_encode(result):
+    import numpy as np
+
+    if isinstance(result, np.ndarray):
+        return {"shape": list(result.shape), "dtype": str(result.dtype)}
+    return result
