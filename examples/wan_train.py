@@ -111,6 +111,10 @@ def main():
             trainable_filter=trainable,
             lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
         )
+    if args.fsdp:
+        from fairygen_tpu.parallel.tensor_parallel import fsdp_shard_params
+
+        params = fsdp_shard_params(params, mesh)
     state = init_state(params)
 
     dataset = UnifiedDataset(

@@ -62,3 +62,42 @@ def shard_wan_dit_params(params: Any, mesh: Mesh, ffn_dim: int = None):
             f"ffn_dim={ffn_dim} not divisible by tensor axis size {tp}")
     shardings = wan_dit_param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def wan_dit_fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2 ** 16):
+    """ZeRO-3 / FSDP-style sharding tree: every large stacked-block weight
+    is split over the ``data`` axis along its widest trailing dim.
+
+    The reference has no analogue (torch FSDP is never wired in); on TPU
+    this is, again, pure shardings: inside the ``lax.scan`` over blocks
+    XLA all-gathers one block's weights per step and the gather overlaps
+    the previous block's compute.  Optimizer state built from these params
+    (``optimizer.init``) inherits the same layout, so optimizer memory
+    shards too — the usual enabler for training the 14B experts on
+    16 GB chips.
+
+    Leaves smaller than ``min_size`` elements stay replicated (sharding
+    tiny norms/biases costs more in collective latency than it saves).
+    """
+    data = AXES.data
+    rep = NamedSharding(mesh, P())
+    n_data = mesh.shape[data]
+
+    def fn(leaf):
+        if leaf.ndim < 2 or leaf.size < min_size:
+            return rep
+        # widest trailing axis divisible by the data-axis size
+        for ax in range(leaf.ndim - 1, 0, -1):
+            if leaf.shape[ax] % n_data == 0:
+                spec = [None] * leaf.ndim
+                spec[ax] = data
+                return NamedSharding(mesh, P(*spec))
+        return rep
+
+    return jax.tree.map(fn, params)
+
+
+def fsdp_shard_params(params: Any, mesh: Mesh, min_size: int = 2 ** 16):
+    """Place params with :func:`wan_dit_fsdp_shardings`."""
+    return jax.tree.map(jax.device_put, params,
+                        wan_dit_fsdp_shardings(params, mesh, min_size))

@@ -41,6 +41,9 @@ def add_training_config(parser):
                                  "direct_distill:train"])
     parser.add_argument("--distill_steps", type=int, default=4,
                         help="student inference steps for direct_distill")
+    parser.add_argument("--fsdp", default=False, action="store_true",
+                        help="ZeRO-3-style weight+optimizer sharding over "
+                             "the data mesh axis")
     return parser
 
 
