@@ -215,3 +215,36 @@ def test_fsdp_train_step_matches_replicated():
     # optimizer state inherited the sharded layout (memory actually saved)
     mu = new_state.opt_state[0].mu["blocks"]["ffn"]["fc1"]["w"]
     assert mu.addressable_shards[0].data.shape != mu.shape
+
+
+def test_multihost_mesh_single_host():
+    """make_multihost_mesh degenerates to the plain mesh on one host and
+    rejects seq/tensor that would cross DCN."""
+    from fairygen_tpu.parallel.multihost import (
+        initialize_multihost, make_multihost_mesh,
+    )
+
+    assert initialize_multihost() is False  # single process: no-op
+    mesh = make_multihost_mesh(seq=2, tensor=2)
+    assert dict(mesh.shape) == {"data": 2, "seq": 2, "tensor": 2}
+    with pytest.raises(ValueError):
+        make_multihost_mesh(seq=16)  # exceeds one host's devices
+    with pytest.raises(ValueError):
+        make_multihost_mesh(data=3, seq=2)  # 3*2 != 8
+
+
+def test_multihost_mesh_runs_train_step():
+    from fairygen_tpu.parallel.multihost import make_multihost_mesh
+
+    mesh = make_multihost_mesh(seq=2)
+    init_state, train_step = make_wan_sft_train_step(
+        CFG, optax.adamw(1e-3), mesh=mesh, remat=False)
+    params = init_dit_params(jax.random.key(1), CFG)
+    batch = {
+        "latents": jax.random.normal(jax.random.key(2), (4, 4, 4, 8, 8)),
+        "context": jax.random.normal(jax.random.key(3), (4, 12, 32)),
+    }
+    with mesh:
+        state = init_state(params)
+        _, loss = train_step(state, batch, jax.random.key(4))
+    assert np.isfinite(float(loss))
