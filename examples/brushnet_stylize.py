@@ -31,6 +31,8 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--brushnet_conditioning_scale", type=float, default=0.7)
+    p.add_argument("--scheduler", type=str, default="dpm", choices=["dpm", "lcm"],
+                   help="lcm = few-step sampling for LCM-LoRA/distilled UNets")
     p.add_argument("--seed", type=int, default=333)
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=1,
@@ -118,6 +120,7 @@ def main():
             height=args.size, width=args.size,
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
+            scheduler=args.scheduler,
             brushnet_conditioning_scale=args.brushnet_conditioning_scale,
             seed=args.seed + i,
         )

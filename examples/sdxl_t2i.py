@@ -32,6 +32,8 @@ def main():
     p.add_argument("--width", type=int, default=720)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--scheduler", type=str, default="dpm", choices=["dpm", "lcm"],
+                   help="lcm = few-step sampling for LCM-LoRA/distilled UNets")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", type=str, default="output.png")
     args = p.parse_args()
@@ -83,6 +85,7 @@ def main():
         prompt=args.prompt, negative_prompt=args.negative_prompt,
         height=args.height, width=args.width,
         num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
+        scheduler=args.scheduler,
         seed=args.seed,
     )
     Image.fromarray(frames[0]).save(args.output)

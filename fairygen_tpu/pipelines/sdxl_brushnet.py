@@ -90,6 +90,53 @@ def _sdxl_denoise_chunk(
     return jax.lax.fori_loop(start, start + length, step, (latents, dstate))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "bn_cfg", "length", "do_cfg", "dtype"),
+)
+def _sdxl_lcm_denoise_chunk(
+    unet_params, bn_params, latents, step_noise, ehs, text_embeds, time_ids,
+    cond_lat, keep_sched, guidance_scale, bn_scale, tables, start,
+    *, unet_cfg, bn_cfg, length, do_cfg, dtype,
+):
+    """LCM few-step rollout (one jitted program; fresh per-step noise is
+    passed in as ``step_noise`` (n, *latents.shape) so the whole loop stays
+    pure — diffusers injects it inside step(), scheduling_lcm.py:578-585)."""
+    from ..diffusion.lcm import LCMScheduler
+
+    use_bn = bn_params is not None and cond_lat is not None
+    lcm = LCMScheduler()
+
+    def step(i, lat):
+        t = tables["timesteps"][i]
+        x_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+        kwargs = {}
+        if use_bn:
+            down, mid, up = brushnet_forward(
+                bn_params, bn_cfg, x_in.astype(dtype), t, ehs.astype(dtype),
+                cond_lat.astype(dtype), text_embeds=text_embeds,
+                time_ids=time_ids,
+                conditioning_scale=bn_scale * keep_sched[i],
+            )
+            kwargs = dict(
+                down_block_add_samples=list(down),
+                mid_block_add_sample=mid,
+                up_block_add_samples=list(up),
+            )
+        noise_pred = unet2d_forward(
+            unet_params, unet_cfg, x_in.astype(dtype), t, ehs.astype(dtype),
+            text_embeds=text_embeds, time_ids=time_ids, **kwargs,
+        ).astype(jnp.float32)
+        if do_cfg:
+            uncond, text = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance_scale * (text - uncond)
+        lat, _ = lcm.step_from_tables(tables, noise_pred, i, lat,
+                                      step_noise[i])
+        return lat
+
+    return jax.lax.fori_loop(start, start + length, step, latents)
+
+
 # jitted VAE entries: unjitted op-by-op dispatch keeps every intermediate
 # alive and OOMs HBM at 1024px; one compiled program lets XLA reuse buffers
 _vae_decode_jit = jax.jit(vae_decode, static_argnums=(1,))
@@ -159,6 +206,7 @@ class SDXLBrushNetPipeline:
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 1.0,
         seed: int = 0,
+        scheduler: str = "dpm",  # "dpm" | "lcm" (few-step LCM-LoRA/distilled)
         output_type: str = "np",
         torch_compat_noise: bool = False,
     ):
@@ -178,8 +226,14 @@ class SDXLBrushNetPipeline:
                                               (batch, 1))
 
         sf = self.vae_cfg.scaling_factor
-        sched = DPMSolverMultistepScheduler()
-        sched.set_timesteps(num_inference_steps)
+        use_lcm = scheduler == "lcm"
+        if use_lcm:
+            from ..diffusion.lcm import LCMScheduler
+
+            sched = LCMScheduler().set_timesteps(num_inference_steps)
+        else:
+            sched = DPMSolverMultistepScheduler()
+            sched.set_timesteps(num_inference_steps)
 
         # DPMSolverMultistep has init_noise_sigma == 1.0 (no initial scaling)
         f = self.vae_cfg.downscale_factor
@@ -220,8 +274,18 @@ class SDXLBrushNetPipeline:
         else:
             ehs, text_embeds, time_ids = prompt_embeds, pooled_embeds, add_time_ids
 
-        state = sched.init_state(latents.shape)
         n = num_inference_steps
+        if use_lcm:
+            state = None
+            # fresh multistep noise per step, seeded (scheduling_lcm.py:578)
+            step_noise = jnp.stack([
+                generate_noise(latents.shape, seed=seed + 100003 + i,
+                               dtype=jnp.float32,
+                               torch_compat=torch_compat_noise)
+                for i in range(n)
+            ])
+        else:
+            state = sched.init_state(latents.shape)
         # brushnet_keep start/end schedule (reference :1303-1310)
         keep_sched = jnp.asarray(
             [
@@ -255,23 +319,32 @@ class SDXLBrushNetPipeline:
             time_ids = jax.device_put(time_ids, dp)
             if cond is not None:
                 cond = jax.device_put(cond, dp)
-            # DPM state: prev_x0 is latent-shaped (batch-sharded), the
-            # has_prev flag is a scalar (replicated)
-            state = jax.tree.map(
-                lambda a: jax.device_put(a, dp if a.ndim > 0 else rep),
-                state)
+            if state is not None:
+                # DPM state: prev_x0 is latent-shaped (batch-sharded), the
+                # has_prev flag is a scalar (replicated)
+                state = jax.tree.map(
+                    lambda a: jax.device_put(a, dp if a.ndim > 0 else rep),
+                    state)
+            else:
+                step_noise = jax.device_put(
+                    step_noise, NamedSharding(self.mesh, P(None, "data")))
         s = 0
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
-            latents, state = _sdxl_denoise_chunk(
-                self.unet_params, bn_params, latents, state, ehs,
-                text_embeds, time_ids, cond, keep_sched,
-                jnp.asarray(guidance_scale, jnp.float32),
-                jnp.asarray(brushnet_conditioning_scale, jnp.float32),
-                tables, jnp.int32(s),
-                unet_cfg=self.unet_cfg, bn_cfg=self.brushnet_cfg,
-                length=ln, do_cfg=do_cfg, dtype=self.dtype,
-            )
+            common = (ehs, text_embeds, time_ids, cond, keep_sched,
+                      jnp.asarray(guidance_scale, jnp.float32),
+                      jnp.asarray(brushnet_conditioning_scale, jnp.float32),
+                      tables, jnp.int32(s))
+            kw = dict(unet_cfg=self.unet_cfg, bn_cfg=self.brushnet_cfg,
+                      length=ln, do_cfg=do_cfg, dtype=self.dtype)
+            if use_lcm:
+                latents = _sdxl_lcm_denoise_chunk(
+                    self.unet_params, bn_params, latents, step_noise,
+                    *common, **kw)
+            else:
+                latents, state = _sdxl_denoise_chunk(
+                    self.unet_params, bn_params, latents, state,
+                    *common, **kw)
             s += ln
 
         if output_type == "latent":

@@ -157,3 +157,45 @@ def test_batched_generation_data_parallel_mesh(goldens):
     got = SDXLBrushNetPipeline(mesh=mesh, **kw)(**call_kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_lcm_few_step_path(goldens):
+    """scheduler='lcm' runs the 4-step LCM rollout; matches a manual
+    composition of unet2d_forward + the golden-tested LCM step."""
+    import jax
+
+    from fairygen_tpu.core.noise import generate_noise
+    from fairygen_tpu.diffusion.lcm import LCMScheduler
+    from fairygen_tpu.models.sdxl.unet2d import unet2d_forward
+
+    g = goldens("brushnet_pipeline")
+    pipe = SDXLBrushNetPipeline(
+        unet_params=convert_unet2d_state_dict(_sd(g, "unet"), UNET_CFG),
+        unet_cfg=UNET_CFG,
+        vae_params=convert_autoencoder_kl_state_dict(_sd(g, "vae"), VAE_CFG),
+        vae_cfg=VAE_CFG,
+    )
+    pe, ppe = jnp.asarray(g["pe"]), jnp.asarray(g["ppe"])
+    out = pipe(prompt_embeds=pe, pooled_embeds=ppe, height=64, width=64,
+               num_inference_steps=4, guidance_scale=1.0, seed=11,
+               scheduler="lcm", output_type="latent")
+
+    # manual composition
+    sched = LCMScheduler().set_timesteps(4)
+    tables = sched.tables()
+    f = VAE_CFG.downscale_factor
+    lat_shape = (1, VAE_CFG.latent_channels, 64 // f, 64 // f)
+    lat = generate_noise(lat_shape, seed=11, dtype=jnp.float32)
+    time_ids = jnp.asarray([[64, 64, 0, 0, 64, 64]], jnp.float32)
+    for i in range(4):
+        eps = unet2d_forward(
+            pipe.unet_params, UNET_CFG, lat.astype(jnp.float32),
+            tables["timesteps"][i], pe.astype(jnp.float32),
+            text_embeds=ppe, time_ids=time_ids,
+        ).astype(jnp.float32)
+        noise = generate_noise(lat_shape, seed=11 + 100003 + i,
+                               dtype=jnp.float32)
+        lat, _ = sched.step_from_tables(tables, eps, i, lat, noise)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat),
+                               atol=2e-4, rtol=1e-3)
