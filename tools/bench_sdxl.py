@@ -130,3 +130,68 @@ float(o.astype(jnp.float32).sum())
 dt = (time.perf_counter()-t0)/N
 print(f"SDXL+BrushNet 1024px CFG step: {dt*1e3:.0f} ms -> 50-step image: {dt*50:.1f}s "
       f"({1/(dt*50):.2f} img/s/chip)", flush=True)
+
+# --- LCM few-step mode: no CFG (guidance embedded in the distilled model),
+# 4 steps + fp32 VAE decode = the published >1 img/s path.
+x1 = jnp.zeros((1, 4, 128, 128), dtype)
+ehs1, te1_, ti1 = ehs[:1], te[:1], ti[:1]
+cond1 = cond[:1]
+
+@jax.jit
+def lcm_step(up_p, bp_p, x):
+    d, m, u = brushnet_forward(bp_p, bcfg, x, t, ehs1, cond1, text_embeds=te1_,
+                               time_ids=ti1, conditioning_scale=0.7)
+    return unet2d_forward(up_p, ucfg, x, t, ehs1, text_embeds=te1_, time_ids=ti1,
+                          down_block_add_samples=list(d), mid_block_add_sample=m,
+                          up_block_add_samples=list(u))
+
+o = lcm_step(up, bp, x1); float(o.astype(jnp.float32).sum())
+t0 = time.perf_counter()
+for _ in range(N):
+    o = lcm_step(up, bp, x1)
+float(o.astype(jnp.float32).sum())
+dt1 = (time.perf_counter()-t0)/N
+
+from fairygen_tpu.models.sdxl.vae import AutoencoderKLConfig, vae_decode
+vcfg = AutoencoderKLConfig.sdxl()
+def zeros_vae_decoder(cfg, dtype):
+    dec_bo = list(reversed(cfg.block_out_channels))
+    def conv(kh, kw, i, o): return {"w": jnp.zeros((kh, kw, i, o), dtype), "b": jnp.zeros((o,), dtype)}
+    def norm(c): return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+    def dense(i, o): return {"w": jnp.zeros((i, o), dtype), "b": jnp.zeros((o,), dtype)}
+    def resnet(i, o):
+        pp = {"norm1": norm(i), "conv1": conv(3,3,i,o), "norm2": norm(o), "conv2": conv(3,3,o,o)}
+        if i != o: pp["conv_shortcut"] = conv(1,1,i,o)
+        return pp
+    ch = dec_bo[0]
+    mid = {"res1": resnet(ch, ch), "res2": resnet(ch, ch),
+           "attn": {"group_norm": norm(ch), "to_q": dense(ch, ch), "to_k": dense(ch, ch),
+                     "to_v": dense(ch, ch), "to_out": dense(ch, ch)}}
+    ups = []
+    for i, out in enumerate(dec_bo):
+        st = {"resnets": [resnet(ch if j == 0 else out, out) for j in range(cfg.layers_per_block + 1)]}
+        if i != len(dec_bo) - 1:
+            st["upsamplers"] = conv(3,3,out,out)
+        ups.append(st); ch = out
+    return {"post_quant_conv": conv(1,1,cfg.latent_channels,cfg.latent_channels),
+            "decoder": {"conv_in": conv(3,3,cfg.latent_channels,dec_bo[0]), "mid": mid,
+                        "up_blocks": ups, "conv_norm_out": norm(dec_bo[-1]),
+                        "conv_out": conv(3,3,dec_bo[-1],3)}}
+
+try:
+    vp = zeros_vae_decoder(vcfg, jnp.float32)
+    dec = jax.jit(lambda p, z: vae_decode(p, vcfg, z))
+    z = jnp.zeros((1, 4, 128, 128), jnp.float32)
+    img = dec(vp, z); float(img.astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    img = dec(vp, z); float(img.astype(jnp.float32).sum())
+    dt_vae = time.perf_counter() - t0
+except Exception as e:
+    print("vae decode bench skipped:", e)
+    dt_vae = 0.0
+
+for steps in (4, 8):
+    total = dt1 * steps + dt_vae
+    print(f"LCM {steps}-step 1024px image (no-CFG step {dt1*1e3:.0f} ms "
+          f"+ VAE {dt_vae*1e3:.0f} ms): {total:.2f}s ({1/total:.2f} img/s/chip)",
+          flush=True)
