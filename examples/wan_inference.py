@@ -52,8 +52,13 @@ def main():
     p.add_argument("--tea_cache_l1_thresh", type=float, default=None)
     p.add_argument("--tea_cache_model_id", type=str, default="Wan2.1-T2V-1.3B")
     p.add_argument("--usp", type=int, default=0,
-                   help="Ulysses sequence-parallel degree (0 = off); shards "
+                   help="sequence-parallel degree (0 = off); shards "
                         "the token axis over a (1, usp) device mesh")
+    p.add_argument("--sp_strategy", type=str, default="ulysses",
+                   choices=["ulysses", "ring"],
+                   help="sequence-parallel schedule: Ulysses all-to-all "
+                        "(head-scatter; needs num_heads %% usp == 0) or "
+                        "ring ppermute (nearest-neighbor ICI, any degree)")
     # variants
     p.add_argument("--vace_video", type=str, default=None,
                    help="control video (mp4/gif/frame dir) for VACE models")
@@ -81,7 +86,7 @@ def main():
         mesh = make_mesh(data=1, seq=args.usp)
     pipe = WanVideoPipeline.from_pretrained(
         json.loads(args.model_paths), tokenizer_path=args.tokenizer_path,
-        mesh=mesh,
+        mesh=mesh, sp_strategy=args.sp_strategy,
     )
     if args.lora:
         pipe.load_lora(args.lora, alpha=args.lora_alpha)

@@ -493,6 +493,7 @@ def wan_dit_forward(
     face_pixel_values=None,  # (B, 3, F, 512, 512) animate face crops
     t_mod_bias=None,  # motion controller additive t_mod (B, 6, D)
     mesh=None,  # jax.sharding.Mesh with (data, seq, tensor) axes for SPMD
+    sp_strategy: str = "ulysses",  # 'ulysses' (all-to-all) | 'ring' (ppermute)
     tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> returns (out, state)
     tea_cache_opts=None,  # dict(model_id=, rel_l1_thresh=, num_inference_steps=)
 ):
@@ -503,7 +504,11 @@ def wan_dit_forward(
     With ``mesh``: the token axis is padded to the seq-axis size, sharded
     over it, and self-attention runs via Ulysses all-to-all — the SPMD
     equivalent of the reference's USP chunk/all-gather/monkey-patch path
-    (wan_video.py:1310-1315, 1379-1382).
+    (wan_video.py:1310-1315, 1379-1382) — or, with
+    ``sp_strategy='ring'``, via ring/context-parallel ppermute rotation
+    (which the reference pins off, xdit_context_parallel.py:21; see
+    parallel/ring.py). Ring lifts Ulysses' ``num_heads % n_shards``
+    constraint.
     """
     b = latents.shape[0]
     B, C, F, H, W = latents.shape
@@ -601,7 +606,14 @@ def wan_dit_forward(
                 t_mod, _ = pad_to_multiple(t_mod, 1, sp)
             if seg_boundary is None and t.ndim == 3:
                 t, _ = pad_to_multiple(t, 1, sp)
-            attn_fn = make_ulysses_attention(mesh, prescaled=True, kv_len=s_orig)
+            if sp_strategy == "ring":
+                from ...parallel.ring import make_ring_attention
+
+                attn_fn = make_ring_attention(mesh, prescaled=True,
+                                              kv_len=s_orig)
+            else:
+                attn_fn = make_ulysses_attention(mesh, prescaled=True,
+                                                 kv_len=s_orig)
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P(AXES.data, AXES.seq))
         )

@@ -63,6 +63,54 @@ def xla_attention(q, k, v, scale=None, prescaled=False, kv_len=None):
     return jnp.einsum("bnst,btnd->bsnd", probs, v)
 
 
+def xla_attention_with_lse(q, k, v, scale=None, prescaled=False,
+                           valid_cols=None):
+    """Attention that also returns the per-row logsumexp in **base 2**
+    (matching the Pallas kernel's internal domain) for partial-softmax
+    merging (ring / context-parallel attention).
+
+    ``valid_cols``: optional boolean (T,) kv-column validity mask — may be
+    a *traced* value (unlike ``kv_len``, which is static), which ring
+    attention needs because each device sees a different kv chunk.
+    Returns (out (B,S,N,D), lse2 (B,S,N) float32)."""
+    d = q.shape[-1]
+    if prescaled:
+        mult = 1.0  # q already carries scale·log2e
+    else:
+        mult = ((d**-0.5) if scale is None else scale) * _LOG2E
+    logits2 = jnp.einsum("bsnd,btnd->bnst", q, k).astype(jnp.float32) * mult
+    if valid_cols is not None:
+        logits2 = jnp.where(valid_cols[None, None, None, :], logits2, -1e30)
+    m = jnp.max(logits2, axis=-1, keepdims=True)
+    p = jnp.exp2(logits2 - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bnst,btnd->bsnd", (p / l).astype(q.dtype), v)
+    lse2 = (m + jnp.log2(l))[..., 0].transpose(0, 2, 1)  # (B, S, N)
+    return out, lse2
+
+
+def attention_with_lse(q, k, v, scale=None, impl: Optional[str] = None,
+                       prescaled: bool = False,
+                       kv_len: Optional[int] = None):
+    """Like :func:`attention` but also returns base-2 logsumexp (B,S,N).
+
+    Note: the Pallas path reuses the backward-pass LSE kernel and is
+    forward-only (no custom VJP on the lse output); use impl='xla' when
+    differentiating through the partials (e.g. context-parallel training
+    experiments)."""
+    resolved = _resolve(impl)
+    if resolved == "pallas":
+        from .flash_attention import flash_attention_with_lse
+
+        return flash_attention_with_lse(q, k, v, scale=scale,
+                                        prescaled=prescaled, kv_len=kv_len)
+    valid = None
+    if kv_len is not None and kv_len != k.shape[1]:
+        valid = jnp.arange(k.shape[1]) < kv_len
+    return xla_attention_with_lse(q, k, v, scale=scale, prescaled=prescaled,
+                                  valid_cols=valid)
+
+
 def attention(q, k, v, scale=None, impl: Optional[str] = None,
               prescaled: bool = False, kv_len: Optional[int] = None):
     """Scaled dot-product attention, (B, S, N, D) in/out, no mask.

@@ -228,6 +228,18 @@ def flash_attention(q, k, v, scale=None, prescaled=False, kv_len=None):
     return _flash_fwd_impl(q, k, v, scale, prescaled, kv_len)
 
 
+def flash_attention_with_lse(q, k, v, scale=None, prescaled=False,
+                             kv_len=None):
+    """Forward that also returns the per-row logsumexp in base 2
+    (B,Sq,N) float32 — the merge statistic for ring/context-parallel
+    attention (parallel/ring.py).  Reuses the LSE-emitting kernel the
+    backward pass already uses; forward-only (no VJP through lse)."""
+    b, sq, n, d = q.shape
+    o, (_, _, _, _, lse) = _flash_fwd(q, k, v, scale, prescaled, kv_len)
+    lse = lse[:, :sq, 0].reshape(b, n, sq).transpose(0, 2, 1)
+    return o, lse
+
+
 def _flash_fwd_impl(q, k, v, scale=None, prescaled=False, kv_len=None):
     """q (B,Sq,N,D), k/v (B,Sk,N,D) -> (B,Sq,N,D)."""
     b, sq, n, d = q.shape

@@ -60,7 +60,7 @@ from ..models.wan.vae import WanVAEConfig, vae38_decode, vae38_encode
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "length", "cfg_merge", "fuse", "mesh",
-                     "tea_opts", "vace_cfg", "animate_cfg"),
+                     "sp_strategy", "tea_opts", "vace_cfg", "animate_cfg"),
 )
 def _denoise_chunk(
     params, lat, ffl, context, negative_context, y, clip_feature, t_mod_bias,
@@ -69,7 +69,8 @@ def _denoise_chunk(
     face_pixel_values_nega,
     timesteps, sigmas, cfg_scale, tea_state_a, tea_state_b, start,
     *, dit_cfg: WanDiTConfig, length: int, cfg_merge: bool, fuse: bool,
-    mesh, tea_opts: Optional[tuple], vace_cfg=None, animate_cfg=None,
+    mesh, sp_strategy: str = "ulysses", tea_opts: Optional[tuple],
+    vace_cfg=None, animate_cfg=None,
 ):
     """Run ``length`` Euler flow-match steps starting at step ``start``.
 
@@ -110,7 +111,7 @@ def _denoise_chunk(
         out = wan_dit_forward(
             params, dit_cfg, x, t, c, y=y_, clip_feature=clip_,
             fuse_vae_embedding_in_latents=fuse, mesh=mesh,
-            t_mod_bias=t_mod_bias,
+            sp_strategy=sp_strategy, t_mod_bias=t_mod_bias,
             control_camera_tokens=rep(camera_tokens),
             reference_latents=rep(reference_latents),
             tea_cache_state=tc if tea_opts is not None else None, **tea_kw,
@@ -187,14 +188,17 @@ def _s2v_sweep(params, lat, t, ctx, audio, motion_latents, pose,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dit_cfg", "fuse", "mesh"))
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "fuse", "mesh",
+                                              "sp_strategy"))
 def _dit_sweep(params, x, t, c, y, clip_feature, t_mod_bias,
-               *, dit_cfg: WanDiTConfig, fuse: bool, mesh):
+               *, dit_cfg: WanDiTConfig, fuse: bool, mesh,
+               sp_strategy: str = "ulysses"):
     """Single DiT forward — used by the sliding-window (long video) path
     where the window shape varies per call (jit caches per shape)."""
     return wan_dit_forward(
         params, dit_cfg, x, t, c, y=y, clip_feature=clip_feature,
-        fuse_vae_embedding_in_latents=fuse, mesh=mesh, t_mod_bias=t_mod_bias,
+        fuse_vae_embedding_in_latents=fuse, mesh=mesh,
+        sp_strategy=sp_strategy, t_mod_bias=t_mod_bias,
     )
 
 
@@ -230,13 +234,15 @@ class WanVideoPipeline:
     animate_cfg: Any = None
     vap_params: Any = None  # VAP/MoT side branch (models.wan.mot)
     vap_cfg: Any = None
-    mesh: Any = None  # jax.sharding.Mesh — Ulysses SP inside the DiT
+    mesh: Any = None  # jax.sharding.Mesh — sequence parallelism inside the DiT
+    sp_strategy: str = "ulysses"  # 'ulysses' | 'ring' (parallel/ring.py)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 5  # denoise steps per jit dispatch
 
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_path=None,
-                        dtype=jnp.bfloat16, hints=None, mesh=None):
+                        dtype=jnp.bfloat16, hints=None, mesh=None,
+                        sp_strategy: str = "ulysses"):
         """Hash-detected checkpoint loading (reference wan_video.py:98-169):
         throw DiT/VAE/UMT5 files at the pool, fetch by role.  Two DiT files
         become the (dit, dit2) two-expert pair.  With ``mesh``, params are
@@ -269,10 +275,10 @@ class WanVideoPipeline:
             tokenizer=tokenizer, dit2_params=dit2, dtype=dtype,
         )
         if mesh is not None:
-            pipe.use_mesh(mesh)
+            pipe.use_mesh(mesh, sp_strategy=sp_strategy)
         return pipe
 
-    def use_mesh(self, mesh):
+    def use_mesh(self, mesh, sp_strategy: str = "ulysses"):
         """Place params over ``mesh`` and run the denoise SPMD: Ulysses
         sequence parallelism over the seq axis, data parallelism for the CFG
         batch over the data axis, and — when the mesh has a tensor axis —
@@ -297,6 +303,7 @@ class WanVideoPipeline:
         self.vae_params = put(self.vae_params)
         self.te_params = put(self.te_params)
         self.mesh = mesh
+        self.sp_strategy = sp_strategy
         return self
 
     def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
@@ -1066,7 +1073,8 @@ class WanVideoPipeline:
                     timesteps, sigmas, cfg_scale,
                     tea_a, tea_b, jnp.int32(s),
                     dit_cfg=self.dit_cfg, length=ln, cfg_merge=cfg_merge,
-                    fuse=fuse, mesh=self.mesh, tea_opts=tea_opts,
+                    fuse=fuse, mesh=self.mesh,
+                    sp_strategy=self.sp_strategy, tea_opts=tea_opts,
                     vace_cfg=self.vace_cfg if vace_context is not None else None,
                     animate_cfg=(self.animate_cfg
                                  if pose_latents is not None else None),
@@ -1139,12 +1147,13 @@ class WanVideoPipeline:
             def model_fn(window, y=None):
                 v = _dit_sweep(params, window, t1, context, y, clip_feature,
                                t_mod_bias, dit_cfg=self.dit_cfg, fuse=fuse,
-                               mesh=self.mesh)
+                               mesh=self.mesh, sp_strategy=self.sp_strategy)
                 if use_cfg:
                     v_n = _dit_sweep(params, window, t1, negative_context, y,
                                      clip_feature, t_mod_bias,
                                      dit_cfg=self.dit_cfg, fuse=fuse,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     sp_strategy=self.sp_strategy)
                     v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
                 return v
 

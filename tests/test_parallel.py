@@ -137,6 +137,84 @@ def test_dit_seq_parallel_ragged_padding():
 
 @requires_8dev
 @pytest.mark.slow
+def test_ring_attention_matches_dense():
+    from fairygen_tpu.parallel.ring import make_ring_attention
+
+    mesh = make_mesh(data=1, seq=8)
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (2, 32, 8, 16))
+    k = jax.random.normal(ks[1], (2, 32, 8, 16))
+    v = jax.random.normal(ks[2], (2, 32, 8, 16))
+    with mesh:
+        out = jax.jit(make_ring_attention(mesh))(q, k, v)
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_ring_attention_odd_heads():
+    """Ring has no num_heads % n_shards constraint (Ulysses does): 6 heads
+    over an 8-way seq axis."""
+    from fairygen_tpu.parallel.ring import make_ring_attention
+
+    mesh = make_mesh(data=1, seq=8)
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (1, 64, 6, 16))
+    k = jax.random.normal(ks[1], (1, 64, 6, 16))
+    v = jax.random.normal(ks[2], (1, 64, 6, 16))
+    with mesh:
+        out = jax.jit(make_ring_attention(mesh))(q, k, v)
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_ring_attention_ragged_kv_exact():
+    """kv padding columns are masked per visiting chunk: pad 60 -> 64
+    tokens, ring result must equal dense attention on the REAL 60."""
+    from fairygen_tpu.parallel.ring import make_ring_attention
+
+    mesh = make_mesh(data=1, seq=8)
+    ks = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(ks[0], (1, 60, 8, 16))
+    k = jax.random.normal(ks[1], (1, 60, 8, 16))
+    v = jax.random.normal(ks[2], (1, 60, 8, 16))
+    pad = [(0, 0), (0, 4), (0, 0), (0, 0)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    with mesh:
+        out = jax.jit(make_ring_attention(mesh, kv_len=60))(qp, kp, vp)
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out)[:, :60], np.asarray(ref),
+                               atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_dit_forward_ring_matches_single():
+    mesh = make_mesh(data=1, seq=8)
+    params = init_dit_params(jax.random.key(1), CFG)
+    lat = jax.random.normal(jax.random.key(2), (1, 4, 3, 10, 8)) * 0.3
+    ts = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.key(3), (1, 12, 32))
+
+    ref = wan_dit_forward(params, CFG, lat, ts, ctx,
+                          fuse_vae_embedding_in_latents=True)
+    with mesh:
+        out = jax.jit(
+            lambda p, l, t, c: wan_dit_forward(
+                p, CFG, l, t, c, fuse_vae_embedding_in_latents=True,
+                mesh=mesh, sp_strategy="ring",
+            )
+        )(params, lat, ts, ctx)
+    err = float(jnp.abs(out - ref).max())
+    scale = float(jnp.abs(ref).max())
+    assert err / scale < 1e-3, (err, scale)
+
+
+@requires_8dev
+@pytest.mark.slow
 def test_ffn_tensor_parallel_matches_single():
     """FFN weights split over the tensor axis (Megatron column/row split
     via shardings only) — forward matches the unsharded program."""

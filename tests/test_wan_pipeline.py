@@ -156,6 +156,24 @@ def test_pipeline_mesh_matches_single_device(goldens):
 
 
 @pytest.mark.slow
+def test_pipeline_mesh_ring_matches_single_device(goldens):
+    """Ring (context-parallel) SP through pipe(__call__): sp_strategy='ring'
+    rotates kv shards via ppermute (parallel/ring.py) — same result as the
+    single-device run, including ragged token counts (ring masks padded kv
+    per visiting chunk)."""
+    from fairygen_tpu.core.meshes import make_mesh
+    import jax
+
+    g = goldens("wan_pipeline")
+    kwargs = _full_kwargs(g, height=64, width=64)
+    ref = np.asarray(_pipe(g)(**kwargs))
+
+    mesh = make_mesh(data=1, seq=4, devices=jax.devices()[:4])
+    out = np.asarray(_pipe(g).use_mesh(mesh, sp_strategy="ring")(**kwargs))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_pipeline_mesh_cfg_merge_data_parallel(goldens):
     """cfg_merge makes the DiT batch 2 — shardable over data=2 on top of
     seq=2 (posi/nega branches run on disjoint device rows)."""

@@ -38,6 +38,10 @@ def main():
                    help="Ulysses axis size (-1 = all devices)")
     p.add_argument("--cfg-merge", action="store_true",
                    help="batched CFG (enables data-axis sharding of posi/nega)")
+    p.add_argument("--sp-strategy", type=str, default="ulysses",
+                   choices=["ulysses", "ring"],
+                   help="sequence-parallel schedule (ring = nearest-neighbor "
+                        "ppermute rotation, parallel/ring.py)")
     args = p.parse_args()
 
     from fairygen_tpu.core.meshes import make_mesh
@@ -47,7 +51,8 @@ def main():
     n_dev = jax.device_count()
     seq = n_dev if args.seq == -1 else args.seq
     mesh = make_mesh(data=1, seq=seq, devices=jax.devices()[:seq])
-    print(f"devices={n_dev} mesh seq={seq}", file=sys.stderr)
+    print(f"devices={n_dev} mesh seq={seq} sp={args.sp_strategy}",
+          file=sys.stderr)
 
     cfg = WanDiTConfig.ti2v_5b()
     if jax.devices()[0].platform == "cpu":
@@ -59,7 +64,7 @@ def main():
     params = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
 
     pipe = WanVideoPipeline(dit_params=params, dit_cfg=cfg, dtype=dtype)
-    pipe.use_mesh(mesh)
+    pipe.use_mesh(mesh, sp_strategy=args.sp_strategy)
 
     ctx = jnp.zeros((1, 512, cfg.text_dim), dtype)
     nctx = jnp.zeros_like(ctx)
