@@ -1,0 +1,450 @@
+"""FLUX.1 MMDiT — functional JAX port, TPU-first.
+
+Mirrors the reference's FluxDiT (``animation/diffsynth/models/flux_dit.py``)
+whose real forward lives in ``pipelines/flux_image.py:1003-1209``
+(``model_fn_flux_image``): 19 double-stream (joint text/image) blocks
+followed by 38 single-stream blocks over the concatenated [text, image]
+token sequence, 2x2-packed 16-channel latents, 3-axis RoPE over
+(batch-id, row, col) position ids, AdaLN conditioning from
+timestep + pooled-CLIP (+ embedded guidance for FLUX.1-dev).
+
+TPU-native decisions (not a translation):
+  - one ``lax.scan`` per block family over stacked params (two compiled
+    block bodies total instead of 57 unrolled ones), with optional
+    ``jax.checkpoint`` for training;
+  - the RoPE cos/sin table is built on the host in float64 (the reference
+    computes omega in fp64, flux_dit.py:25) and baked as fp32 constants —
+    position ids depend only on static shapes;
+  - the attention softmax scale·log2e is folded into the q RMS-norm gamma
+    at convert time (`prescaled`), so the Pallas flash kernel runs with no
+    extra elementwise pass (same trick as models/wan/dit.py);
+  - channels-last matmul layouts, bf16 params / fp32 softmax+norms.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.attention import attention
+from ...ops.norms import layer_norm, rms_norm
+
+_LOG2E = 1.4426950408889634
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxDiTConfig:
+    dim: int = 3072
+    num_heads: int = 24
+    in_dim: int = 64  # 16-ch latents packed 2x2 (flux_dit.py:296-298)
+    context_dim: int = 4096  # T5-XXL hidden size
+    pooled_dim: int = 768  # CLIP-L pooled embed
+    time_freq_dim: int = 256
+    num_double_blocks: int = 19
+    num_single_blocks: int = 38
+    axes_dim: Tuple[int, ...] = (16, 56, 56)  # RoPE per-axis dims
+    theta: int = 10000
+    guidance_embed: bool = True  # FLUX.1-dev; schnell has none
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    @staticmethod
+    def flux1_dev() -> "FluxDiTConfig":
+        return FluxDiTConfig()
+
+    @staticmethod
+    def flux1_schnell() -> "FluxDiTConfig":
+        return FluxDiTConfig(guidance_embed=False)
+
+    @staticmethod
+    def tiny(**over) -> "FluxDiTConfig":
+        base = dict(dim=96, num_heads=4, in_dim=16, context_dim=48,
+                    pooled_dim=32, time_freq_dim=32, num_double_blocks=2,
+                    num_single_blocks=2, axes_dim=(4, 10, 10))
+        base.update(over)
+        return FluxDiTConfig(**base)
+
+
+# ------------------------------------------------------------------ helpers
+def _dense(p, x):
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _timestep_sinusoid(t, dim: int):
+    """diffusers get_timestep_embedding with flip_sin_to_cos=True,
+    downscale_freq_shift=0 (reference general_modules.py:4-40): [cos, sin]."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _mlp_embed(p, x, dtype):
+    # Linear -> SiLU -> Linear (TimestepEmbeddings / pooled_text_embedder)
+    h = _dense(p["fc1"], x.astype(dtype))
+    return _dense(p["fc2"], jax.nn.silu(h))
+
+
+def prepare_image_ids(height: int, width: int) -> np.ndarray:
+    """(h/2 * w/2, 3) latent position ids (reference flux_dit.py:306-320):
+    axis 0 = image index (0; kontext images use 1), axis 1 = row, axis 2 =
+    col.  Host-side: ids depend only on static shapes."""
+    ids = np.zeros((height // 2, width // 2, 3), np.float64)
+    ids[..., 1] += np.arange(height // 2)[:, None]
+    ids[..., 2] += np.arange(width // 2)[None, :]
+    return ids.reshape(-1, 3)
+
+
+def rope_table(ids: np.ndarray, axes_dim, theta: int):
+    """cos/sin (L, head_dim/2) fp32 from (L, 3) ids.
+
+    The reference builds a [[cos,-sin],[sin,cos]] rotation per pair with
+    fp64 omega (flux_dit.py:22-35); equivalent interleaved-pair form."""
+    cos_parts, sin_parts = [], []
+    for i, d in enumerate(axes_dim):
+        scale = np.arange(0, d, 2, dtype=np.float64) / d
+        omega = 1.0 / (theta ** scale)
+        ang = np.einsum("n,d->nd", ids[:, i].astype(np.float64), omega)
+        cos_parts.append(np.cos(ang))
+        sin_parts.append(np.sin(ang))
+    cos = np.concatenate(cos_parts, axis=-1).astype(np.float32)
+    sin = np.concatenate(sin_parts, axis=-1).astype(np.float32)
+    return cos, sin
+
+
+def _apply_rope(x, cos, sin):
+    """x (B, L, N, D) with interleaved pairs; cos/sin (L, D/2) fp32."""
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out_e = c * xf[..., 0] - s * xf[..., 1]
+    out_o = s * xf[..., 0] + c * xf[..., 1]
+    return jnp.stack([out_e, out_o], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+def _split_heads(x, n):
+    b, l, d = x.shape
+    return x.reshape(b, l, n, d // n)
+
+
+def _merge_heads(x):
+    b, l, n, hd = x.shape
+    return x.reshape(b, l, n * hd)
+
+
+def _adaln(p, cond, n_chunks: int):
+    """SiLU + linear modulation (reference general_modules.AdaLayerNorm /
+    flux_dit.AdaLayerNormSingle/Continuous); cond (B, dim)."""
+    emb = _dense(p, jax.nn.silu(cond))
+    return jnp.split(emb[:, None, :], n_chunks, axis=-1)
+
+
+# ------------------------------------------------------------------ blocks
+def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled):
+    n = cfg.num_heads
+    qkv_a = _dense(p["a_qkv"], xa)
+    qkv_b = _dense(p["b_qkv"], xb)
+    q_a, k_a, v_a = jnp.split(_split_heads(qkv_a, 3 * n), 3, axis=2)
+    q_b, k_b, v_b = jnp.split(_split_heads(qkv_b, 3 * n), 3, axis=2)
+    q_a = rms_norm(q_a, p["norm_q_a"], cfg.eps)
+    k_a = rms_norm(k_a, p["norm_k_a"], cfg.eps)
+    q_b = rms_norm(q_b, p["norm_q_b"], cfg.eps)
+    k_b = rms_norm(k_b, p["norm_k_b"], cfg.eps)
+    # text (b) tokens first, matching the reference concat order
+    q = jnp.concatenate([q_b, q_a], axis=1)
+    k = jnp.concatenate([k_b, k_a], axis=1)
+    v = jnp.concatenate([v_b, v_a], axis=1)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+    o = _merge_heads(attention(q, k, v, prescaled=prescaled))
+    lb = xb.shape[1]
+    o_b, o_a = o[:, :lb], o[:, lb:]
+    return _dense(p["a_out"], o_a), _dense(p["b_out"], o_b)
+
+
+def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
+                      prescaled: bool = False):
+    """FluxJointTransformerBlock (flux_dit.py:108-148)."""
+    sh_a, sc_a, g_a, sh_ma, sc_ma, g_ma = _adaln(p["norm1_a"], cond, 6)
+    sh_b, sc_b, g_b, sh_mb, sc_mb, g_mb = _adaln(p["norm1_b"], cond, 6)
+    ya = layer_norm(xa, cfg.eps) * (1 + sc_a) + sh_a
+    yb = layer_norm(xb, cfg.eps) * (1 + sc_b) + sh_b
+    att_a, att_b = _joint_attention(p["attn"], ya, yb, cos, sin, cfg,
+                                    prescaled)
+    xa = xa + g_a * att_a
+    ya = layer_norm(xa, cfg.eps) * (1 + sc_ma) + sh_ma
+    xa = xa + g_ma * _dense(p["ff_a"]["fc2"],
+                            jax.nn.gelu(_dense(p["ff_a"]["fc1"], ya)))
+    xb = xb + g_b * att_b
+    yb = layer_norm(xb, cfg.eps) * (1 + sc_mb) + sh_mb
+    xb = xb + g_mb * _dense(p["ff_b"]["fc2"],
+                            jax.nn.gelu(_dense(p["ff_b"]["fc1"], yb)))
+    return xa, xb
+
+
+def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
+                      prescaled: bool = False):
+    """FluxSingleTransformerBlock (flux_dit.py:205-258): fused qkv+mlp
+    projection, parallel attention/GELU, joint output projection."""
+    n, d = cfg.num_heads, cfg.dim
+    shift, scale, gate = _adaln(p["norm"], cond, 3)
+    y = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    h = _dense(p["to_qkv_mlp"], y)
+    qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
+    q, k, v = jnp.split(_split_heads(qkv, 3 * n), 3, axis=2)
+    q = rms_norm(q, p["norm_q"], cfg.eps)
+    k = rms_norm(k, p["norm_k"], cfg.eps)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+    att = _merge_heads(attention(q, k, v, prescaled=prescaled))
+    h = jnp.concatenate([att, jax.nn.gelu(mlp)], axis=-1)
+    return x + gate * _dense(p["proj_out"], h)
+
+
+# ------------------------------------------------------------------ forward
+def patchify(latents):
+    """(B, C, H, W) -> (B, H/2*W/2, C*4), layout (C P Q)
+    (reference flux_dit.py:296-298)."""
+    b, c, h, w = latents.shape
+    x = latents.reshape(b, c, h // 2, 2, w // 2, 2)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # B, H, W, C, P, Q
+    return x.reshape(b, (h // 2) * (w // 2), c * 4)
+
+
+def unpatchify(x, height: int, width: int):
+    b, _, cd = x.shape
+    c = cd // 4
+    x = x.reshape(b, height // 2, width // 2, c, 2, 2)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, c, height, width)
+
+
+def flux_dit_forward(
+    params,
+    cfg: FluxDiTConfig,
+    latents,  # (B, 16, H, W) latent image
+    timestep,  # (B,) float in [0, 1000]
+    prompt_emb,  # (B, Lt, context_dim) T5 embeddings
+    pooled_prompt_emb,  # (B, pooled_dim) CLIP pooled
+    guidance=None,  # (B,) embedded guidance (dev); x1000 inside
+    *,
+    image_ids: Optional[np.ndarray] = None,  # (L_img, 3) host array
+    kontext_latents=None,  # (B, Lk, in_dim) pre-packed reference latents
+    kontext_image_ids: Optional[np.ndarray] = None,  # (Lk, 3)
+    remat: bool = False,
+    prescaled: bool = False,  # scale·log2e folded into norm_q at convert
+):
+    """model_fn_flux_image core path (reference flux_image.py:1003-1209);
+    ControlNet / IP-Adapter / EliGen / Step1x branches are out of scope
+    (SURVEY.md §2.3 scopes the FLUX extras out)."""
+    b, c, h, w = latents.shape
+    dtype = latents.dtype
+
+    cond = _mlp_embed(params["time_embedder"],
+                      _timestep_sinusoid(timestep, cfg.time_freq_dim), dtype)
+    cond = cond + _mlp_embed(params["pooled_text_embedder"],
+                             pooled_prompt_emb, dtype)
+    if cfg.guidance_embed:
+        assert guidance is not None, "FLUX.1-dev requires embedded guidance"
+        cond = cond + _mlp_embed(
+            params["guidance_embedder"],
+            _timestep_sinusoid(guidance * 1000.0, cfg.time_freq_dim), dtype)
+
+    x = patchify(latents)
+    if image_ids is None:
+        image_ids = prepare_image_ids(h, w)
+    ids = [np.zeros((prompt_emb.shape[1], 3), np.float64), image_ids]
+    if kontext_latents is not None:
+        x = jnp.concatenate([x, kontext_latents.astype(dtype)], axis=1)
+        assert kontext_image_ids is not None
+        ids.append(kontext_image_ids)
+    cos, sin = rope_table(np.concatenate(ids, axis=0), cfg.axes_dim,
+                          cfg.theta)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    x = _dense(params["x_embedder"], x)
+    ctx = _dense(params["context_embedder"], prompt_emb.astype(dtype))
+
+    def dbl(carry, p):
+        xa, xb = carry
+        return flux_double_block(p, xa, xb, cond, cos, sin, cfg,
+                                 prescaled), None
+
+    def sgl(carry, p):
+        return flux_single_block(p, carry, cond, cos, sin, cfg,
+                                 prescaled), None
+
+    if remat:
+        dbl = jax.checkpoint(dbl)
+        sgl = jax.checkpoint(sgl)
+
+    (x, ctx), _ = jax.lax.scan(dbl, (x, ctx), params["double_blocks"])
+    x = jnp.concatenate([ctx, x], axis=1)
+    (x, _) = jax.lax.scan(sgl, x, params["single_blocks"])
+    x = x[:, ctx.shape[1]:]
+
+    shift, scale = _adaln(params["final_norm_out"], cond, 2)
+    x = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    x = _dense(params["final_proj_out"], x)
+    if kontext_latents is not None:
+        x = x[:, : (h // 2) * (w // 2)]
+    return unpatchify(x, h, w)
+
+
+# ------------------------------------------------------------------ params
+def _init_dense(key, din, dout, dtype):
+    k1, k2 = jax.random.split(key)
+    lim = (din ** -0.5)
+    return {"w": jax.random.uniform(k1, (din, dout), dtype, -lim, lim),
+            "b": jax.random.uniform(k2, (dout,), dtype, -lim, lim)}
+
+
+def init_flux_dit_params(key, cfg: FluxDiTConfig, dtype=jnp.float32):
+    d, hd = cfg.dim, cfg.head_dim
+    keys = iter(jax.random.split(key, 64))
+
+    def mlp(din):
+        return {"fc1": _init_dense(next(keys), din, d, dtype),
+                "fc2": _init_dense(next(keys), d, d, dtype)}
+
+    def stack(n, fn):
+        leaves = [fn(jax.random.fold_in(next(keys), i)) for i in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+    def dbl(k):
+        ks = iter(jax.random.split(k, 16))
+        return {
+            "norm1_a": _init_dense(next(ks), d, 6 * d, dtype),
+            "norm1_b": _init_dense(next(ks), d, 6 * d, dtype),
+            "attn": {
+                "a_qkv": _init_dense(next(ks), d, 3 * d, dtype),
+                "b_qkv": _init_dense(next(ks), d, 3 * d, dtype),
+                "norm_q_a": jnp.ones((hd,), dtype),
+                "norm_k_a": jnp.ones((hd,), dtype),
+                "norm_q_b": jnp.ones((hd,), dtype),
+                "norm_k_b": jnp.ones((hd,), dtype),
+                "a_out": _init_dense(next(ks), d, d, dtype),
+                "b_out": _init_dense(next(ks), d, d, dtype),
+            },
+            "ff_a": {"fc1": _init_dense(next(ks), d, 4 * d, dtype),
+                     "fc2": _init_dense(next(ks), 4 * d, d, dtype)},
+            "ff_b": {"fc1": _init_dense(next(ks), d, 4 * d, dtype),
+                     "fc2": _init_dense(next(ks), 4 * d, d, dtype)},
+        }
+
+    def sgl(k):
+        ks = iter(jax.random.split(k, 4))
+        return {
+            "norm": _init_dense(next(ks), d, 3 * d, dtype),
+            "to_qkv_mlp": _init_dense(next(ks), d, 7 * d, dtype),
+            "norm_q": jnp.ones((hd,), dtype),
+            "norm_k": jnp.ones((hd,), dtype),
+            "proj_out": _init_dense(next(ks), 5 * d, d, dtype),
+        }
+
+    params = {
+        "time_embedder": {
+            "fc1": _init_dense(next(keys), cfg.time_freq_dim, d, dtype),
+            "fc2": _init_dense(next(keys), d, d, dtype),
+        },
+        "pooled_text_embedder": {
+            "fc1": _init_dense(next(keys), cfg.pooled_dim, d, dtype),
+            "fc2": _init_dense(next(keys), d, d, dtype),
+        },
+        "context_embedder": _init_dense(next(keys), cfg.context_dim, d, dtype),
+        "x_embedder": _init_dense(next(keys), cfg.in_dim, d, dtype),
+        "double_blocks": stack(cfg.num_double_blocks, dbl),
+        "single_blocks": stack(cfg.num_single_blocks, sgl),
+        "final_norm_out": _init_dense(next(keys), d, 2 * d, dtype),
+        "final_proj_out": _init_dense(next(keys), d, cfg.in_dim, dtype),
+    }
+    if cfg.guidance_embed:
+        params["guidance_embedder"] = {
+            "fc1": _init_dense(next(keys), cfg.time_freq_dim, d, dtype),
+            "fc2": _init_dense(next(keys), d, d, dtype),
+        }
+    return params
+
+
+# ------------------------------------------------------------------ convert
+def convert_flux_dit_state_dict(sd: Dict[str, Any], cfg: FluxDiTConfig,
+                                dtype=None, prescale: bool = False):
+    """Consumes the reference FluxDiT module naming (what
+    ``FluxDiTStateDictConverter`` emits / ``FluxDiT.state_dict()``).
+
+    ``prescale``: fold softmax scale·log2e into every q-norm gamma so the
+    forward can run ``prescaled=True`` (exactly free; see module doc)."""
+    import numpy as _np
+
+    def lin(name):
+        p = {"w": _np.asarray(sd[name + ".weight"]).T}
+        if name + ".bias" in sd:
+            p["b"] = _np.asarray(sd[name + ".bias"])
+        return p
+
+    def vec(name):
+        return _np.asarray(sd[name + ".weight"])
+
+    s = (cfg.head_dim ** -0.5) * _LOG2E if prescale else 1.0
+
+    def mlp(pre):
+        return {"fc1": lin(pre + ".0"), "fc2": lin(pre + ".2")}
+
+    def dbl(i):
+        pre = f"blocks.{i}"
+        return {
+            "norm1_a": lin(pre + ".norm1_a.linear"),
+            "norm1_b": lin(pre + ".norm1_b.linear"),
+            "attn": {
+                "a_qkv": lin(pre + ".attn.a_to_qkv"),
+                "b_qkv": lin(pre + ".attn.b_to_qkv"),
+                "norm_q_a": vec(pre + ".attn.norm_q_a") * s,
+                "norm_k_a": vec(pre + ".attn.norm_k_a"),
+                "norm_q_b": vec(pre + ".attn.norm_q_b") * s,
+                "norm_k_b": vec(pre + ".attn.norm_k_b"),
+                "a_out": lin(pre + ".attn.a_to_out"),
+                "b_out": lin(pre + ".attn.b_to_out"),
+            },
+            "ff_a": {"fc1": lin(pre + ".ff_a.0"), "fc2": lin(pre + ".ff_a.2")},
+            "ff_b": {"fc1": lin(pre + ".ff_b.0"), "fc2": lin(pre + ".ff_b.2")},
+        }
+
+    def sgl(i):
+        pre = f"single_blocks.{i}"
+        return {
+            "norm": lin(pre + ".norm.linear"),
+            "to_qkv_mlp": lin(pre + ".to_qkv_mlp"),
+            "norm_q": vec(pre + ".norm_q_a") * s,
+            "norm_k": vec(pre + ".norm_k_a"),
+            "proj_out": lin(pre + ".proj_out"),
+        }
+
+    def stack(items):
+        return jax.tree.map(lambda *xs: _np.stack(xs), *items)
+
+    params = {
+        "time_embedder": mlp("time_embedder.timestep_embedder"),
+        "pooled_text_embedder": mlp("pooled_text_embedder"),
+        "context_embedder": lin("context_embedder"),
+        "x_embedder": lin("x_embedder"),
+        "double_blocks": stack([dbl(i) for i in range(cfg.num_double_blocks)]),
+        "single_blocks": stack([sgl(i) for i in range(cfg.num_single_blocks)]),
+        "final_norm_out": lin("final_norm_out.linear"),
+        "final_proj_out": lin("final_proj_out"),
+    }
+    if cfg.guidance_embed:
+        params["guidance_embedder"] = mlp("guidance_embedder.timestep_embedder")
+    to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    return jax.tree.map(to, params)
