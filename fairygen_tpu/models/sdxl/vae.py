@@ -28,6 +28,8 @@ class AutoencoderKLConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.13025
+    shift_factor: float = 0.0  # FLUX: z = (mean - shift) * scale
+    use_quant_conv: bool = True  # FLUX VAE has no quant/post_quant convs
 
     @property
     def downscale_factor(self) -> int:
@@ -36,6 +38,12 @@ class AutoencoderKLConfig:
     @staticmethod
     def sdxl() -> "AutoencoderKLConfig":
         return AutoencoderKLConfig()
+
+    @staticmethod
+    def flux() -> "AutoencoderKLConfig":
+        """FLUX.1 16-channel VAE (reference flux_vae.py:296-399)."""
+        return AutoencoderKLConfig(latent_channels=16, scaling_factor=0.3611,
+                                   shift_factor=0.1159, use_quant_conv=False)
 
     @staticmethod
     def tiny(**over) -> "AutoencoderKLConfig":
@@ -102,7 +110,8 @@ def vae_encode(params, cfg: AutoencoderKLConfig, images, sample_mode: str = "mod
     x = _resnet(p["mid"]["res2"], x, g)
     x = group_norm(x, p["conv_norm_out"], g)
     x = _conv(p["conv_out"], _silu(x))
-    x = _conv(params["quant_conv"], x, padding=((0, 0), (0, 0)))
+    if cfg.use_quant_conv:
+        x = _conv(params["quant_conv"], x, padding=((0, 0), (0, 0)))
     mean, logvar = jnp.split(x, 2, axis=-1)
     if sample_mode == "sample":
         std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
@@ -113,7 +122,8 @@ def vae_encode(params, cfg: AutoencoderKLConfig, images, sample_mode: str = "mod
 def vae_decode(params, cfg: AutoencoderKLConfig, latents):
     """UNSCALED latents (B, 4, h, w) -> images (B, 3, H, W)."""
     x = jnp.transpose(latents, (0, 2, 3, 1))
-    x = _conv(params["post_quant_conv"], x, padding=((0, 0), (0, 0)))
+    if cfg.use_quant_conv:
+        x = _conv(params["post_quant_conv"], x, padding=((0, 0), (0, 0)))
     p = params["decoder"]
     g = cfg.norm_num_groups
     x = _conv(p["conv_in"], x)
