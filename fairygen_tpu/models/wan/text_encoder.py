@@ -33,6 +33,9 @@ class UMT5Config:
     num_layers: int = 24
     num_buckets: int = 32
     max_dist: int = 128
+    # T5 v1.1 (FLUX's text encoder 2): ONE relative-attention-bias table on
+    # layer 0, shared by every layer; UMT5 has one per layer.
+    shared_pos_bias: bool = False
 
     @property
     def head_dim(self):
@@ -41,6 +44,13 @@ class UMT5Config:
     @staticmethod
     def umt5_xxl() -> "UMT5Config":
         return UMT5Config()
+
+    @staticmethod
+    def t5_v1_1_xxl() -> "UMT5Config":
+        """google/t5-v1_1-xxl encoder — FLUX.1's TE2 (reference
+        flux_text_encoder_t5.py:6-38: d_ff 10240, d_model 4096, 64 heads,
+        24 layers, gated-gelu, vocab 32128)."""
+        return UMT5Config(vocab=32128, shared_pos_bias=True)
 
     @staticmethod
     def tiny(**over) -> "UMT5Config":
@@ -106,10 +116,16 @@ def umt5_encode(params, cfg: UMT5Config, ids, mask=None):
     x = params["token_embedding"][ids]
     L = ids.shape[1]
     buckets = jnp.asarray(relative_position_buckets(L, L, cfg.num_buckets, cfg.max_dist))
+    shared_bias = None
+    if cfg.shared_pos_bias:
+        shared_bias = jnp.transpose(params["pos_emb"][buckets], (2, 0, 1))[None]
     for p in params["blocks"]:
-        # per-layer relative embedding: (buckets, heads) -> (1, H, L, L)
-        bias = p["pos_emb"][buckets]  # (L, L, H)
-        bias = jnp.transpose(bias, (2, 0, 1))[None]
+        if shared_bias is not None:
+            bias = shared_bias
+        else:
+            # per-layer relative embedding: (buckets, heads) -> (1, H, L, L)
+            bias = p["pos_emb"][buckets]  # (L, L, H)
+            bias = jnp.transpose(bias, (2, 0, 1))[None]
         x = t5_block(p, x, cfg, bias, mask)
     x = t5_layer_norm(x, params["norm"])
     return x
@@ -154,6 +170,52 @@ def convert_umt5_state_dict(sd: Dict[str, np.ndarray], cfg: UMT5Config, dtype=No
         "token_embedding": g("token_embedding.weight"),
         "blocks": blocks,
         "norm": g("norm.weight"),
+    }
+    if dtype is not None:
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return params
+
+
+def convert_t5_encoder_state_dict(sd: Dict[str, np.ndarray], cfg: UMT5Config,
+                                  dtype=None):
+    """transformers ``T5EncoderModel.state_dict()`` naming (FLUX's TE2 is a
+    straight subclass, reference flux_text_encoder_t5.py:5-43)."""
+    def t(name):
+        return np.asarray(sd[name]).T
+
+    def g(name):
+        return np.asarray(sd[name])
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        pre = f"encoder.block.{i}"
+        blocks.append({
+            "norm1": g(pre + ".layer.0.layer_norm.weight"),
+            "norm2": g(pre + ".layer.1.layer_norm.weight"),
+            "attn": {
+                "q": {"w": t(pre + ".layer.0.SelfAttention.q.weight")},
+                "k": {"w": t(pre + ".layer.0.SelfAttention.k.weight")},
+                "v": {"w": t(pre + ".layer.0.SelfAttention.v.weight")},
+                "o": {"w": t(pre + ".layer.0.SelfAttention.o.weight")},
+            },
+            # v1.1 gated act: hidden = act(wi_0) * wi_1 — wi_0 is the
+            # activated ("gate") branch, wi_1 the linear one
+            "ffn": {
+                "gate": {"w": t(pre + ".layer.1.DenseReluDense.wi_0.weight")},
+                "fc1": {"w": t(pre + ".layer.1.DenseReluDense.wi_1.weight")},
+                "fc2": {"w": t(pre + ".layer.1.DenseReluDense.wo.weight")},
+            },
+        })
+    emb_key = "shared.weight" if "shared.weight" in sd \
+        else "encoder.embed_tokens.weight"
+    params = {
+        "token_embedding": g(emb_key),
+        "pos_emb": g("encoder.block.0.layer.0.SelfAttention"
+                     ".relative_attention_bias.weight"),
+        "blocks": blocks,
+        "norm": g("encoder.final_layer_norm.weight"),
     }
     if dtype is not None:
         params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
