@@ -1,0 +1,73 @@
+"""FLUX.1 text-to-image / img2img / Kontext CLI.
+
+Mirrors the reference FluxImagePipeline usage
+(``/root/reference/animation/diffsynth/pipelines/flux_image.py:179-296``):
+
+  python examples/flux_t2i.py \
+      --model_paths '["flux1-dev.safetensors", "ae.safetensors",
+                      "clip_l.safetensors", "t5xxl.safetensors"]' \
+      --tokenizer_clip <clip tokenizer dir> --tokenizer_t5 <t5 dir> \
+      --prompt "an owl made of stained glass" --output owl.png
+
+Files are hash-detected (BFL / diffsynth / transformers layouts all
+accepted).  FLUX.1-dev uses embedded guidance (--embedded_guidance 3.5,
+cfg 1); true CFG via --cfg_scale with --negative_prompt.
+"""
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_paths", type=str, required=True,
+                   help='JSON list of checkpoint paths')
+    p.add_argument("--tokenizer_clip", type=str, default=None)
+    p.add_argument("--tokenizer_t5", type=str, default=None)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--cfg_scale", type=float, default=1.0)
+    p.add_argument("--embedded_guidance", type=float, default=3.5)
+    p.add_argument("--t5_sequence_length", type=int, default=512)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--sigma_shift", type=float, default=None)
+    p.add_argument("--input_image", type=str, default=None)
+    p.add_argument("--denoising_strength", type=float, default=1.0)
+    p.add_argument("--kontext_images", type=str, nargs="*", default=None)
+    p.add_argument("--output", type=str, default="flux_out.png")
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from fairygen_tpu.pipelines.flux_image import FluxImagePipeline
+
+    pipe = FluxImagePipeline.from_pretrained(
+        json.loads(args.model_paths),
+        tokenizer_clip=args.tokenizer_clip, tokenizer_t5=args.tokenizer_t5,
+    )
+    image = pipe(
+        prompt=args.prompt,
+        negative_prompt=args.negative_prompt,
+        cfg_scale=args.cfg_scale,
+        embedded_guidance=args.embedded_guidance,
+        t5_sequence_length=args.t5_sequence_length,
+        input_image=(Image.open(args.input_image).convert("RGB")
+                     .resize((args.width, args.height))
+                     if args.input_image else None),
+        denoising_strength=args.denoising_strength,
+        height=args.height, width=args.width,
+        seed=args.seed, sigma_shift=args.sigma_shift,
+        num_inference_steps=args.steps,
+        kontext_images=([Image.open(k).convert("RGB")
+                         for k in args.kontext_images]
+                        if args.kontext_images else None),
+        output_type="pil",
+    )
+    image.save(args.output)
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,10 +55,71 @@ def _build_umt5(state_dict, extra_kwargs, dtype):
     return convert_umt5_state_dict(state_dict, cfg, dtype=dtype), cfg
 
 
+def _build_flux_dit(state_dict, extra_kwargs, dtype):
+    from ..models.flux.dit import (
+        FluxDiTConfig,
+        convert_flux_dit_state_dict,
+        normalize_flux_dit_source,
+    )
+
+    state_dict = normalize_flux_dit_source(state_dict)
+    kwargs = {}
+    if "input_dim" in extra_kwargs:
+        kwargs["in_dim"] = extra_kwargs["input_dim"]
+    if "num_blocks" in extra_kwargs:
+        kwargs["num_double_blocks"] = extra_kwargs["num_blocks"]
+    kwargs["guidance_embed"] = (
+        "guidance_embedder.timestep_embedder.0.weight" in state_dict)
+    cfg = FluxDiTConfig(**kwargs)
+    return convert_flux_dit_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_flux_clip(state_dict, extra_kwargs, dtype):
+    from ..models.flux.text_encoders import (
+        CLIPTextConfig,
+        convert_flux_clip_state_dict,
+    )
+    from ..models.sdxl.clip import convert_clip_text_state_dict
+
+    cfg = CLIPTextConfig()  # CLIP-L
+    if "encoders.0.attn.to_q.weight" in state_dict:
+        return convert_flux_clip_state_dict(state_dict, cfg, dtype=dtype), cfg
+    return convert_clip_text_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_flux_t5(state_dict, extra_kwargs, dtype):
+    from ..models.wan.text_encoder import (
+        UMT5Config,
+        convert_t5_encoder_state_dict,
+    )
+
+    cfg = UMT5Config.t5_v1_1_xxl()
+    return convert_t5_encoder_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_flux_vae(state_dict, extra_kwargs, dtype):
+    from ..models.flux.vae import (
+        AutoencoderKLConfig,
+        convert_flux_vae_bfl_state_dict,
+        convert_flux_vae_state_dict,
+    )
+
+    cfg = AutoencoderKLConfig.flux()
+    if "encoder.down.0.block.0.norm1.weight" in state_dict:
+        return convert_flux_vae_bfl_state_dict(state_dict, cfg,
+                                               dtype=dtype), cfg
+    return convert_flux_vae_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
     registry.register_builder("wan_video_text_encoder", _build_umt5)
+    registry.register_builder("flux_dit", _build_flux_dit)
+    registry.register_builder("flux_text_encoder_clip", _build_flux_clip)
+    registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
+    registry.register_builder("flux_vae_encoder", _build_flux_vae)
+    registry.register_builder("flux_vae_decoder", _build_flux_vae)
     return registry
 
 

@@ -448,3 +448,76 @@ def convert_flux_dit_state_dict(sd: Dict[str, Any], cfg: FluxDiTConfig,
         params["guidance_embedder"] = mlp("guidance_embedder.timestep_embedder")
     to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
     return jax.tree.map(to, params)
+
+
+# BFL checkpoint naming -> reference module naming (port of the rename
+# tables in the reference FluxDiTStateDictConverter,
+# utils/state_dict_converters/flux_dit.py:17-91 — pure key-mapping data).
+_BFL_TOP = {
+    "time_in.in_layer": "time_embedder.timestep_embedder.0",
+    "time_in.out_layer": "time_embedder.timestep_embedder.2",
+    "txt_in": "context_embedder",
+    "vector_in.in_layer": "pooled_text_embedder.0",
+    "vector_in.out_layer": "pooled_text_embedder.2",
+    "final_layer.linear": "final_proj_out",
+    "guidance_in.in_layer": "guidance_embedder.timestep_embedder.0",
+    "guidance_in.out_layer": "guidance_embedder.timestep_embedder.2",
+    "img_in": "x_embedder",
+    "final_layer.adaLN_modulation.1": "final_norm_out.linear",
+}
+_BFL_DOUBLE = {
+    "img_attn.norm.key_norm.scale": "attn.norm_k_a.weight",
+    "img_attn.norm.query_norm.scale": "attn.norm_q_a.weight",
+    "img_attn.proj": "attn.a_to_out",
+    "img_attn.qkv": "attn.a_to_qkv",
+    "img_mlp.0": "ff_a.0",
+    "img_mlp.2": "ff_a.2",
+    "img_mod.lin": "norm1_a.linear",
+    "txt_attn.norm.key_norm.scale": "attn.norm_k_b.weight",
+    "txt_attn.norm.query_norm.scale": "attn.norm_q_b.weight",
+    "txt_attn.proj": "attn.b_to_out",
+    "txt_attn.qkv": "attn.b_to_qkv",
+    "txt_mlp.0": "ff_b.0",
+    "txt_mlp.2": "ff_b.2",
+    "txt_mod.lin": "norm1_b.linear",
+}
+_BFL_SINGLE = {
+    "linear1": "to_qkv_mlp",
+    "linear2": "proj_out",
+    "modulation.lin": "norm.linear",
+    "norm.key_norm.scale": "norm_k_a.weight",
+    "norm.query_norm.scale": "norm_q_a.weight",
+}
+
+
+def normalize_flux_dit_source(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """BFL-format FLUX checkpoints (flux1-dev.safetensors) -> the reference
+    module naming that :func:`convert_flux_dit_state_dict` consumes.
+    Passes already-normalized dicts through untouched."""
+    if not any(k.startswith(("double_blocks.", "model.diffusion_model."))
+               for k in sd):
+        return sd
+    out = {}
+    for name, v in sd.items():
+        if name.startswith("model.diffusion_model."):
+            name = name[len("model.diffusion_model."):]
+        parts = name.split(".")
+        stem, leaf = ".".join(parts[:-1]), parts[-1]
+        if stem in _BFL_TOP:
+            out[f"{_BFL_TOP[stem]}.{leaf}"] = v
+        elif parts[0] == "double_blocks":
+            suf = ".".join(parts[2:])
+            if suf in _BFL_DOUBLE:  # norm scales map whole-key
+                out[f"blocks.{parts[1]}.{_BFL_DOUBLE[suf]}"] = v
+            else:
+                sufstem = ".".join(parts[2:-1])
+                out[f"blocks.{parts[1]}.{_BFL_DOUBLE[sufstem]}.{leaf}"] = v
+        elif parts[0] == "single_blocks":
+            suf = ".".join(parts[2:])
+            if suf in _BFL_SINGLE:
+                out[f"single_blocks.{parts[1]}.{_BFL_SINGLE[suf]}"] = v
+            else:
+                sufstem = ".".join(parts[2:-1])
+                if sufstem in _BFL_SINGLE:
+                    out[f"single_blocks.{parts[1]}.{_BFL_SINGLE[sufstem]}.{leaf}"] = v
+    return out

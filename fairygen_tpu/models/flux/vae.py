@@ -117,3 +117,78 @@ def convert_flux_vae_state_dict(sd: Dict[str, np.ndarray],
     }
     to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
     return jax.tree.map(to, params)
+
+
+def convert_flux_vae_bfl_state_dict(sd: Dict[str, np.ndarray],
+                                    cfg: AutoencoderKLConfig, dtype=None):
+    """BFL ``ae.safetensors`` naming (encoder.down.{i}.block.{j} /
+    decoder.up.{i} with REVERSED up indices / mid.block_1|attn_1|block_2 /
+    norm_out) -> the staged pytree.  Port of the reference rename tables
+    (utils/state_dict_converters/flux_vae.py:1-264)."""
+
+    def cw(name):
+        return {"w": np.asarray(sd[name + ".weight"]).transpose(2, 3, 1, 0),
+                "b": np.asarray(sd[name + ".bias"])}
+
+    def lw(name):
+        w = np.asarray(sd[name + ".weight"])
+        if w.ndim == 4:
+            w = w[:, :, 0, 0]
+        return {"w": w.T, "b": np.asarray(sd[name + ".bias"])}
+
+    def nw(name):
+        return {"w": np.asarray(sd[name + ".weight"]),
+                "b": np.asarray(sd[name + ".bias"])}
+
+    def resnet(pre):
+        p = {"norm1": nw(pre + ".norm1"), "conv1": cw(pre + ".conv1"),
+             "norm2": nw(pre + ".norm2"), "conv2": cw(pre + ".conv2")}
+        if pre + ".nin_shortcut.weight" in sd:
+            p["conv_shortcut"] = cw(pre + ".nin_shortcut")
+        return p
+
+    def attn(pre):
+        return {"group_norm": nw(pre + ".norm"),
+                "to_q": lw(pre + ".q"), "to_k": lw(pre + ".k"),
+                "to_v": lw(pre + ".v"), "to_out": lw(pre + ".proj_out")}
+
+    n = len(cfg.block_out_channels)
+    down_blocks = []
+    for i in range(n):
+        st = {"resnets": [resnet(f"encoder.down.{i}.block.{j}")
+                          for j in range(cfg.layers_per_block)]}
+        if i != n - 1:
+            st["downsamplers"] = cw(f"encoder.down.{i}.downsample.conv")
+        down_blocks.append(st)
+
+    up_blocks = []
+    for k in range(n):  # execution order; BFL stores reversed (up.3 first)
+        i = n - 1 - k
+        st = {"resnets": [resnet(f"decoder.up.{i}.block.{j}")
+                          for j in range(cfg.layers_per_block + 1)]}
+        if k != n - 1:
+            st["upsamplers"] = cw(f"decoder.up.{i}.upsample.conv")
+        up_blocks.append(st)
+
+    params = {
+        "encoder": {
+            "conv_in": cw("encoder.conv_in"),
+            "down_blocks": down_blocks,
+            "mid": {"res1": resnet("encoder.mid.block_1"),
+                    "attn": attn("encoder.mid.attn_1"),
+                    "res2": resnet("encoder.mid.block_2")},
+            "conv_norm_out": nw("encoder.norm_out"),
+            "conv_out": cw("encoder.conv_out"),
+        },
+        "decoder": {
+            "conv_in": cw("decoder.conv_in"),
+            "mid": {"res1": resnet("decoder.mid.block_1"),
+                    "attn": attn("decoder.mid.attn_1"),
+                    "res2": resnet("decoder.mid.block_2")},
+            "up_blocks": up_blocks,
+            "conv_norm_out": nw("decoder.norm_out"),
+            "conv_out": cw("decoder.conv_out"),
+        },
+    }
+    to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    return jax.tree.map(to, params)

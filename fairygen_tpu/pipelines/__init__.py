@@ -1,1 +1,2 @@
+from .flux_image import FluxImagePipeline
 from .wan_video import WanVideoPipeline

@@ -1,0 +1,248 @@
+"""FLUX.1 text-to-image pipeline (t2i / img2img / Kontext).
+
+Port of the reference ``FluxImagePipeline``
+(``animation/diffsynth/pipelines/flux_image.py:56-296``) core path:
+prompt embedding (CLIP pooled + T5 sequence), seeded noise, optional
+input-image start (flow-match add_noise at denoising_strength), optional
+Kontext reference latents, embedded guidance (dev), true CFG
+(``cfg_scale``), FlowMatch Euler denoise, fp32 VAE decode with the
+(shift, scale) latent normalization.
+
+TPU-native: the whole denoise loop runs in chunked jitted dispatches
+(module-scope jit like pipelines/wan_video.py — compiled once per
+resolution, reused across prompts/seeds); RoPE tables are host-side
+constants baked per compile.  ControlNet / IP-Adapter / EliGen /
+InfiniteYou / Step1x branches are out of scope per SURVEY.md §2.3.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.noise import generate_noise
+from ..diffusion.flow_match import FlowMatchScheduler
+from ..models.flux.dit import (
+    FluxDiTConfig,
+    flux_dit_forward,
+    patchify,
+    prepare_image_ids,
+)
+from ..models.flux.vae import AutoencoderKLConfig, vae_decode, vae_encode
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws"),
+)
+def _flux_denoise_chunk(
+    params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
+    kontext_latents, timesteps, sigmas, cfg_scale, start,
+    *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
+    kontext_hws: Optional[tuple] = None,
+):
+    kid = None
+    if kontext_hws is not None:
+        parts = []
+        for hw in kontext_hws:
+            ids = prepare_image_ids(*hw)
+            ids[:, 0] += 1  # reference Kontext unit: ids[..., 0] = 1
+            parts.append(ids)
+        kid = np.concatenate(parts, axis=0)
+
+    def sweep(x, t, ctx, pl):
+        return flux_dit_forward(
+            params, dit_cfg, x, t, ctx, pl,
+            guidance if dit_cfg.guidance_embed else None,
+            kontext_latents=kontext_latents, kontext_image_ids=kid,
+        )
+
+    def step(i, x):
+        t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
+        v = sweep(x, t, prompt_emb, pooled)
+        if do_cfg:
+            v_n = sweep(x, t, neg_prompt_emb, neg_pooled)
+            v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+        return x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
+
+    return jax.lax.fori_loop(start, start + length, step, lat)
+
+
+@dataclasses.dataclass
+class FluxImagePipeline:
+    dit_params: Any = None
+    dit_cfg: FluxDiTConfig = None
+    vae_params: Any = None
+    vae_cfg: AutoencoderKLConfig = None
+    te_clip_params: Any = None
+    te_clip_cfg: Any = None
+    te_t5_params: Any = None
+    te_t5_cfg: Any = None
+    tokenizer_clip: Any = None
+    tokenizer_t5: Any = None
+    dtype: Any = jnp.bfloat16
+    steps_per_dispatch: int = 10
+
+    @classmethod
+    def from_pretrained(cls, model_paths, tokenizer_clip=None,
+                        tokenizer_t5=None, dtype=jnp.bfloat16, hints=None):
+        """Hash-detected loading, same contract as WanVideoPipeline
+        (reference FluxImagePipeline.from_pretrained, flux_image.py:118)."""
+        from ..core.model_pool import ModelPool
+
+        pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
+        dit = pool.fetch_model("flux_dit")
+        vae = pool.fetch_model("flux_vae") or pool.fetch_model(
+            "flux_vae_encoder")
+        clip = pool.fetch_model("flux_text_encoder_clip")
+        t5 = pool.fetch_model("flux_text_encoder_t5")
+        pipe = cls(
+            dit_params=dit[0] if dit else None,
+            dit_cfg=dit[1] if dit else None,
+            vae_params=vae[0] if vae else None,
+            vae_cfg=vae[1] if vae else None,
+            te_clip_params=clip[0] if clip else None,
+            te_clip_cfg=clip[1] if clip else None,
+            te_t5_params=t5[0] if t5 else None,
+            te_t5_cfg=t5[1] if t5 else None,
+            dtype=dtype,
+        )
+        if tokenizer_clip is not None:
+            from ..utils.tokenizer import CLIPTokenizerWrapper
+
+            pipe.tokenizer_clip = CLIPTokenizerWrapper(tokenizer_clip)
+        if tokenizer_t5 is not None:
+            from ..utils.tokenizer import HuggingfaceTokenizer
+
+            pipe.tokenizer_t5 = HuggingfaceTokenizer(tokenizer_t5,
+                                                     seq_len=512)
+        return pipe
+
+    # ------------------------------------------------------------- prompts
+    def encode_prompt(self, prompt: str, t5_sequence_length: int = 512):
+        """-> (prompt_emb (1, L, 4096), pooled (1, 768)) — reference
+        FluxImageUnit_PromptEmbedder.encode_prompt (flux_image.py:552-567):
+        CLIP pooled at 77 tokens, T5 sequence at t5_sequence_length."""
+        from ..models.flux.text_encoders import flux_encode_prompt_clip
+        from ..models.wan.text_encoder import umt5_encode
+
+        assert self.tokenizer_clip is not None and self.tokenizer_t5 is not None
+        ids1 = self.tokenizer_clip(prompt)
+        pooled = flux_encode_prompt_clip(
+            self.te_clip_params, self.te_clip_cfg, jnp.asarray(ids1))
+        self.tokenizer_t5.seq_len = t5_sequence_length
+        ids2 = self.tokenizer_t5(prompt)
+        emb = umt5_encode(self.te_t5_params, self.te_t5_cfg,
+                          jnp.asarray(ids2))
+        return emb.astype(self.dtype), pooled.astype(self.dtype)
+
+    # -------------------------------------------------------------- images
+    def _encode_image(self, image):
+        from ..core.imaging import preprocess_image
+
+        arr = jnp.asarray(preprocess_image(image)[None], jnp.float32)
+        mean = vae_encode(self.vae_params, self.vae_cfg, arr)
+        z = (mean - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
+        return z.astype(self.dtype)
+
+    def __call__(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        cfg_scale: float = 1.0,
+        embedded_guidance: float = 3.5,
+        t5_sequence_length: int = 512,
+        input_image=None,
+        denoising_strength: float = 1.0,
+        height: int = 1024,
+        width: int = 1024,
+        seed: Optional[int] = None,
+        sigma_shift: Optional[float] = None,
+        num_inference_steps: int = 30,
+        kontext_images=None,
+        # precomputed embeddings (tests / cached 2-phase mode)
+        prompt_emb=None,
+        pooled_prompt_emb=None,
+        negative_prompt_emb=None,
+        negative_pooled_prompt_emb=None,
+        latents=None,  # initial noise override (reproducibility / tests)
+        output_type: str = "np",
+    ):
+        assert height % 16 == 0 and width % 16 == 0, (height, width)
+        sched = FlowMatchScheduler("FLUX.1").set_timesteps(
+            num_inference_steps, denoising_strength=denoising_strength,
+            shift=sigma_shift)
+        timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+        sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
+
+        if prompt_emb is None:
+            prompt_emb, pooled_prompt_emb = self.encode_prompt(
+                prompt, t5_sequence_length)
+        do_cfg = cfg_scale != 1.0
+        if do_cfg and negative_prompt_emb is None:
+            negative_prompt_emb, negative_pooled_prompt_emb = \
+                self.encode_prompt(negative_prompt, t5_sequence_length)
+
+        zc = self.vae_cfg.latent_channels if self.vae_cfg else \
+            self.dit_cfg.in_dim // 4
+        lh, lw = height // 8, width // 8
+        if latents is not None:
+            noise = jnp.asarray(latents, self.dtype)
+        else:
+            noise = generate_noise((1, zc, lh, lw),
+                                   seed=0 if seed is None else seed
+                                   ).astype(self.dtype)
+        if input_image is not None:
+            z0 = self._encode_image(input_image)
+            latents = sched.add_noise(z0, noise, 0).astype(self.dtype)
+        else:
+            latents = noise
+
+        kontext_latents, kontext_hws = None, None
+        if kontext_images is not None:
+            if not isinstance(kontext_images, (list, tuple)):
+                kontext_images = [kontext_images]
+            packed, hws = [], []
+            for im in kontext_images:
+                z = self._encode_image(im)
+                hws.append((z.shape[2], z.shape[3]))
+                packed.append(patchify(z))
+            kontext_latents = jnp.concatenate(packed, axis=1)
+            kontext_hws = tuple(hws)
+
+        guidance = jnp.full((1,), embedded_guidance, jnp.float32)
+        cfg_t = jnp.float32(cfg_scale)
+        n = len(sched.timesteps)
+        s = 0
+        while s < n:
+            ln = min(self.steps_per_dispatch, n - s)
+            latents = _flux_denoise_chunk(
+                self.dit_params, latents, prompt_emb, pooled_prompt_emb,
+                negative_prompt_emb, negative_pooled_prompt_emb, guidance,
+                kontext_latents, timesteps, sigmas, cfg_t, jnp.int32(s),
+                dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
+                kontext_hws=kontext_hws,
+            )
+            s += ln
+
+        # fp32 decode with (shift, scale) latent normalization
+        # (reference flux_vae.py:350)
+        z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor \
+            + self.vae_cfg.shift_factor
+        image = vae_decode(
+            jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
+            self.vae_cfg, z)
+        if output_type == "latent":
+            return latents
+        from ..core.imaging import postprocess_image
+
+        arr = postprocess_image(np.asarray(image[0]))
+        if output_type == "pil":
+            from PIL import Image
+
+            return Image.fromarray(arr)
+        return arr

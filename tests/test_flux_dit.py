@@ -65,6 +65,53 @@ def test_flux_dit_kontext_matches_reference(g):
                                rtol=1e-3)
 
 
+def test_flux_dit_bfl_naming_roundtrip(g):
+    """BFL checkpoint naming -> normalize_flux_dit_source -> same forward."""
+    from fairygen_tpu.models.flux.dit import (
+        _BFL_DOUBLE,
+        _BFL_SINGLE,
+        _BFL_TOP,
+        normalize_flux_dit_source,
+    )
+
+    sd = _sd(g)
+    inv_top = {v: k for k, v in _BFL_TOP.items()}
+    inv_dbl = {v: k for k, v in _BFL_DOUBLE.items()}
+    inv_sgl = {v: k for k, v in _BFL_SINGLE.items()}
+    bfl = {}
+    for name, v in sd.items():
+        parts = name.split(".")
+        stem, leaf = ".".join(parts[:-1]), parts[-1]
+        if stem in inv_top:
+            bfl[f"{inv_top[stem]}.{leaf}"] = v
+        elif parts[0] == "blocks":
+            suf = ".".join(parts[2:])
+            if suf in inv_dbl:
+                bfl[f"double_blocks.{parts[1]}.{inv_dbl[suf]}"] = v
+            else:
+                sufstem = ".".join(parts[2:-1])
+                bfl[f"double_blocks.{parts[1]}.{inv_dbl[sufstem]}.{leaf}"] = v
+        elif parts[0] == "single_blocks":
+            suf = ".".join(parts[2:])
+            if suf in inv_sgl:
+                bfl[f"single_blocks.{parts[1]}.{inv_sgl[suf]}"] = v
+            else:
+                sufstem = ".".join(parts[2:-1])
+                bfl[f"single_blocks.{parts[1]}.{inv_sgl[sufstem]}.{leaf}"] = v
+        else:
+            raise AssertionError(name)
+    norm = normalize_flux_dit_source(bfl)
+    assert set(norm) == set(sd)
+    params = convert_flux_dit_state_dict(norm, CFG)
+    out = flux_dit_forward(
+        params, CFG, jnp.asarray(g["latents"]), jnp.asarray(g["timestep"]),
+        jnp.asarray(g["prompt_emb"]), jnp.asarray(g["pooled"]),
+        jnp.asarray(g["guidance"]),
+    )
+    np.testing.assert_allclose(np.asarray(out), g["out"], atol=2e-4,
+                               rtol=1e-3)
+
+
 def test_flux_dit_init_and_remat():
     import jax
 
