@@ -36,6 +36,10 @@ def main():
     p.add_argument("--input_image", type=str, default=None)
     p.add_argument("--denoising_strength", type=float, default=1.0)
     p.add_argument("--kontext_images", type=str, nargs="*", default=None)
+    p.add_argument("--lora", type=str, default=None,
+                   help="FLUX LoRA checkpoint (diffusers/civitai layout)")
+    p.add_argument("--lora_alpha", type=float, default=1.0)
+    p.add_argument("--tea_cache_l1_thresh", type=float, default=None)
     p.add_argument("--output", type=str, default="flux_out.png")
     args = p.parse_args()
 
@@ -47,6 +51,8 @@ def main():
         json.loads(args.model_paths),
         tokenizer_clip=args.tokenizer_clip, tokenizer_t5=args.tokenizer_t5,
     )
+    if args.lora:
+        pipe.load_lora(args.lora, alpha=args.lora_alpha)
     image = pipe(
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,
@@ -60,6 +66,7 @@ def main():
         height=args.height, width=args.width,
         seed=args.seed, sigma_shift=args.sigma_shift,
         num_inference_steps=args.steps,
+        tea_cache_l1_thresh=args.tea_cache_l1_thresh,
         kontext_images=([Image.open(k).convert("RGB")
                          for k in args.kontext_images]
                         if args.kontext_images else None),

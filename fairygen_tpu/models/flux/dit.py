@@ -245,6 +245,8 @@ def flux_dit_forward(
     kontext_image_ids: Optional[np.ndarray] = None,  # (Lk, 3)
     remat: bool = False,
     prescaled: bool = False,  # scale·log2e folded into norm_q at convert
+    tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> (out, state)
+    tea_cache_opts=None,  # dict(rel_l1_thresh=, num_inference_steps=)
 ):
     """model_fn_flux_image core path (reference flux_image.py:1003-1209);
     ControlNet / IP-Adapter / EliGen / Step1x branches are out of scope
@@ -290,17 +292,39 @@ def flux_dit_forward(
         dbl = jax.checkpoint(dbl)
         sgl = jax.checkpoint(sgl)
 
-    (x, ctx), _ = jax.lax.scan(dbl, (x, ctx), params["double_blocks"])
-    x = jnp.concatenate([ctx, x], axis=1)
-    (x, _) = jax.lax.scan(sgl, x, params["single_blocks"])
-    x = x[:, ctx.shape[1]:]
+    def run_blocks(xx):
+        (xa, c2), _ = jax.lax.scan(dbl, (xx, ctx), params["double_blocks"])
+        hh = jnp.concatenate([c2, xa], axis=1)
+        (hh, _) = jax.lax.scan(sgl, hh, params["single_blocks"])
+        return hh[:, ctx.shape[1]:]
+
+    new_tc = None
+    if tea_cache_state is not None:
+        # FLUX TeaCache drift signal: block 0's norm1_a-modulated hidden
+        # states (reference flux_image.py:917-933)
+        from ...utils.tea_cache import tea_cache_blocks
+
+        p0 = jax.tree.map(lambda a: a[0], params["double_blocks"]["norm1_a"])
+        sh0, sc0 = _adaln(p0, cond, 6)[:2]
+        modulated = layer_norm(x, cfg.eps) * (1 + sc0) + sh0
+        x, new_tc = tea_cache_blocks(
+            tea_cache_state, x, modulated, run_blocks,
+            model_id=tea_cache_opts.get("model_id", "FLUX.1"),
+            rel_l1_thresh=tea_cache_opts["rel_l1_thresh"],
+            num_inference_steps=tea_cache_opts["num_inference_steps"],
+        )
+    else:
+        x = run_blocks(x)
 
     shift, scale = _adaln(params["final_norm_out"], cond, 2)
     x = layer_norm(x, cfg.eps) * (1 + scale) + shift
     x = _dense(params["final_proj_out"], x)
     if kontext_latents is not None:
         x = x[:, : (h // 2) * (w // 2)]
-    return unpatchify(x, h, w)
+    out = unpatchify(x, h, w)
+    if tea_cache_state is not None:
+        return out, new_tc
+    return out
 
 
 # ------------------------------------------------------------------ params

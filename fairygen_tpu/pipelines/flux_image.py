@@ -37,13 +37,15 @@ from ..models.flux.vae import AutoencoderKLConfig, vae_decode, vae_encode
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws"),
+    static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws",
+                     "tea_opts"),
 )
 def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
-    kontext_latents, timesteps, sigmas, cfg_scale, start,
+    kontext_latents, timesteps, sigmas, cfg_scale, tea_state, start,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
+    tea_opts: Optional[tuple] = None,
 ):
     kid = None
     if kontext_hws is not None:
@@ -54,22 +56,33 @@ def _flux_denoise_chunk(
             parts.append(ids)
         kid = np.concatenate(parts, axis=0)
 
-    def sweep(x, t, ctx, pl):
+    tea_kw = {}
+    if tea_opts is not None:
+        tea_kw["tea_cache_opts"] = dict(
+            rel_l1_thresh=tea_opts[0], num_inference_steps=tea_opts[1])
+
+    def sweep(x, t, ctx, pl, tc=None):
         return flux_dit_forward(
             params, dit_cfg, x, t, ctx, pl,
             guidance if dit_cfg.guidance_embed else None,
             kontext_latents=kontext_latents, kontext_image_ids=kid,
+            tea_cache_state=tc, **tea_kw,
         )
 
-    def step(i, x):
+    def step(i, carry):
+        x, tc = carry
         t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
-        v = sweep(x, t, prompt_emb, pooled)
+        if tea_opts is not None:
+            v, tc = sweep(x, t, prompt_emb, pooled, tc)
+        else:
+            v = sweep(x, t, prompt_emb, pooled)
         if do_cfg:
             v_n = sweep(x, t, neg_prompt_emb, neg_pooled)
             v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
-        return x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
+        x = x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
+        return x, tc
 
-    return jax.lax.fori_loop(start, start + length, step, lat)
+    return jax.lax.fori_loop(start, start + length, step, (lat, tea_state))
 
 
 @dataclasses.dataclass
@@ -122,6 +135,20 @@ class FluxImagePipeline:
                                                      seq_len=512)
         return pipe
 
+    def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
+        """Fuse a FLUX LoRA (diffusers or civitai layout) into the DiT
+        weights at load time (reference FluxLoRALoader,
+        utils/lora/flux.py)."""
+        from ..core.io import load_state_dict
+        from ..models.flux.lora import load_flux_lora
+
+        sd = lora_path_or_sd
+        if isinstance(sd, str):
+            sd = load_state_dict(sd)
+        self.dit_params = load_flux_lora(self.dit_params, self.dit_cfg, sd,
+                                         alpha=alpha)
+        return self
+
     # ------------------------------------------------------------- prompts
     def encode_prompt(self, prompt: str, t5_sequence_length: int = 512):
         """-> (prompt_emb (1, L, 4096), pooled (1, 768)) — reference
@@ -163,6 +190,7 @@ class FluxImagePipeline:
         seed: Optional[int] = None,
         sigma_shift: Optional[float] = None,
         num_inference_steps: int = 30,
+        tea_cache_l1_thresh: Optional[float] = None,
         kontext_images=None,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
@@ -217,15 +245,29 @@ class FluxImagePipeline:
         guidance = jnp.full((1,), embedded_guidance, jnp.float32)
         cfg_t = jnp.float32(cfg_scale)
         n = len(sched.timesteps)
+        tea_opts, tea_state = None, jnp.zeros(())
+        if tea_cache_l1_thresh is not None:
+            # reference flux TeaCache shares one gate across CFG branches
+            # (unit output lives in inputs_shared); we support the FLUX-dev
+            # default (cfg 1) exactly and skip the gate on the nega sweep
+            from ..utils.tea_cache import init_tea_cache_state
+
+            tea_opts = (float(tea_cache_l1_thresh), n)
+            lt = (height // 16) * (width // 16)
+            if kontext_latents is not None:
+                lt += kontext_latents.shape[1]
+            hidden = (latents.shape[0], lt, self.dit_cfg.dim)
+            tea_state = init_tea_cache_state(hidden, hidden, jnp.float32)
         s = 0
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
-            latents = _flux_denoise_chunk(
+            latents, tea_state = _flux_denoise_chunk(
                 self.dit_params, latents, prompt_emb, pooled_prompt_emb,
                 negative_prompt_emb, negative_pooled_prompt_emb, guidance,
-                kontext_latents, timesteps, sigmas, cfg_t, jnp.int32(s),
+                kontext_latents, timesteps, sigmas, cfg_t, tea_state,
+                jnp.int32(s),
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
-                kontext_hws=kontext_hws,
+                kontext_hws=kontext_hws, tea_opts=tea_opts,
             )
             s += ln
 

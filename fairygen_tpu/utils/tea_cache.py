@@ -20,6 +20,9 @@ TEACACHE_COEFFICIENTS = {
     "Wan2.1-T2V-14B": [-3.03318725e05, 4.90537029e04, -2.65530556e03, 5.87365115e01, -3.15583525e-01],
     "Wan2.1-I2V-14B-480P": [2.57151496e05, -3.54229917e04, 1.40286849e03, -1.35890334e01, 1.32517977e-01],
     "Wan2.1-I2V-14B-720P": [8.10705460e03, 2.13393892e03, -3.72934672e02, 1.66203073e01, -4.17769401e-02],
+    # FLUX gate (reference flux_image.py:925) — drift signal is block 0's
+    # norm1_a-modulated hidden states, not t_mod
+    "FLUX.1": [4.98651651e02, -2.83781631e02, 5.58554382e01, -3.82021401e00, 2.64230861e-01],
 }
 
 

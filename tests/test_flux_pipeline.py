@@ -75,6 +75,37 @@ def test_flux_pipeline_decode_matches(g, pipe):
     assert np.abs(arr.astype(np.int32) - ref.astype(np.int32)).max() <= 1
 
 
+def test_flux_tea_cache_always_calc_matches_baseline(g, pipe):
+    """thresh=-inf forces recompute every step -> identical to no-cache
+    (the FLUX gate polynomial can be negative, so 0 is NOT always-calc)."""
+    kw = dict(
+        prompt_emb=jnp.asarray(g["prompt_emb"]),
+        pooled_prompt_emb=jnp.asarray(g["pooled"]),
+        latents=g["lat0"], height=64, width=96,
+        num_inference_steps=4, embedded_guidance=3.5,
+        output_type="latent",
+    )
+    base = pipe(**kw)
+    out = pipe(tea_cache_l1_thresh=-1e9, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+
+def test_flux_tea_cache_skips(g, pipe):
+    """A huge threshold makes the middle steps reuse the cached residual —
+    output differs from baseline but stays finite."""
+    kw = dict(
+        prompt_emb=jnp.asarray(g["prompt_emb"]),
+        pooled_prompt_emb=jnp.asarray(g["pooled"]),
+        latents=g["lat0"], height=64, width=96,
+        num_inference_steps=4, embedded_guidance=3.5,
+        output_type="latent",
+    )
+    base = np.asarray(pipe(**kw))
+    out = np.asarray(pipe(tea_cache_l1_thresh=1e9, **kw))
+    assert np.isfinite(out).all()
+    assert np.abs(out - base).max() > 1e-6
+
+
 def test_flux_pipeline_cfg(g, pipe):
     lat = pipe(
         prompt_emb=jnp.asarray(g["prompt_emb"]),
