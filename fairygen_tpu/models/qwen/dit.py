@@ -1,0 +1,368 @@
+"""Qwen-Image MMDiT — functional JAX port, TPU-first.
+
+Mirrors the reference ``QwenImageDiT``
+(``animation/diffsynth/models/qwen_image_dit.py:551-684``; real driver
+``pipelines/qwen_image.py:698-795`` ``model_fn_qwen_image``): 60 joint
+text/image blocks at dim 3072 / 24 heads / head_dim 128, 2x2-packed
+16-channel latents, Qwen2.5-VL text conditioning (RMS-normed 3584-dim),
+centered ("scale_rope") 3-axis RoPE with negative-index halves and text
+positions offset past the image grid, per-stream 6-way modulation from a
+diffusers-format timestep embedding (sigma·1000 scale), and optional
+extra packed image entries (Qwen-Image-Edit reference latents) that
+extend the RoPE frame axis.
+
+TPU-native: one ``lax.scan`` over stacked block params, host-side fp64
+RoPE tables baked as fp32 constants, fp32 norms/softmax, optional remat.
+EliGen entity masks / blockwise ControlNet / fp8 / layer3d rope are out
+of scope (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.attention import attention
+from ...ops.norms import layer_norm, rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenImageDiTConfig:
+    dim: int = 3072
+    num_heads: int = 24
+    head_dim: int = 128
+    in_dim: int = 64  # 16ch latents packed 2x2
+    txt_dim: int = 3584  # Qwen2.5-VL hidden size
+    time_freq_dim: int = 256
+    num_layers: int = 60
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    theta: int = 10000
+    eps: float = 1e-6
+
+    @staticmethod
+    def qwen_image() -> "QwenImageDiTConfig":
+        return QwenImageDiTConfig()
+
+    @staticmethod
+    def tiny(**over) -> "QwenImageDiTConfig":
+        base = dict(dim=96, num_heads=4, head_dim=24, in_dim=16, txt_dim=48,
+                    time_freq_dim=32, num_layers=2, axes_dim=(4, 10, 10))
+        base.update(over)
+        return QwenImageDiTConfig(**base)
+
+
+def _dense(p, x):
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _timestep_sinusoid(t, dim: int, scale: float = 1000.0):
+    """diffusers get_timestep_embedding, flip_sin_to_cos, shift 0, with the
+    Qwen scale=1000 (reference QwenImageDiT passes sigma = t/1000 and the
+    embedder multiplies the angle back, general_modules.py:80-101)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    ang = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _axis_cos_sin(pos: np.ndarray, d: int, theta: int):
+    omega = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    ang = np.einsum("n,d->nd", pos.astype(np.float64), omega)
+    return np.cos(ang), np.sin(ang)
+
+
+def qwen_rope_tables(img_shapes: Sequence[Tuple[int, int, int]],
+                     txt_len: int, axes_dim, theta: int):
+    """(img_cos, img_sin, txt_cos, txt_sin) fp32 — centered "scale_rope"
+    grids per image entry (reference QwenEmbedRope.forward with
+    scale_rope=True, qwen_image_dit.py:123-165): height/width positions
+    run [-(n - n//2), ..., n//2 - 1]; frame positions offset by the entry
+    index; text positions start past max(h//2, w//2) over entries."""
+    cos_parts, sin_parts = [], []
+    max_vid = 0
+    for idx, (f, h, w) in enumerate(img_shapes):
+        ax = []
+        fpos = np.arange(idx, idx + f)
+        hpos = np.concatenate([np.arange(-(h - h // 2), 0),
+                               np.arange(0, h // 2)])
+        wpos = np.concatenate([np.arange(-(w - w // 2), 0),
+                               np.arange(0, w // 2)])
+        for d, pos, shape in (
+            (axes_dim[0], fpos, (f, 1, 1)),
+            (axes_dim[1], hpos, (1, h, 1)),
+            (axes_dim[2], wpos, (1, 1, w)),
+        ):
+            c, s = _axis_cos_sin(pos, d, theta)
+            c = np.broadcast_to(c.reshape(*shape, -1), (f, h, w, d // 2))
+            s = np.broadcast_to(s.reshape(*shape, -1), (f, h, w, d // 2))
+            ax.append((c, s))
+        cos_parts.append(np.concatenate([a[0] for a in ax], -1).reshape(
+            f * h * w, -1))
+        sin_parts.append(np.concatenate([a[1] for a in ax], -1).reshape(
+            f * h * w, -1))
+        max_vid = max(max_vid, h // 2, w // 2)
+    img_cos = np.concatenate(cos_parts, 0).astype(np.float32)
+    img_sin = np.concatenate(sin_parts, 0).astype(np.float32)
+
+    tpos = np.arange(max_vid, max_vid + txt_len)
+    tc, ts = [], []
+    for d in axes_dim:
+        c, s = _axis_cos_sin(tpos, d, theta)
+        tc.append(c)
+        ts.append(s)
+    txt_cos = np.concatenate(tc, -1).astype(np.float32)
+    txt_sin = np.concatenate(ts, -1).astype(np.float32)
+    return img_cos, img_sin, txt_cos, txt_sin
+
+
+def _apply_rope(x, cos, sin):
+    """x (B, L, N, D) interleaved pairs; cos/sin (L, D/2)."""
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out_e = c * xf[..., 0] - s * xf[..., 1]
+    out_o = s * xf[..., 0] + c * xf[..., 1]
+    return jnp.stack([out_e, out_o], -1).reshape(x.shape).astype(x.dtype)
+
+
+def _heads(x, n):
+    b, l, d = x.shape
+    return x.reshape(b, l, n, d // n)
+
+
+def _modulate(x, mod, eps):
+    """mod (B, 3*dim) -> shift, scale, gate (reference _modulate,
+    qwen_image_dit.py:470-501, no index path)."""
+    shift, scale, gate = jnp.split(mod[:, None, :], 3, axis=-1)
+    return layer_norm(x, eps) * (1 + scale) + shift, gate
+
+
+def qwen_block(p, img, txt, cond, rope, cfg: QwenImageDiTConfig):
+    """QwenImageTransformerBlock (qwen_image_dit.py:434-548)."""
+    img_cos, img_sin, txt_cos, txt_sin = rope
+    n = cfg.num_heads
+    img_mod = _dense(p["img_mod"], jax.nn.silu(cond))
+    txt_mod = _dense(p["txt_mod"], jax.nn.silu(cond))
+    im_attn, im_mlp = jnp.split(img_mod, 2, axis=-1)
+    tx_attn, tx_mlp = jnp.split(txt_mod, 2, axis=-1)
+
+    a = p["attn"]
+    yi, gate_i = _modulate(img, im_attn, cfg.eps)
+    yt, gate_t = _modulate(txt, tx_attn, cfg.eps)
+    qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], cfg.eps)
+    ki = rms_norm(_heads(_dense(a["to_k"], yi), n), a["norm_k"], cfg.eps)
+    vi = _heads(_dense(a["to_v"], yi), n)
+    qt = rms_norm(_heads(_dense(a["add_q"], yt), n), a["norm_added_q"], cfg.eps)
+    kt = rms_norm(_heads(_dense(a["add_k"], yt), n), a["norm_added_k"], cfg.eps)
+    vt = _heads(_dense(a["add_v"], yt), n)
+    qi, ki = _apply_rope(qi, img_cos, img_sin), _apply_rope(ki, img_cos, img_sin)
+    qt, kt = _apply_rope(qt, txt_cos, txt_sin), _apply_rope(kt, txt_cos, txt_sin)
+    q = jnp.concatenate([qt, qi], axis=1)
+    k = jnp.concatenate([kt, ki], axis=1)
+    v = jnp.concatenate([vt, vi], axis=1)
+    o = attention(q, k, v)
+    b, l, _, _ = o.shape
+    o = o.reshape(b, l, n * cfg.head_dim)
+    lt = txt.shape[1]
+    txt = txt + gate_t * _dense(a["to_add_out"], o[:, :lt])
+    img = img + gate_i * _dense(a["to_out"], o[:, lt:])
+
+    yi, gate_i = _modulate(img, im_mlp, cfg.eps)
+    yt, gate_t = _modulate(txt, tx_mlp, cfg.eps)
+
+    def ff(pp, x):
+        h = _dense(pp["fc1"], x)
+        h = h * jax.nn.sigmoid(1.702 * h)  # ApproximateGELU
+        return _dense(pp["fc2"], h)
+
+    img = img + gate_i * ff(p["img_mlp"], yi)
+    txt = txt + gate_t * ff(p["txt_mlp"], yt)
+    return img, txt
+
+
+def patchify(latents):
+    b, c, h, w = latents.shape
+    x = latents.reshape(b, c, h // 2, 2, w // 2, 2)
+    return x.transpose(0, 2, 4, 1, 3, 5).reshape(
+        b, (h // 2) * (w // 2), c * 4)
+
+
+def unpatchify(x, height, width):
+    b, _, cd = x.shape
+    c = cd // 4
+    x = x.reshape(b, height // 2, width // 2, c, 2, 2)
+    return x.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, height, width)
+
+
+def qwen_image_dit_forward(
+    params,
+    cfg: QwenImageDiTConfig,
+    latents,  # (B, 16, H, W)
+    timestep,  # (B,) in [0, 1000] (divided by 1000 inside, like model_fn)
+    prompt_emb,  # (B, Lt, txt_dim)
+    *,
+    txt_len: Optional[int] = None,  # true (unpadded) text length
+    edit_latents: Optional[List] = None,  # list of (B, 16, He, We)
+    remat: bool = False,
+):
+    """model_fn_qwen_image core path (reference qwen_image.py:698-795):
+    t2i plus Qwen-Image-Edit reference latents."""
+    b, c, h, w = latents.shape
+    dtype = latents.dtype
+    lt = prompt_emb.shape[1] if txt_len is None else txt_len
+
+    img_shapes = [(1, h // 2, w // 2)]
+    x = patchify(latents)
+    if edit_latents:
+        for e in edit_latents:
+            img_shapes.append((1, e.shape[2] // 2, e.shape[3] // 2))
+            x = jnp.concatenate([x, patchify(e.astype(dtype))], axis=1)
+
+    rope = tuple(jnp.asarray(t) for t in qwen_rope_tables(
+        img_shapes, prompt_emb.shape[1], cfg.axes_dim, cfg.theta))
+
+    x = _dense(params["img_in"], x)
+    txt = _dense(params["txt_in"],
+                 rms_norm(prompt_emb.astype(dtype), params["txt_norm"],
+                          cfg.eps))
+
+    cond = _timestep_sinusoid(timestep.astype(jnp.float32) / 1000.0,
+                              cfg.time_freq_dim)
+    cond = _dense(params["time_embed"]["fc2"], jax.nn.silu(
+        _dense(params["time_embed"]["fc1"], cond.astype(dtype))))
+
+    def body(carry, p):
+        img, tx = carry
+        return qwen_block(p, img, tx, cond, rope, cfg), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    (x, txt), _ = jax.lax.scan(body, (x, txt), params["blocks"])
+
+    # AdaLayerNorm(single=True): scale FIRST (general_modules.py:133-136)
+    emb = _dense(params["norm_out"], jax.nn.silu(cond))
+    scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
+    x = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    x = _dense(params["proj_out"], x)
+    x = x[:, : (h // 2) * (w // 2)]
+    return unpatchify(x, h, w)
+
+
+# ------------------------------------------------------------------ params
+def _init_dense(key, din, dout, dtype):
+    k1, k2 = jax.random.split(key)
+    lim = din ** -0.5
+    return {"w": jax.random.uniform(k1, (din, dout), dtype, -lim, lim),
+            "b": jax.random.uniform(k2, (dout,), dtype, -lim, lim)}
+
+
+def init_qwen_image_dit_params(key, cfg: QwenImageDiTConfig,
+                               dtype=jnp.float32):
+    d = cfg.dim
+    keys = iter(jax.random.split(key, 16))
+
+    def block(k):
+        ks = iter(jax.random.split(k, 16))
+        return {
+            "img_mod": _init_dense(next(ks), d, 6 * d, dtype),
+            "txt_mod": _init_dense(next(ks), d, 6 * d, dtype),
+            "attn": {
+                "to_q": _init_dense(next(ks), d, d, dtype),
+                "to_k": _init_dense(next(ks), d, d, dtype),
+                "to_v": _init_dense(next(ks), d, d, dtype),
+                "add_q": _init_dense(next(ks), d, d, dtype),
+                "add_k": _init_dense(next(ks), d, d, dtype),
+                "add_v": _init_dense(next(ks), d, d, dtype),
+                "norm_q": jnp.ones((cfg.head_dim,), dtype),
+                "norm_k": jnp.ones((cfg.head_dim,), dtype),
+                "norm_added_q": jnp.ones((cfg.head_dim,), dtype),
+                "norm_added_k": jnp.ones((cfg.head_dim,), dtype),
+                "to_out": _init_dense(next(ks), d, d, dtype),
+                "to_add_out": _init_dense(next(ks), d, d, dtype),
+            },
+            "img_mlp": {"fc1": _init_dense(next(ks), d, 4 * d, dtype),
+                        "fc2": _init_dense(next(ks), 4 * d, d, dtype)},
+            "txt_mlp": {"fc1": _init_dense(next(ks), d, 4 * d, dtype),
+                        "fc2": _init_dense(next(ks), 4 * d, d, dtype)},
+        }
+
+    leaves = [block(jax.random.fold_in(next(keys), i))
+              for i in range(cfg.num_layers)]
+    return {
+        "img_in": _init_dense(next(keys), cfg.in_dim, d, dtype),
+        "txt_in": _init_dense(next(keys), cfg.txt_dim, d, dtype),
+        "txt_norm": jnp.ones((cfg.txt_dim,), dtype),
+        "time_embed": {
+            "fc1": _init_dense(next(keys), cfg.time_freq_dim, d, dtype),
+            "fc2": _init_dense(next(keys), d, d, dtype),
+        },
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *leaves),
+        "norm_out": _init_dense(next(keys), d, 2 * d, dtype),
+        "proj_out": _init_dense(next(keys), d, cfg.in_dim, dtype),
+    }
+
+
+# ------------------------------------------------------------------ convert
+def convert_qwen_image_dit_state_dict(sd: Dict[str, Any],
+                                      cfg: QwenImageDiTConfig, dtype=None):
+    """Consumes the reference QwenImageDiT module naming."""
+    import numpy as _np
+
+    def lin(name):
+        p = {"w": _np.asarray(sd[name + ".weight"]).T}
+        if name + ".bias" in sd:
+            p["b"] = _np.asarray(sd[name + ".bias"])
+        return p
+
+    def vec(name):
+        return _np.asarray(sd[name + ".weight"])
+
+    def block(i):
+        pre = f"transformer_blocks.{i}"
+        return {
+            "img_mod": lin(pre + ".img_mod.1"),
+            "txt_mod": lin(pre + ".txt_mod.1"),
+            "attn": {
+                "to_q": lin(pre + ".attn.to_q"),
+                "to_k": lin(pre + ".attn.to_k"),
+                "to_v": lin(pre + ".attn.to_v"),
+                "add_q": lin(pre + ".attn.add_q_proj"),
+                "add_k": lin(pre + ".attn.add_k_proj"),
+                "add_v": lin(pre + ".attn.add_v_proj"),
+                "norm_q": vec(pre + ".attn.norm_q"),
+                "norm_k": vec(pre + ".attn.norm_k"),
+                "norm_added_q": vec(pre + ".attn.norm_added_q"),
+                "norm_added_k": vec(pre + ".attn.norm_added_k"),
+                "to_out": lin(pre + ".attn.to_out.0"),
+                "to_add_out": lin(pre + ".attn.to_add_out"),
+            },
+            "img_mlp": {"fc1": lin(pre + ".img_mlp.net.0.proj"),
+                        "fc2": lin(pre + ".img_mlp.net.2")},
+            "txt_mlp": {"fc1": lin(pre + ".txt_mlp.net.0.proj"),
+                        "fc2": lin(pre + ".txt_mlp.net.2")},
+        }
+
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    params = {
+        "img_in": lin("img_in"),
+        "txt_in": lin("txt_in"),
+        "txt_norm": vec("txt_norm"),
+        "time_embed": {
+            "fc1": lin("time_text_embed.timestep_embedder.linear_1"),
+            "fc2": lin("time_text_embed.timestep_embedder.linear_2"),
+        },
+        "blocks": jax.tree.map(lambda *xs: _np.stack(xs), *blocks),
+        "norm_out": lin("norm_out.linear"),
+        "proj_out": lin("proj_out"),
+    }
+    to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    return jax.tree.map(to, params)
