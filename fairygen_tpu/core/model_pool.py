@@ -111,6 +111,39 @@ def _build_flux_vae(state_dict, extra_kwargs, dtype):
     return convert_flux_vae_state_dict(state_dict, cfg, dtype=dtype), cfg
 
 
+def _build_qwen_image_dit(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.dit import (
+        QwenImageDiTConfig,
+        convert_qwen_image_dit_state_dict,
+    )
+
+    cfg = QwenImageDiTConfig()
+    if "num_layers" in extra_kwargs:
+        cfg = QwenImageDiTConfig(num_layers=extra_kwargs["num_layers"])
+    return convert_qwen_image_dit_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_qwen_image_te(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.text_encoder import (
+        QwenVLTextConfig,
+        convert_qwen_vl_text_state_dict,
+    )
+
+    cfg = QwenVLTextConfig.qwen2_5_vl_7b()
+    return convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_qwen_image_vae(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.vae import (
+        WanVAEConfig,
+        convert_qwen_image_vae_state_dict,
+    )
+
+    cfg = WanVAEConfig.wan21_16()
+    return convert_qwen_image_vae_state_dict(state_dict, cfg,
+                                             dtype=dtype), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -120,6 +153,9 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
     registry.register_builder("flux_vae_encoder", _build_flux_vae)
     registry.register_builder("flux_vae_decoder", _build_flux_vae)
+    registry.register_builder("qwen_image_dit", _build_qwen_image_dit)
+    registry.register_builder("qwen_image_text_encoder", _build_qwen_image_te)
+    registry.register_builder("qwen_image_vae", _build_qwen_image_vae)
     return registry
 
 

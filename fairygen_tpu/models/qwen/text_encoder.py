@@ -1,0 +1,164 @@
+"""Qwen2.5-VL text encoder (text-only path) — functional JAX port.
+
+Qwen-Image conditions on the LAST hidden state of Qwen2.5-VL-7B run over
+a chat-templated prompt, dropping the 34 template tokens (reference
+``qwen_image_text_encoder.py:5-161``, ``pipelines/qwen_image.py:348-358``).
+The reference subclasses transformers' ``Qwen2_5_VLModel``; this module
+implements the text decoder stack it runs for t2i prompts:
+
+  - GQA attention (q/k/v with bias, kv heads repeated), causal + padding
+    mask, fp32 softmax;
+  - RoPE with the standard rotate-half convention.  Qwen2.5-VL's mRoPE
+    splits frequencies into (t, h, w) sections, but for TEXT tokens all
+    three position streams are identical, so it reduces exactly to 1D
+    RoPE — validated by the golden test against transformers;
+  - RMSNorm pre-norms + SwiGLU MLP, final RMSNorm (the conditioning
+    tensor: transformers' ``hidden_states[-1]`` is post-final-norm).
+
+Image-conditioned editing prompts (``<|image_pad|>`` + the vision tower)
+are out of scope (SURVEY.md §2.3); edit mode takes precomputed
+embeddings.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.norms import rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenVLTextConfig:
+    vocab: int = 152064
+    dim: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    ffn_dim: int = 18944
+    rope_theta: float = 1000000.0
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self):
+        return self.dim // self.num_heads
+
+    @staticmethod
+    def qwen2_5_vl_7b() -> "QwenVLTextConfig":
+        """Qwen-Image's text encoder (qwen_image_text_encoder.py:8-115)."""
+        return QwenVLTextConfig()
+
+    @staticmethod
+    def tiny(**over) -> "QwenVLTextConfig":
+        base = dict(vocab=128, dim=32, num_layers=2, num_heads=4,
+                    num_kv_heads=2, ffn_dim=48)
+        base.update(over)
+        return QwenVLTextConfig(**base)
+
+
+def _dense(p, x):
+    y = jnp.dot(x, p["w"].astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _rope_cos_sin(length: int, head_dim: int, theta: float):
+    inv = 1.0 / theta ** (np.arange(0, head_dim, 2, dtype=np.float64)
+                          / head_dim)
+    ang = np.einsum("l,d->ld", np.arange(length, dtype=np.float64), inv)
+    # rotate-half convention: frequencies repeated over the two halves
+    ang = np.concatenate([ang, ang], axis=-1)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def _apply_rope_half(x, cos, sin):
+    """(B, L, N, D) rotate-half RoPE (transformers Qwen2 convention)."""
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., : d // 2], xf[..., d // 2:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (xf * c + rot * s).astype(x.dtype)
+
+
+def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
+                        attention_mask: Optional[jnp.ndarray] = None):
+    """ids (B, L) -> final hidden states (B, L, dim)."""
+    b, l = ids.shape
+    n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][ids]
+    cos, sin = _rope_cos_sin(l, hd, cfg.rope_theta)
+
+    causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
+    if attention_mask is not None:
+        causal = causal & (attention_mask[:, None, None, :] > 0)
+    neg = jnp.finfo(jnp.float32).min
+
+    for p in params["layers"]:
+        h = rms_norm(x, p["ln1"], cfg.eps)
+        q = _dense(p["q"], h).reshape(b, l, n, hd)
+        k = _dense(p["k"], h).reshape(b, l, nk, hd)
+        v = _dense(p["v"], h).reshape(b, l, nk, hd)
+        q = _apply_rope_half(q, cos, sin)
+        k = _apply_rope_half(k, cos, sin)
+        rep = n // nk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(jnp.float32)
+        logits = logits * (hd ** -0.5)
+        logits = jnp.where(causal, logits, neg)
+        probs = jax.nn.softmax(logits, -1).astype(x.dtype)
+        o = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, l, n * hd)
+        x = x + _dense(p["o"], o)
+        h = rms_norm(x, p["ln2"], cfg.eps)
+        gate = jax.nn.silu(_dense(p["gate"], h).astype(jnp.float32)).astype(
+            x.dtype)
+        x = x + _dense(p["down"], gate * _dense(p["up"], h))
+    return rms_norm(x, params["norm"], cfg.eps)
+
+
+# ------------------------------------------------------------------ convert
+def convert_qwen_vl_text_state_dict(sd: Dict[str, np.ndarray],
+                                    cfg: QwenVLTextConfig, dtype=None):
+    """transformers Qwen2_5_VLModel naming (``language_model.`` /
+    ``model.`` / bare prefixes; visual tower ignored)."""
+    pre = ""
+    for cand in ("language_model.", "model.language_model.", "model."):
+        if any(k.startswith(cand + "layers.0.") for k in sd):
+            pre = cand
+            break
+
+    def lin(name, bias=True):
+        p = {"w": np.asarray(sd[name + ".weight"]).T}
+        if bias and name + ".bias" in sd:
+            p["b"] = np.asarray(sd[name + ".bias"])
+        return p
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{pre}layers.{i}"
+        layers.append({
+            "ln1": np.asarray(sd[lp + ".input_layernorm.weight"]),
+            "q": lin(lp + ".self_attn.q_proj"),
+            "k": lin(lp + ".self_attn.k_proj"),
+            "v": lin(lp + ".self_attn.v_proj"),
+            "o": lin(lp + ".self_attn.o_proj"),
+            "ln2": np.asarray(sd[lp + ".post_attention_layernorm.weight"]),
+            "gate": lin(lp + ".mlp.gate_proj"),
+            "up": lin(lp + ".mlp.up_proj"),
+            "down": lin(lp + ".mlp.down_proj"),
+        })
+    params = {
+        "embed": np.asarray(sd[pre + "embed_tokens.weight"]),
+        "layers": layers,
+        "norm": np.asarray(sd[pre + "norm.weight"]),
+    }
+    to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    return jax.tree.map(to, params)

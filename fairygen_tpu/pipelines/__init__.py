@@ -1,2 +1,3 @@
 from .flux_image import FluxImagePipeline
+from .qwen_image import QwenImagePipeline
 from .wan_video import WanVideoPipeline

@@ -1,0 +1,201 @@
+"""Qwen-Image text-to-image pipeline (t2i / img2img / Edit).
+
+Port of the reference ``QwenImagePipeline``
+(``animation/diffsynth/pipelines/qwen_image.py``) core path: chat-template
+prompt encoding through Qwen2.5-VL (drop the 34 template tokens,
+:348-358), seeded noise, FlowMatch "Qwen-Image" template with dynamic
+shift from the latent token count, true CFG (default 4.0), optional
+input-image start, Qwen-Image-Edit reference images as extra packed
+latents, fp32 VAE decode.
+
+TPU-native: chunked module-scope-jitted denoise loop (one compiled
+program per resolution).  EliGen / blockwise ControlNet / inpaint
+blending / layered mode are out of scope (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.noise import generate_noise
+from ..diffusion.flow_match import FlowMatchScheduler
+from ..models.qwen.dit import QwenImageDiTConfig, qwen_image_dit_forward
+from ..models.qwen.vae import (
+    WanVAEConfig,
+    qwen_image_vae_decode,
+    qwen_image_vae_encode,
+)
+
+PROMPT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the image by detailing the color, shape, "
+    "size, texture, quantity, text, spatial relationships of the objects "
+    "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
+    "<|im_start|>assistant\n"
+)
+TEMPLATE_DROP_IDX = 34  # reference qwen_image.py:350
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dit_cfg", "length", "do_cfg", "n_edit"),
+)
+def _qwen_denoise_chunk(
+    params, lat, prompt_emb, neg_prompt_emb, edit_latents, timesteps, sigmas,
+    cfg_scale, start,
+    *, dit_cfg: QwenImageDiTConfig, length: int, do_cfg: bool, n_edit: int,
+):
+    edits = list(edit_latents) if n_edit else None
+
+    def sweep(x, t, ctx):
+        return qwen_image_dit_forward(params, dit_cfg, x, t, ctx,
+                                      edit_latents=edits)
+
+    def step(i, x):
+        t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
+        v = sweep(x, t, prompt_emb)
+        if do_cfg:
+            v_n = sweep(x, t, neg_prompt_emb)
+            v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+        return x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
+
+    return jax.lax.fori_loop(start, start + length, step, lat)
+
+
+@dataclasses.dataclass
+class QwenImagePipeline:
+    dit_params: Any = None
+    dit_cfg: QwenImageDiTConfig = None
+    vae_params: Any = None
+    vae_cfg: WanVAEConfig = None
+    te_params: Any = None
+    te_cfg: Any = None
+    tokenizer: Any = None  # transformers Qwen2 tokenizer (local path)
+    dtype: Any = jnp.bfloat16
+    steps_per_dispatch: int = 10
+
+    @classmethod
+    def from_pretrained(cls, model_paths, tokenizer_path=None,
+                        dtype=jnp.bfloat16, hints=None):
+        from ..core.model_pool import ModelPool
+
+        pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
+        dit = pool.fetch_model("qwen_image_dit")
+        vae = pool.fetch_model("qwen_image_vae")
+        te = pool.fetch_model("qwen_image_text_encoder")
+        pipe = cls(
+            dit_params=dit[0] if dit else None,
+            dit_cfg=dit[1] if dit else None,
+            vae_params=vae[0] if vae else None,
+            vae_cfg=vae[1] if vae else None,
+            te_params=te[0] if te else None,
+            te_cfg=te[1] if te else None,
+            dtype=dtype,
+        )
+        if tokenizer_path is not None:
+            from transformers import AutoTokenizer
+
+            pipe.tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
+        return pipe
+
+    def encode_prompt(self, prompt: str):
+        """Chat template -> Qwen2.5-VL final hidden -> drop the 34 template
+        tokens (reference encode_prompt, qwen_image.py:348-358)."""
+        from ..models.qwen.text_encoder import qwen_vl_text_encode
+
+        assert self.tokenizer is not None and self.te_params is not None
+        txt = PROMPT_TEMPLATE.format(prompt)
+        ids = self.tokenizer(txt, max_length=4096 + TEMPLATE_DROP_IDX,
+                             truncation=True, return_tensors="np").input_ids
+        hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
+                                     jnp.asarray(ids))
+        return hidden[:, TEMPLATE_DROP_IDX:].astype(self.dtype)
+
+    def _encode_image(self, image):
+        from ..core.imaging import preprocess_image
+
+        arr = jnp.asarray(preprocess_image(image)[None], jnp.float32)
+        return qwen_image_vae_encode(
+            jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
+            self.vae_cfg, arr).astype(self.dtype)
+
+    def __call__(
+        self,
+        prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        cfg_scale: float = 4.0,
+        input_image=None,
+        denoising_strength: float = 1.0,
+        height: int = 1328,
+        width: int = 1328,
+        seed: Optional[int] = None,
+        num_inference_steps: int = 30,
+        exponential_shift_mu: Optional[float] = None,
+        edit_images=None,  # Qwen-Image-Edit reference image(s)
+        prompt_emb=None,
+        negative_prompt_emb=None,
+        latents=None,
+        output_type: str = "np",
+    ):
+        assert height % 16 == 0 and width % 16 == 0, (height, width)
+        sched = FlowMatchScheduler("Qwen-Image").set_timesteps(
+            num_inference_steps, denoising_strength=denoising_strength,
+            dynamic_shift_len=(height // 16) * (width // 16),
+            exponential_shift_mu=exponential_shift_mu)
+        timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+        sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
+
+        if prompt_emb is None:
+            prompt_emb = self.encode_prompt(prompt)
+        do_cfg = cfg_scale != 1.0
+        if do_cfg and negative_prompt_emb is None:
+            negative_prompt_emb = self.encode_prompt(negative_prompt)
+
+        zc = self.vae_cfg.z_dim if self.vae_cfg else 16
+        if latents is not None:
+            noise = jnp.asarray(latents, self.dtype)
+        else:
+            noise = generate_noise((1, zc, height // 8, width // 8),
+                                   seed=0 if seed is None else seed
+                                   ).astype(self.dtype)
+        if input_image is not None:
+            z0 = self._encode_image(input_image)
+            lat = sched.add_noise(z0, noise, 0).astype(self.dtype)
+        else:
+            lat = noise
+
+        edit_latents = ()
+        if edit_images is not None:
+            if not isinstance(edit_images, (list, tuple)):
+                edit_images = [edit_images]
+            edit_latents = tuple(self._encode_image(im) for im in edit_images)
+
+        cfg_t = jnp.float32(cfg_scale)
+        n = len(sched.timesteps)
+        s = 0
+        while s < n:
+            ln = min(self.steps_per_dispatch, n - s)
+            lat = _qwen_denoise_chunk(
+                self.dit_params, lat, prompt_emb, negative_prompt_emb,
+                edit_latents, timesteps, sigmas, cfg_t, jnp.int32(s),
+                dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
+                n_edit=len(edit_latents),
+            )
+            s += ln
+
+        image = qwen_image_vae_decode(
+            jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
+            self.vae_cfg, lat.astype(jnp.float32))
+        if output_type == "latent":
+            return lat
+        from ..core.imaging import postprocess_image
+
+        arr = postprocess_image(np.asarray(image[0]))
+        if output_type == "pil":
+            from PIL import Image
+
+            return Image.fromarray(arr)
+        return arr
