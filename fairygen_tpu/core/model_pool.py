@@ -144,6 +144,26 @@ def _build_qwen_image_vae(state_dict, extra_kwargs, dtype):
                                              dtype=dtype), cfg
 
 
+def _build_z_image_dit(state_dict, extra_kwargs, dtype):
+    from ..models.z_image.dit import (
+        ZImageDiTConfig,
+        convert_z_image_dit_state_dict,
+    )
+
+    cfg = ZImageDiTConfig()
+    return convert_z_image_dit_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_z_image_te(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.text_encoder import (
+        QwenVLTextConfig,
+        convert_qwen_vl_text_state_dict,
+    )
+
+    cfg = QwenVLTextConfig.qwen3_4b()
+    return convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -156,6 +176,8 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("qwen_image_dit", _build_qwen_image_dit)
     registry.register_builder("qwen_image_text_encoder", _build_qwen_image_te)
     registry.register_builder("qwen_image_vae", _build_qwen_image_vae)
+    registry.register_builder("z_image_dit", _build_z_image_dit)
+    registry.register_builder("z_image_text_encoder", _build_z_image_te)
     return registry
 
 

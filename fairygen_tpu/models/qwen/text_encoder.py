@@ -41,15 +41,26 @@ class QwenVLTextConfig:
     ffn_dim: int = 18944
     rope_theta: float = 1000000.0
     eps: float = 1e-6
+    head_dim_override: int = 0  # Qwen3 decouples head_dim from dim/heads
+    qk_norm: bool = False  # Qwen3 per-head q/k RMS norms
+    attn_bias: bool = True  # Qwen2.5 has q/k/v biases; Qwen3 none
 
     @property
     def head_dim(self):
-        return self.dim // self.num_heads
+        return self.head_dim_override or self.dim // self.num_heads
 
     @staticmethod
     def qwen2_5_vl_7b() -> "QwenVLTextConfig":
         """Qwen-Image's text encoder (qwen_image_text_encoder.py:8-115)."""
         return QwenVLTextConfig()
+
+    @staticmethod
+    def qwen3_4b() -> "QwenVLTextConfig":
+        """Z-Image's text encoder (z_image_text_encoder.py:8-37)."""
+        return QwenVLTextConfig(
+            vocab=151936, dim=2560, num_layers=36, num_heads=32,
+            num_kv_heads=8, ffn_dim=9728, head_dim_override=128,
+            qk_norm=True, attn_bias=False)
 
     @staticmethod
     def tiny(**over) -> "QwenVLTextConfig":
@@ -89,8 +100,15 @@ def _apply_rope_half(x, cos, sin):
 
 
 def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
-                        attention_mask: Optional[jnp.ndarray] = None):
-    """ids (B, L) -> final hidden states (B, L, dim)."""
+                        attention_mask: Optional[jnp.ndarray] = None,
+                        hidden_state_index: Optional[int] = None):
+    """ids (B, L) -> hidden states (B, L, dim).
+
+    ``hidden_state_index``: None -> post-final-norm last hidden state
+    (transformers ``hidden_states[-1]``, what Qwen-Image consumes);
+    -2 -> the input of the last decoder layer, i.e. run num_layers-1
+    layers with NO final norm (``hidden_states[-2]``, what Z-Image
+    consumes, z_image.py:189)."""
     b, l = ids.shape
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = params["embed"][ids]
@@ -101,11 +119,18 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
         causal = causal & (attention_mask[:, None, None, :] > 0)
     neg = jnp.finfo(jnp.float32).min
 
-    for p in params["layers"]:
+    layers = params["layers"]
+    if hidden_state_index is not None:
+        assert hidden_state_index < 0
+        layers = layers[: len(layers) + 1 + hidden_state_index]
+    for p in layers:
         h = rms_norm(x, p["ln1"], cfg.eps)
         q = _dense(p["q"], h).reshape(b, l, n, hd)
         k = _dense(p["k"], h).reshape(b, l, nk, hd)
         v = _dense(p["v"], h).reshape(b, l, nk, hd)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.eps)
+            k = rms_norm(k, p["k_norm"], cfg.eps)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
         rep = n // nk
@@ -116,11 +141,13 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
         logits = jnp.where(causal, logits, neg)
         probs = jax.nn.softmax(logits, -1).astype(x.dtype)
         o = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, l, n * hd)
-        x = x + _dense(p["o"], o)
+        x = x + _dense(p["o"], o)  # o_proj consumes n*hd (may differ from dim)
         h = rms_norm(x, p["ln2"], cfg.eps)
         gate = jax.nn.silu(_dense(p["gate"], h).astype(jnp.float32)).astype(
             x.dtype)
         x = x + _dense(p["down"], gate * _dense(p["up"], h))
+    if hidden_state_index is not None:
+        return x
     return rms_norm(x, params["norm"], cfg.eps)
 
 
@@ -144,7 +171,7 @@ def convert_qwen_vl_text_state_dict(sd: Dict[str, np.ndarray],
     layers = []
     for i in range(cfg.num_layers):
         lp = f"{pre}layers.{i}"
-        layers.append({
+        layer = {
             "ln1": np.asarray(sd[lp + ".input_layernorm.weight"]),
             "q": lin(lp + ".self_attn.q_proj"),
             "k": lin(lp + ".self_attn.k_proj"),
@@ -154,7 +181,11 @@ def convert_qwen_vl_text_state_dict(sd: Dict[str, np.ndarray],
             "gate": lin(lp + ".mlp.gate_proj"),
             "up": lin(lp + ".mlp.up_proj"),
             "down": lin(lp + ".mlp.down_proj"),
-        })
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = np.asarray(sd[lp + ".self_attn.q_norm.weight"])
+            layer["k_norm"] = np.asarray(sd[lp + ".self_attn.k_norm.weight"])
+        layers.append(layer)
     params = {
         "embed": np.asarray(sd[pre + "embed_tokens.weight"]),
         "layers": layers,
