@@ -164,6 +164,36 @@ def _build_z_image_te(state_dict, extra_kwargs, dtype):
     return convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype), cfg
 
 
+def _build_flux2_dit(state_dict, extra_kwargs, dtype):
+    from ..models.flux2.dit import (
+        Flux2DiTConfig,
+        convert_flux2_dit_state_dict,
+    )
+
+    cfg = Flux2DiTConfig()
+    return convert_flux2_dit_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_flux2_vae(state_dict, extra_kwargs, dtype):
+    from ..models.flux2.vae import (
+        convert_flux2_vae_state_dict,
+        flux2_vae_config,
+    )
+
+    cfg = flux2_vae_config()
+    return convert_flux2_vae_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
+def _build_flux2_te(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.text_encoder import (
+        QwenVLTextConfig,
+        convert_qwen_vl_text_state_dict,
+    )
+
+    cfg = QwenVLTextConfig.mistral3_small()
+    return convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -178,6 +208,9 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("qwen_image_vae", _build_qwen_image_vae)
     registry.register_builder("z_image_dit", _build_z_image_dit)
     registry.register_builder("z_image_text_encoder", _build_z_image_te)
+    registry.register_builder("flux2_dit", _build_flux2_dit)
+    registry.register_builder("flux2_vae", _build_flux2_vae)
+    registry.register_builder("flux2_text_encoder", _build_flux2_te)
     return registry
 
 

@@ -63,6 +63,15 @@ class QwenVLTextConfig:
             qk_norm=True, attn_bias=False)
 
     @staticmethod
+    def mistral3_small() -> "QwenVLTextConfig":
+        """FLUX.2's text encoder (flux2_text_encoder.py:6-55): Mistral-3
+        Small 24B text stack — bias-free GQA, no qk norms."""
+        return QwenVLTextConfig(
+            vocab=131072, dim=5120, num_layers=40, num_heads=32,
+            num_kv_heads=8, ffn_dim=32768, head_dim_override=128,
+            rope_theta=1000000000.0, eps=1e-5, attn_bias=False)
+
+    @staticmethod
     def tiny(**over) -> "QwenVLTextConfig":
         base = dict(vocab=128, dim=32, num_layers=2, num_heads=4,
                     num_kv_heads=2, ffn_dim=48)
@@ -101,9 +110,13 @@ def _apply_rope_half(x, cos, sin):
 
 def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
                         attention_mask: Optional[jnp.ndarray] = None,
-                        hidden_state_index: Optional[int] = None):
+                        hidden_state_index: Optional[int] = None,
+                        hidden_state_indices=None):
     """ids (B, L) -> hidden states (B, L, dim).
 
+    ``hidden_state_indices``: tuple of positive layer indices -> ALSO
+    return those layers' raw outputs (transformers ``hidden_states[k]``),
+    as FLUX.2 stacks layers (10, 20, 30) (flux2_image.py:181-218).
     ``hidden_state_index``: None -> post-final-norm last hidden state
     (transformers ``hidden_states[-1]``, what Qwen-Image consumes);
     -2 -> the input of the last decoder layer, i.e. run num_layers-1
@@ -123,7 +136,8 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
     if hidden_state_index is not None:
         assert hidden_state_index < 0
         layers = layers[: len(layers) + 1 + hidden_state_index]
-    for p in layers:
+    collected = {}
+    for li, p in enumerate(layers):
         h = rms_norm(x, p["ln1"], cfg.eps)
         q = _dense(p["q"], h).reshape(b, l, n, hd)
         k = _dense(p["k"], h).reshape(b, l, nk, hd)
@@ -146,6 +160,10 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
         gate = jax.nn.silu(_dense(p["gate"], h).astype(jnp.float32)).astype(
             x.dtype)
         x = x + _dense(p["down"], gate * _dense(p["up"], h))
+        if hidden_state_indices and (li + 1) in hidden_state_indices:
+            collected[li + 1] = x
+    if hidden_state_indices:
+        return [collected[k] for k in hidden_state_indices]
     if hidden_state_index is not None:
         return x
     return rms_norm(x, params["norm"], cfg.eps)

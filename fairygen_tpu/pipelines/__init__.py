@@ -1,3 +1,4 @@
+from .flux2_image import Flux2ImagePipeline
 from .flux_image import FluxImagePipeline
 from .qwen_image import QwenImagePipeline
 from .wan_video import WanVideoPipeline

@@ -31,13 +31,16 @@ def main():
     mask = torch.ones(2, 9, dtype=torch.long)
     mask[1, 6:] = 0
     with torch.no_grad():
-        out = m(input_ids=ids, attention_mask=mask,
-                output_hidden_states=True).hidden_states[-1]
+        hs = m(input_ids=ids, attention_mask=mask,
+               output_hidden_states=True).hidden_states
+    out = hs[-1]
+    h1 = hs[1]
 
     sd = {k: v.numpy() for k, v in m.state_dict().items()
           if "visual" not in k}
     np.savez("../tests/goldens/qwen_text.npz",
              ids=ids.numpy(), mask=mask.numpy(), out=out.numpy(),
+             h1=h1.numpy(),
              **{f"sd.{k}": v for k, v in sd.items()})
     print("wrote tests/goldens/qwen_text.npz", out.shape)
 
