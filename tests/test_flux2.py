@@ -30,6 +30,7 @@ def g():
     return np.load("tests/goldens/flux2.npz")
 
 
+@pytest.mark.slow
 def test_flux2_dit_matches_reference(g):
     params = convert_flux2_dit_state_dict(
         {k[4:]: g[k] for k in g.files if k.startswith("dit.")}, DIT_CFG)
@@ -43,6 +44,7 @@ def test_flux2_dit_matches_reference(g):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flux2_vae_roundtrip_matches_reference(g):
     params = convert_flux2_vae_state_dict(
         {k[4:]: g[k] for k in g.files if k.startswith("vae.")}, VAE_CFG)

@@ -36,6 +36,7 @@ def pipe(g):
                               dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_flux2_pipeline_latents(g, pipe):
     lat = pipe(prompt_emb=jnp.asarray(g["prompt"]), embedded_guidance=4.0,
                latents=g["lat0"], height=64, width=96,
@@ -44,6 +45,7 @@ def test_flux2_pipeline_latents(g, pipe):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flux2_pipeline_decode(g, pipe):
     arr = pipe(prompt_emb=jnp.asarray(g["prompt"]), embedded_guidance=4.0,
                latents=g["lat0"], height=64, width=96,

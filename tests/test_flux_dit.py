@@ -25,6 +25,7 @@ def _sd(g):
     return {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
 
 
+@pytest.mark.slow
 def test_flux_dit_matches_reference(g):
     params = convert_flux_dit_state_dict(_sd(g), CFG)
     out = flux_dit_forward(
@@ -36,6 +37,7 @@ def test_flux_dit_matches_reference(g):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flux_dit_prescaled_matches(g):
     """scale·log2e folded into the q-norm gammas == unscaled path."""
     params = convert_flux_dit_state_dict(_sd(g), CFG, prescale=True)
@@ -48,6 +50,7 @@ def test_flux_dit_prescaled_matches(g):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flux_dit_kontext_matches_reference(g):
     from fairygen_tpu.models.flux.dit import patchify
 
@@ -65,6 +68,7 @@ def test_flux_dit_kontext_matches_reference(g):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flux_dit_bfl_naming_roundtrip(g):
     """BFL checkpoint naming -> normalize_flux_dit_source -> same forward."""
     from fairygen_tpu.models.flux.dit import (

@@ -2,6 +2,7 @@
 pytree, with q/k/v adapters landing on the fused-projection column
 slices (reference FluxLoRALoader, utils/lora/flux.py)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def _ba(key):
     return A, B
 
 
+@pytest.mark.slow
 def test_diffusers_layout_slices():
     params = init_flux_dit_params(jax.random.key(0), CFG)
     base = np.asarray(params["double_blocks"]["attn"]["a_qkv"]["w"]).copy()
@@ -49,6 +51,7 @@ def test_diffusers_layout_slices():
     np.testing.assert_array_equal(ws[0, :, :3 * D], base_sgl[0, :, :3 * D])
 
 
+@pytest.mark.slow
 def test_civitai_layout_fused_qkv():
     params = init_flux_dit_params(jax.random.key(3), CFG)
     base = np.asarray(params["double_blocks"]["attn"]["b_qkv"]["w"]).copy()
@@ -63,6 +66,7 @@ def test_civitai_layout_fused_qkv():
     np.testing.assert_allclose(w[0], base[0] + (B3 @ A).T, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_forward_changes_after_lora():
     from fairygen_tpu.models.flux.dit import flux_dit_forward
 

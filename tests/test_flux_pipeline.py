@@ -47,6 +47,7 @@ def pipe(g):
     )
 
 
+@pytest.mark.slow
 def test_flux_pipeline_no_cfg(g, pipe):
     lat = pipe(
         prompt_emb=jnp.asarray(g["prompt_emb"]),
@@ -59,6 +60,7 @@ def test_flux_pipeline_no_cfg(g, pipe):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_flux_pipeline_decode_matches(g, pipe):
     arr = pipe(
         prompt_emb=jnp.asarray(g["prompt_emb"]),
@@ -75,6 +77,7 @@ def test_flux_pipeline_decode_matches(g, pipe):
     assert np.abs(arr.astype(np.int32) - ref.astype(np.int32)).max() <= 1
 
 
+@pytest.mark.slow
 def test_flux_tea_cache_always_calc_matches_baseline(g, pipe):
     """thresh=-inf forces recompute every step -> identical to no-cache
     (the FLUX gate polynomial can be negative, so 0 is NOT always-calc)."""
@@ -90,6 +93,7 @@ def test_flux_tea_cache_always_calc_matches_baseline(g, pipe):
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flux_tea_cache_skips(g, pipe):
     """A huge threshold makes the middle steps reuse the cached residual —
     output differs from baseline but stays finite."""
@@ -106,6 +110,7 @@ def test_flux_tea_cache_skips(g, pipe):
     assert np.abs(out - base).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_flux_pipeline_cfg(g, pipe):
     lat = pipe(
         prompt_emb=jnp.asarray(g["prompt_emb"]),

@@ -26,6 +26,7 @@ def _params(g):
         {k[3:]: g[k] for k in g.files if k.startswith("sd.")}, CFG)
 
 
+@pytest.mark.slow
 def test_flux_vae_encode(g):
     mean = vae_encode(_params(g), CFG, jnp.asarray(g["img"]))
     # reference applies (mean - shift) * scale inside (flux_vae.py:432)
@@ -33,6 +34,7 @@ def test_flux_vae_encode(g):
     np.testing.assert_allclose(z, g["lat"], atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flux_vae_decode(g):
     # reference decode consumes the SCALED latent (flux_vae.py:350)
     z = jnp.asarray(g["z"]) / CFG.scaling_factor + CFG.shift_factor

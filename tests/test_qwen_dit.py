@@ -25,6 +25,7 @@ def _params(g):
         {k[3:]: g[k] for k in g.files if k.startswith("sd.")}, CFG)
 
 
+@pytest.mark.slow
 def test_qwen_dit_matches_reference(g):
     out = qwen_image_dit_forward(
         _params(g), CFG, jnp.asarray(g["latents"]),
@@ -34,6 +35,7 @@ def test_qwen_dit_matches_reference(g):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_qwen_dit_edit_latents_matches_reference(g):
     out = qwen_image_dit_forward(
         _params(g), CFG, jnp.asarray(g["latents"]),

@@ -36,6 +36,7 @@ def pipe(g):
     )
 
 
+@pytest.mark.slow
 def test_qwen_pipeline_cfg_latents(g, pipe):
     lat = pipe(
         prompt_emb=jnp.asarray(g["prompt_emb"]),
@@ -47,6 +48,7 @@ def test_qwen_pipeline_cfg_latents(g, pipe):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_qwen_pipeline_decode(g, pipe):
     arr = pipe(
         prompt_emb=jnp.asarray(g["prompt_emb"]),

@@ -25,12 +25,14 @@ def _params(g):
         {k[3:]: g[k] for k in g.files if k.startswith("sd.")}, CFG)
 
 
+@pytest.mark.slow
 def test_qwen_vae_encode(g):
     lat = qwen_image_vae_encode(_params(g), CFG, jnp.asarray(g["img"]))
     np.testing.assert_allclose(np.asarray(lat), g["lat"], atol=2e-4,
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_qwen_vae_decode(g):
     dec = qwen_image_vae_decode(_params(g), CFG, jnp.asarray(g["z"]))
     np.testing.assert_allclose(np.asarray(dec), g["dec"], atol=5e-4,

@@ -19,6 +19,7 @@ def g():
     return np.load("tests/goldens/z_image_dit.npz")
 
 
+@pytest.mark.slow
 def test_z_image_dit_matches_reference(g):
     params = convert_z_image_dit_state_dict(
         {k[3:]: g[k] for k in g.files if k.startswith("sd.")}, CFG)

@@ -41,6 +41,7 @@ def pipe(g):
                           dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_z_image_pipeline_cfg_latents(g, pipe):
     lat = pipe(prompt_emb=jnp.asarray(g["cap"]),
                negative_prompt_emb=jnp.asarray(g["neg"]),
@@ -50,6 +51,7 @@ def test_z_image_pipeline_cfg_latents(g, pipe):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_z_image_pipeline_decode(g, pipe):
     arr = pipe(prompt_emb=jnp.asarray(g["cap"]),
                negative_prompt_emb=jnp.asarray(g["neg"]),
