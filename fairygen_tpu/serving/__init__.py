@@ -1,3 +1,10 @@
-from .server import BatchingEngine, InferenceServer, Request
+from .server import (
+    BatchingEngine,
+    InferenceServer,
+    Request,
+    sdxl_generate_fn,
+    t2i_generate_fn,
+)
 
-__all__ = ["BatchingEngine", "InferenceServer", "Request"]
+__all__ = ["BatchingEngine", "InferenceServer", "Request",
+           "sdxl_generate_fn", "t2i_generate_fn"]

@@ -163,6 +163,21 @@ def sdxl_generate_fn(pipe):
     return fn
 
 
+def t2i_generate_fn(pipe):
+    """Adapt a single-prompt t2i pipeline (FluxImagePipeline,
+    QwenImagePipeline, ZImagePipeline, Flux2ImagePipeline — all share the
+    ``pipe(prompt=..., output_type="np", **params)`` surface) to the
+    engine.  Requests still bucket by compile signature, so each bucket
+    reuses one compiled program; generation runs per prompt (these DiTs
+    are per-sample at the RoPE/packing level)."""
+
+    def fn(prompts, **params):
+        params.setdefault("output_type", "np")
+        return [pipe(prompt=p, **params) for p in prompts]
+
+    return fn
+
+
 class InferenceServer:
     """Minimal stdlib HTTP front end over a BatchingEngine.
 

@@ -133,3 +133,27 @@ def test_http_concurrent_batching():
         assert max(n for n, _ in pipe.batches) >= 2  # HTTP calls coalesced
     finally:
         srv.stop()
+
+
+def test_t2i_generate_fn_adapter():
+    """t2i_generate_fn drives any single-prompt pipeline through the
+    engine (FLUX / Qwen-Image / Z-Image / FLUX.2 surface)."""
+    from fairygen_tpu.serving.server import t2i_generate_fn
+
+    calls = []
+
+    class FakePipe:
+        def __call__(self, prompt=None, output_type="np", **params):
+            calls.append((prompt, output_type, params.get("height")))
+            return np.zeros((8, 8, 3), np.uint8)
+
+    eng = BatchingEngine(t2i_generate_fn(FakePipe()), max_batch=4,
+                         max_wait_ms=10)
+    try:
+        rs = [eng.submit(f"p{i}", height=64, width=64) for i in range(3)]
+        outs = [r.wait(timeout=5) for r in rs]
+    finally:
+        eng.shutdown()
+    assert all(o.shape == (8, 8, 3) for o in outs)
+    assert {c[0] for c in calls} == {"p0", "p1", "p2"}
+    assert all(c[1] == "np" and c[2] == 64 for c in calls)
