@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import attention
+from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import layer_norm, rms_norm
 
 _LOG2E = 1.4426950408889634
@@ -124,14 +125,7 @@ def rope_table(ids: np.ndarray, axes_dim, theta: int):
     return cos, sin
 
 
-def _apply_rope(x, cos, sin):
-    """x (B, L, N, D) with interleaved pairs; cos/sin (L, D/2) fp32."""
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
-    out_e = c * xf[..., 0] - s * xf[..., 1]
-    out_o = s * xf[..., 0] + c * xf[..., 1]
-    return jnp.stack([out_e, out_o], axis=-1).reshape(x.shape).astype(x.dtype)
+_apply_rope = apply_interleaved_rope
 
 
 def _split_heads(x, n):
@@ -344,7 +338,8 @@ def init_flux_dit_params(key, cfg: FluxDiTConfig, dtype=jnp.float32):
                 "fc2": _init_dense(next(keys), d, d, dtype)}
 
     def stack(n, fn):
-        leaves = [fn(jax.random.fold_in(next(keys), i)) for i in range(n)]
+        base = next(keys)
+        leaves = [fn(jax.random.fold_in(base, i)) for i in range(n)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
 
     def dbl(k):

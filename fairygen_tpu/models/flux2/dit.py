@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import attention
+from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import layer_norm, rms_norm
 
 
@@ -92,13 +93,7 @@ def rope_tables(ids: np.ndarray, axes_dim, theta: int):
             np.concatenate(sin_p, -1).astype(np.float32))
 
 
-def _apply_rope(x, cos, sin):
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
-    out_e = c * xf[..., 0] - s * xf[..., 1]
-    out_o = s * xf[..., 0] + c * xf[..., 1]
-    return jnp.stack([out_e, out_o], -1).reshape(x.shape).astype(x.dtype)
+_apply_rope = apply_interleaved_rope
 
 
 def _heads(x, n):
@@ -300,9 +295,10 @@ def init_flux2_dit_params(key, cfg: Flux2DiTConfig, dtype=jnp.float32):
             "to_out": _init_dense(next(ks), d + mlp_h, d, dtype),
         }
 
-    dbl = [dblock(jax.random.fold_in(next(keys), i))
+    dbl_key, sgl_key = next(keys), next(keys)
+    dbl = [dblock(jax.random.fold_in(dbl_key, i))
            for i in range(cfg.num_double_blocks)]
-    sgl = [sblock(jax.random.fold_in(next(keys), i))
+    sgl = [sblock(jax.random.fold_in(sgl_key, i))
            for i in range(cfg.num_single_blocks)]
     return {
         "time_embed": {

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import attention
+from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import layer_norm, rms_norm
 
 
@@ -124,14 +125,7 @@ def qwen_rope_tables(img_shapes: Sequence[Tuple[int, int, int]],
     return img_cos, img_sin, txt_cos, txt_sin
 
 
-def _apply_rope(x, cos, sin):
-    """x (B, L, N, D) interleaved pairs; cos/sin (L, D/2)."""
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
-    out_e = c * xf[..., 0] - s * xf[..., 1]
-    out_o = s * xf[..., 0] + c * xf[..., 1]
-    return jnp.stack([out_e, out_o], -1).reshape(x.shape).astype(x.dtype)
+_apply_rope = apply_interleaved_rope
 
 
 def _heads(x, n):
@@ -208,9 +202,9 @@ def qwen_image_dit_forward(
     cfg: QwenImageDiTConfig,
     latents,  # (B, 16, H, W)
     timestep,  # (B,) in [0, 1000] (divided by 1000 inside, like model_fn)
-    prompt_emb,  # (B, Lt, txt_dim)
+    prompt_emb,  # (B, Lt, txt_dim) — UNPADDED (per-sample lengths; the
+    # reference also runs posi/nega separately at their true lengths)
     *,
-    txt_len: Optional[int] = None,  # true (unpadded) text length
     edit_latents: Optional[List] = None,  # list of (B, 16, He, We)
     remat: bool = False,
 ):
@@ -218,7 +212,6 @@ def qwen_image_dit_forward(
     t2i plus Qwen-Image-Edit reference latents."""
     b, c, h, w = latents.shape
     dtype = latents.dtype
-    lt = prompt_emb.shape[1] if txt_len is None else txt_len
 
     img_shapes = [(1, h // 2, w // 2)]
     x = patchify(latents)
@@ -295,7 +288,8 @@ def init_qwen_image_dit_params(key, cfg: QwenImageDiTConfig,
                         "fc2": _init_dense(next(ks), 4 * d, d, dtype)},
         }
 
-    leaves = [block(jax.random.fold_in(next(keys), i))
+    blocks_key = next(keys)
+    leaves = [block(jax.random.fold_in(blocks_key, i))
               for i in range(cfg.num_layers)]
     return {
         "img_in": _init_dense(next(keys), cfg.in_dim, d, dtype),

@@ -136,6 +136,10 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
     if hidden_state_index is not None:
         assert hidden_state_index < 0
         layers = layers[: len(layers) + 1 + hidden_state_index]
+    if hidden_state_indices:
+        # layers past the deepest requested hidden state are dead compute
+        # (FLUX.2 reads (10, 20, 30) of Mistral's 40 layers)
+        layers = layers[: max(hidden_state_indices)]
     collected = {}
     for li, p in enumerate(layers):
         h = rms_norm(x, p["ln1"], cfg.eps)

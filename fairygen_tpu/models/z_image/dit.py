@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import attention
+from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import rms_norm
 
 SEQ_MULTI_OF = 32
@@ -104,13 +105,7 @@ def _rope_tables(ids: np.ndarray, axes_dims, theta: float):
             np.concatenate(sin_p, -1).astype(np.float32))
 
 
-def _apply_rope(x, cos, sin):
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
-    out_e = c * xf[..., 0] - s * xf[..., 1]
-    out_o = s * xf[..., 0] + c * xf[..., 1]
-    return jnp.stack([out_e, out_o], -1).reshape(x.shape).astype(x.dtype)
+_apply_rope = apply_interleaved_rope
 
 
 def _attention(p, x, cos, sin, cfg: ZImageDiTConfig):
@@ -272,7 +267,10 @@ def init_z_image_dit_params(key, cfg: ZImageDiTConfig, dtype=jnp.float32):
         return p
 
     in_dim = cfg.patch_size ** 2 * cfg.in_channels
-    layers = [block(jax.random.fold_in(next(keys), i))
+    layers_key = next(keys)
+    nr_key = next(keys)
+    cr_key = next(keys)
+    layers = [block(jax.random.fold_in(layers_key, i))
               for i in range(cfg.num_layers)]
     return {
         "t_embedder": {
@@ -288,9 +286,9 @@ def init_z_image_dit_params(key, cfg: ZImageDiTConfig, dtype=jnp.float32):
         "x_embedder": _init_dense(next(keys), in_dim, d, dtype),
         "x_pad_token": jax.random.normal(next(keys), (d,), dtype) * 0.02,
         "cap_pad_token": jax.random.normal(next(keys), (d,), dtype) * 0.02,
-        "noise_refiner": [block(jax.random.fold_in(next(keys), i))
+        "noise_refiner": [block(jax.random.fold_in(nr_key, i))
                           for i in range(cfg.num_refiner_layers)],
-        "context_refiner": [block(jax.random.fold_in(next(keys), i), False)
+        "context_refiner": [block(jax.random.fold_in(cr_key, i), False)
                             for i in range(cfg.num_refiner_layers)],
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "final": {

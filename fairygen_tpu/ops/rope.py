@@ -73,3 +73,17 @@ def rope_apply(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     o0 = x0 * cos - x1 * sin
     o1 = x0 * sin + x1 * cos
     return jnp.stack([o0, o1], axis=-1).reshape(b, s, n, d).astype(dtype)
+
+
+def apply_interleaved_rope(x, cos, sin):
+    """Interleaved-pair RoPE used by every image-DiT family (FLUX.1/2,
+    Qwen-Image, Z-Image): x (B, L, N, D) with (even, odd) pairs; cos/sin
+    (L, D/2) fp32 per-pair tables.  fp32 rotation, cast back."""
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out_e = c * xf[..., 0] - s * xf[..., 1]
+    out_o = s * xf[..., 0] + c * xf[..., 1]
+    return jnp.stack([out_e, out_o], -1).reshape(x.shape).astype(x.dtype)

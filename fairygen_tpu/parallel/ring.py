@@ -75,8 +75,7 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = AXES.seq,
     masked exactly, per visiting chunk."""
     n_shards = mesh.shape[seq_axis]
 
-    from ..ops.attention import attention, attention_with_lse, \
-        xla_attention_with_lse
+    from ..ops.attention import attention, attention_with_lse
 
     if n_shards == 1:
         return functools.partial(attention, prescaled=prescaled,
@@ -97,13 +96,38 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = AXES.seq,
         def partial_attn(k_c, v_c, step):
             if not ragged:
                 return attention_with_lse(q, k_c, v_c, prescaled=prescaled)
-            # chunk arriving at step t originated on shard (idx - t) mod n;
-            # mask its global padding columns (a traced, device-dependent
-            # mask -> XLA path)
+            # The chunk arriving at step t originated on shard
+            # (idx - t) mod n — a traced, device-dependent index.  Its
+            # VALID column count, however, only depends on the source
+            # index, and the set of possible counts is tiny (full for
+            # interior chunks, one partial count at the padding boundary,
+            # zero past it).  lax.switch over those STATIC counts keeps
+            # every branch on the flash kernel's static kv_len mask —
+            # no materialized fp32 logits, unlike a dynamic column mask.
             src = (idx - step) % n_shards
-            valid = (src * s_loc + jnp.arange(s_loc)) < kv_len
-            return xla_attention_with_lse(q, k_c, v_c, prescaled=prescaled,
-                                          valid_cols=valid)
+            counts = sorted({min(max(kv_len - j * s_loc, 0), s_loc)
+                             for j in range(n_shards)})
+
+            def branch(c):
+                def fn(_):
+                    if c == s_loc:
+                        return attention_with_lse(q, k_c, v_c,
+                                                  prescaled=prescaled)
+                    if c == 0:
+                        # fully padded chunk: neutral partial (weight 0)
+                        o = jnp.zeros(q.shape, q.dtype)
+                        lse = jnp.full(q.shape[:3], -1e30, jnp.float32)
+                        return o, lse
+                    return attention_with_lse(q, k_c, v_c,
+                                              prescaled=prescaled, kv_len=c)
+                return fn
+
+            src_count = jnp.clip(kv_len - src * s_loc, 0, s_loc)
+            which = sum(jnp.int32(src_count > c) for c in counts[:-1]) \
+                if len(counts) > 1 else jnp.int32(0)
+            # `which` indexes into `counts` (ascending): src_count equals
+            # counts[which] because src_count is always one of them
+            return jax.lax.switch(which, [branch(c) for c in counts], None)
 
         o, lse = partial_attn(k, v, 0)
         k_c, v_c = k, v

@@ -174,11 +174,11 @@ class Flux2ImagePipeline:
             )
             s += ln
 
+        if output_type == "latent":
+            return lat
         image = flux2_vae_decode(
             jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
             self.vae_cfg, lat.astype(jnp.float32), ht, wt)
-        if output_type == "latent":
-            return lat
         from ..core.imaging import postprocess_image
 
         arr = postprocess_image(np.asarray(image[0]))

@@ -271,6 +271,8 @@ class FluxImagePipeline:
             )
             s += ln
 
+        if output_type == "latent":
+            return latents
         # fp32 decode with (shift, scale) latent normalization
         # (reference flux_vae.py:350)
         z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor \
@@ -278,8 +280,6 @@ class FluxImagePipeline:
         image = vae_decode(
             jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
             self.vae_cfg, z)
-        if output_type == "latent":
-            return latents
         from ..core.imaging import postprocess_image
 
         arr = postprocess_image(np.asarray(image[0]))

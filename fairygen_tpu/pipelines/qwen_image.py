@@ -186,11 +186,11 @@ class QwenImagePipeline:
             )
             s += ln
 
+        if output_type == "latent":
+            return lat
         image = qwen_image_vae_decode(
             jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
             self.vae_cfg, lat.astype(jnp.float32))
-        if output_type == "latent":
-            return lat
         from ..core.imaging import postprocess_image
 
         arr = postprocess_image(np.asarray(image[0]))

@@ -159,13 +159,13 @@ class ZImagePipeline:
             )
             s += ln
 
+        if output_type == "latent":
+            return lat
         z = lat.astype(jnp.float32) / self.vae_cfg.scaling_factor \
             + self.vae_cfg.shift_factor
         image = vae_decode(
             jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
             self.vae_cfg, z)
-        if output_type == "latent":
-            return lat
         from ..core.imaging import postprocess_image
 
         arr = postprocess_image(np.asarray(image[0]))
