@@ -130,7 +130,19 @@ def _build_qwen_image_te(state_dict, extra_kwargs, dtype):
     )
 
     cfg = QwenVLTextConfig.qwen2_5_vl_7b()
-    return convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype), cfg
+    params = convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype)
+    if any("visual." in k for k in state_dict):
+        from ..models.qwen.vision import (
+            QwenVLVisionConfig,
+            convert_qwen_vl_vision_state_dict,
+        )
+
+        vcfg = QwenVLVisionConfig.qwen2_5_vl_7b()
+        params = {"text": params,
+                  "vision": convert_qwen_vl_vision_state_dict(
+                      state_dict, vcfg, dtype=dtype)}
+        return params, (cfg, vcfg)
+    return params, cfg
 
 
 def _build_qwen_image_vae(state_dict, extra_kwargs, dtype):

@@ -22,7 +22,7 @@ embeddings.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,9 @@ class QwenVLTextConfig:
     head_dim_override: int = 0  # Qwen3 decouples head_dim from dim/heads
     qk_norm: bool = False  # Qwen3 per-head q/k RMS norms
     attn_bias: bool = True  # Qwen2.5 has q/k/v biases; Qwen3 none
+    mrope_section: Tuple[int, ...] = ()  # Qwen2.5-VL (16, 24, 24)
+    image_token_id: int = 151655
+    vision_start_token_id: int = 151652
 
     @property
     def head_dim(self):
@@ -52,7 +55,7 @@ class QwenVLTextConfig:
     @staticmethod
     def qwen2_5_vl_7b() -> "QwenVLTextConfig":
         """Qwen-Image's text encoder (qwen_image_text_encoder.py:8-115)."""
-        return QwenVLTextConfig()
+        return QwenVLTextConfig(mrope_section=(16, 24, 24))
 
     @staticmethod
     def qwen3_4b() -> "QwenVLTextConfig":
@@ -97,6 +100,60 @@ def _rope_cos_sin(length: int, head_dim: int, theta: float):
             jnp.asarray(np.sin(ang), jnp.float32))
 
 
+def _mrope_cos_sin(position_ids: np.ndarray, head_dim: int, theta: float,
+                   sections):
+    """Multimodal RoPE tables from (3, L) positions: per-pair angle picks
+    its stream by mrope_section (transformers
+    apply_multimodal_rotary_pos_emb — the doubled-section split over the
+    duplicated halves reduces to a section-wise pick on the half table)."""
+    inv = 1.0 / theta ** (np.arange(0, head_dim, 2, dtype=np.float64)
+                          / head_dim)
+    ang3 = np.einsum("sl,d->sld", position_ids.astype(np.float64), inv)
+    parts = []
+    off = 0
+    for i, width in enumerate(sections):
+        parts.append(ang3[i % 3, :, off:off + width])
+        off += width
+    half = np.concatenate(parts, axis=-1)
+    ang = np.concatenate([half, half], axis=-1)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def qwen_vl_rope_index(input_ids: np.ndarray, image_grid_thw,
+                       cfg: "QwenVLTextConfig",
+                       spatial_merge_size: int = 2) -> np.ndarray:
+    """(L,) token ids + per-image (t, h, w) grids -> (3, L) mRoPE positions
+    (host-side port of Qwen2_5_VLModel.get_rope_index, text+image path:
+    text advances all streams; vision tokens get (t, h, w) grid positions
+    offset past the preceding text)."""
+    ids = list(np.asarray(input_ids).reshape(-1))
+    pos_list = []
+    st = 0
+    image_index = 0
+    for _ in range(len(image_grid_thw)):
+        ed = ids.index(cfg.image_token_id, st)
+        t, h, w = image_grid_thw[image_index]
+        image_index += 1
+        gh, gw = h // spatial_merge_size, w // spatial_merge_size
+        text_len = ed - st
+        st_idx = int(pos_list[-1].max()) + 1 if pos_list else 0
+        pos_list.append(np.broadcast_to(np.arange(text_len), (3, text_len))
+                        + st_idx)
+        t_index = np.repeat(np.arange(t), gh * gw)
+        h_index = np.tile(np.repeat(np.arange(gh), gw), t)
+        w_index = np.tile(np.arange(gw), t * gh)
+        pos_list.append(np.stack([t_index, h_index, w_index])
+                        + text_len + st_idx)
+        st = ed + t * gh * gw
+    if st < len(ids):
+        st_idx = int(pos_list[-1].max()) + 1 if pos_list else 0
+        text_len = len(ids) - st
+        pos_list.append(np.broadcast_to(np.arange(text_len), (3, text_len))
+                        + st_idx)
+    return np.concatenate(pos_list, axis=1)
+
+
 def _apply_rope_half(x, cos, sin):
     """(B, L, N, D) rotate-half RoPE (transformers Qwen2 convention)."""
     d = x.shape[-1]
@@ -111,9 +168,14 @@ def _apply_rope_half(x, cos, sin):
 def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
                         attention_mask: Optional[jnp.ndarray] = None,
                         hidden_state_index: Optional[int] = None,
-                        hidden_state_indices=None):
+                        hidden_state_indices=None,
+                        image_embeds: Optional[jnp.ndarray] = None,
+                        position_ids: Optional[np.ndarray] = None):
     """ids (B, L) -> hidden states (B, L, dim).
 
+    ``image_embeds``: (L_img, dim) vision-tower outputs spliced into the
+    ``image_token_id`` positions (Qwen-Image-Edit / multimodal prompts);
+    pass ``position_ids`` (3, L) from :func:`qwen_vl_rope_index` with it.
     ``hidden_state_indices``: tuple of positive layer indices -> ALSO
     return those layers' raw outputs (transformers ``hidden_states[k]``),
     as FLUX.2 stacks layers (10, 20, 30) (flux2_image.py:181-218).
@@ -125,7 +187,19 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
     b, l = ids.shape
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = params["embed"][ids]
-    cos, sin = _rope_cos_sin(l, hd, cfg.rope_theta)
+    if image_embeds is not None:
+        assert b == 1, "image splicing runs per sample"
+        mask = (ids[0] == cfg.image_token_id)
+        # scatter the vision features into the image-token slots in order
+        slot = jnp.cumsum(mask) - 1
+        x = jnp.where(mask[None, :, None],
+                      image_embeds.astype(x.dtype)[slot][None], x)
+    if position_ids is not None:
+        assert cfg.mrope_section, "mrope_section required for position_ids"
+        cos, sin = _mrope_cos_sin(position_ids, hd, cfg.rope_theta,
+                                  cfg.mrope_section)
+    else:
+        cos, sin = _rope_cos_sin(l, hd, cfg.rope_theta)
 
     causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
     if attention_mask is not None:

@@ -38,6 +38,16 @@ PROMPT_TEMPLATE = (
     "<|im_start|>assistant\n"
 )
 TEMPLATE_DROP_IDX = 34  # reference qwen_image.py:350
+EDIT_PROMPT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the key features of the input image "
+    "(color, shape, size, texture, objects, background), then explain how "
+    "the user's text instruction should alter or modify the image. "
+    "Generate a new image that meets the user's requirements while "
+    "maintaining consistency with the original input where appropriate."
+    "<|im_end|>\n<|im_start|>user\n<|vision_start|><|image_pad|>"
+    "<|vision_end|>{}<|im_end|>\n<|im_start|>assistant\n"
+)
+EDIT_TEMPLATE_DROP_IDX = 64  # reference qwen_image.py:362
 
 
 @functools.partial(
@@ -73,6 +83,8 @@ class QwenImagePipeline:
     vae_cfg: WanVAEConfig = None
     te_params: Any = None
     te_cfg: Any = None
+    vision_params: Any = None  # Qwen2.5-VL vision tower (Edit prompts)
+    vision_cfg: Any = None
     tokenizer: Any = None  # transformers Qwen2 tokenizer (local path)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
@@ -86,13 +98,19 @@ class QwenImagePipeline:
         dit = pool.fetch_model("qwen_image_dit")
         vae = pool.fetch_model("qwen_image_vae")
         te = pool.fetch_model("qwen_image_text_encoder")
+        te_params, te_cfg = (te[0], te[1]) if te else (None, None)
+        vis_params = vis_cfg = None
+        if isinstance(te_params, dict) and "vision" in te_params:
+            vis_params = te_params["vision"]
+            te_params = te_params["text"]
+            te_cfg, vis_cfg = te_cfg
         pipe = cls(
             dit_params=dit[0] if dit else None,
             dit_cfg=dit[1] if dit else None,
             vae_params=vae[0] if vae else None,
             vae_cfg=vae[1] if vae else None,
-            te_params=te[0] if te else None,
-            te_cfg=te[1] if te else None,
+            te_params=te_params, te_cfg=te_cfg,
+            vision_params=vis_params, vision_cfg=vis_cfg,
             dtype=dtype,
         )
         if tokenizer_path is not None:
@@ -113,6 +131,37 @@ class QwenImagePipeline:
         hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
                                      jnp.asarray(ids))
         return hidden[:, TEMPLATE_DROP_IDX:].astype(self.dtype)
+
+    def encode_prompt_edit(self, prompt: str, edit_image):
+        """Image-conditioned Edit prompt: vision tower features spliced at
+        the <|image_pad|> tokens with mRoPE positions, drop the 64
+        template tokens (reference encode_prompt_edit,
+        qwen_image.py:360-368)."""
+        from ..models.qwen.text_encoder import (
+            qwen_vl_rope_index,
+            qwen_vl_text_encode,
+        )
+        from ..models.qwen.vision import (
+            preprocess_image_for_vl,
+            qwen_vl_vision_encode,
+        )
+
+        assert self.tokenizer is not None and self.vision_params is not None
+        patches, grid = preprocess_image_for_vl(edit_image, self.vision_cfg)
+        merged = grid[0] * (grid[1] // self.vision_cfg.spatial_merge_size) \
+            * (grid[2] // self.vision_cfg.spatial_merge_size)
+        txt = EDIT_PROMPT_TEMPLATE.format(prompt).replace(
+            "<|image_pad|>", "<|image_pad|>" * merged)
+        ids = self.tokenizer(txt, return_tensors="np").input_ids
+        vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
+                                    jnp.asarray(patches), [grid])
+        pos = qwen_vl_rope_index(
+            ids[0], [grid], self.te_cfg,
+            spatial_merge_size=self.vision_cfg.spatial_merge_size)
+        hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
+                                     jnp.asarray(ids), image_embeds=vis,
+                                     position_ids=pos)
+        return hidden[:, EDIT_TEMPLATE_DROP_IDX:].astype(self.dtype)
 
     def _encode_image(self, image):
         from ..core.imaging import preprocess_image
@@ -148,11 +197,24 @@ class QwenImagePipeline:
         timesteps = jnp.asarray(sched.timesteps, jnp.float32)
         sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
 
+        first_edit = None
+        if edit_images is not None:
+            first_edit = edit_images[0] if isinstance(
+                edit_images, (list, tuple)) else edit_images
         if prompt_emb is None:
-            prompt_emb = self.encode_prompt(prompt)
+            if first_edit is not None and self.vision_params is not None:
+                # reference: edit mode encodes the prompt WITH the image
+                # (encode_prompt_edit, qwen_image.py:360-368)
+                prompt_emb = self.encode_prompt_edit(prompt, first_edit)
+            else:
+                prompt_emb = self.encode_prompt(prompt)
         do_cfg = cfg_scale != 1.0
         if do_cfg and negative_prompt_emb is None:
-            negative_prompt_emb = self.encode_prompt(negative_prompt)
+            if first_edit is not None and self.vision_params is not None:
+                negative_prompt_emb = self.encode_prompt_edit(
+                    negative_prompt, first_edit)
+            else:
+                negative_prompt_emb = self.encode_prompt(negative_prompt)
 
         zc = self.vae_cfg.z_dim if self.vae_cfg else 16
         if latents is not None:
