@@ -206,6 +206,31 @@ def _build_flux2_te(state_dict, extra_kwargs, dtype):
     return convert_qwen_vl_text_state_dict(state_dict, cfg, dtype=dtype), cfg
 
 
+def _build_nexus_gen_llm(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.nexus_gen import convert_nexus_gen_state_dict
+    from ..models.qwen.text_encoder import QwenVLTextConfig
+
+    cfg = QwenVLTextConfig.qwen2_5_vl_7b()
+    params = convert_nexus_gen_state_dict(state_dict, cfg, dtype=dtype)
+    if any("visual." in k for k in state_dict):
+        from ..models.qwen.vision import (
+            QwenVLVisionConfig,
+            convert_qwen_vl_vision_state_dict,
+        )
+
+        vcfg = QwenVLVisionConfig.qwen2_5_vl_7b()
+        return ({"text": params,
+                 "vision": convert_qwen_vl_vision_state_dict(
+                     state_dict, vcfg, dtype=dtype)}, (cfg, vcfg))
+    return params, cfg
+
+
+def _build_nexus_gen_adapter(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.nexus_gen import convert_nexus_gen_adapter_state_dict
+
+    return convert_nexus_gen_adapter_state_dict(state_dict, dtype=dtype), None
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -223,6 +248,9 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("flux2_dit", _build_flux2_dit)
     registry.register_builder("flux2_vae", _build_flux2_vae)
     registry.register_builder("flux2_text_encoder", _build_flux2_te)
+    registry.register_builder("nexus_gen_llm", _build_nexus_gen_llm)
+    registry.register_builder("nexus_gen_generation_adapter",
+                              _build_nexus_gen_adapter)
     return registry
 
 

@@ -170,7 +170,8 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
                         hidden_state_index: Optional[int] = None,
                         hidden_state_indices=None,
                         image_embeds: Optional[jnp.ndarray] = None,
-                        position_ids: Optional[np.ndarray] = None):
+                        position_ids: Optional[np.ndarray] = None,
+                        inputs_embeds: Optional[jnp.ndarray] = None):
     """ids (B, L) -> hidden states (B, L, dim).
 
     ``image_embeds``: (L_img, dim) vision-tower outputs spliced into the
@@ -186,7 +187,7 @@ def qwen_vl_text_encode(params, cfg: QwenVLTextConfig, ids,
     consumes, z_image.py:189)."""
     b, l = ids.shape
     n, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    x = params["embed"][ids]
+    x = params["embed"][ids] if inputs_embeds is None else inputs_embeds
     if image_embeds is not None:
         assert b == 1, "image splicing runs per sample"
         mask = (ids[0] == cfg.image_token_id)
