@@ -19,6 +19,18 @@ from .registry import MODEL_REGISTRY, ModelRegistry
 def _build_wan_dit(state_dict, extra_kwargs, dtype):
     from ..models.wan.dit import WanDiTConfig, convert_dit_state_dict
 
+    if "final_layer.adaLN_modulation.1.weight" in state_dict:
+        # the registry maps LongCat-Video's hash to wan_video_dit
+        # (it runs through WanVideoPipeline in the reference)
+        from ..models.wan.longcat import (
+            LongCatDiTConfig,
+            convert_longcat_dit_state_dict,
+        )
+
+        cfg = LongCatDiTConfig()
+        return convert_longcat_dit_state_dict(state_dict, cfg,
+                                              dtype=dtype), cfg
+
     fields = {f.name for f in dataclasses.fields(WanDiTConfig)}
     kwargs = {k: v for k, v in extra_kwargs.items() if k in fields}
     unknown = set(extra_kwargs) - fields

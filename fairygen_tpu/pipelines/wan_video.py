@@ -174,6 +174,16 @@ def _vap_sweep(dit_params, mot_params, lat, t, ctx, y, clip_feature,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("lc_cfg", "num_cond"))
+def _longcat_sweep(params, lat, t, ctx, *, lc_cfg, num_cond: int):
+    """One LongCat-Video sweep — model_fn_longcat_video semantics
+    (reference wan_video.py:1391-1418): negated output."""
+    from ..models.wan.longcat import longcat_dit_forward
+
+    return -longcat_dit_forward(params, lc_cfg, lat, t, ctx,
+                                num_cond_latents=num_cond)
+
+
 @functools.partial(jax.jit, static_argnames=("s2v_cfg", "drop_motion"))
 def _s2v_sweep(params, lat, t, ctx, audio, motion_latents, pose,
                *, s2v_cfg, drop_motion: bool):
@@ -234,6 +244,8 @@ class WanVideoPipeline:
     animate_cfg: Any = None
     vap_params: Any = None  # VAP/MoT side branch (models.wan.mot)
     vap_cfg: Any = None
+    longcat_params: Any = None  # LongCat-Video DiT (models.wan.longcat)
+    longcat_cfg: Any = None
     mesh: Any = None  # jax.sharding.Mesh — sequence parallelism inside the DiT
     sp_strategy: str = "ulysses"  # 'ulysses' | 'ring' (parallel/ring.py)
     dtype: Any = jnp.bfloat16
@@ -251,15 +263,24 @@ class WanVideoPipeline:
         ``enable_usp``, wan_video.py:84-95,165-169)."""
         from ..core.model_pool import ModelPool
 
+        from ..models.wan.longcat import LongCatDiTConfig
+
         pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
         dit = pool.fetch_model("wan_video_dit", index=2)
-        dit2 = None
-        if isinstance(dit, list):
-            (dit_params, dit_cfg), *rest = dit
+        dit2 = longcat = None
+        entries = dit if isinstance(dit, list) else ([dit] if dit else [])
+        # LongCat-Video registers under wan_video_dit (the registry maps
+        # its hash there); split it off by config type
+        longcats = [e for e in entries
+                    if isinstance(e[1], LongCatDiTConfig)]
+        entries = [e for e in entries
+                   if not isinstance(e[1], LongCatDiTConfig)]
+        longcat = longcats[0] if longcats else None
+        dit_params = dit_cfg = None
+        if entries:
+            (dit_params, dit_cfg), *rest = entries
             if rest:
                 dit2 = rest[0][0]
-        else:
-            dit_params, dit_cfg = dit
         vae = pool.fetch_model("wan_video_vae")
         te = pool.fetch_model("wan_video_text_encoder")
         tokenizer = None
@@ -273,6 +294,8 @@ class WanVideoPipeline:
             vae_params=vae[0] if vae else None, vae_cfg=vae[1] if vae else None,
             te_params=te[0] if te else None, te_cfg=te[1] if te else None,
             tokenizer=tokenizer, dit2_params=dit2, dtype=dtype,
+            longcat_params=longcat[0] if longcat else None,
+            longcat_cfg=longcat[1] if longcat else None,
         )
         if mesh is not None:
             pipe.use_mesh(mesh, sp_strategy=sp_strategy)
@@ -577,6 +600,7 @@ class WanVideoPipeline:
         vace_scale: float = 1.0,
         # Speech-to-video (reference WanVideoUnit_S2V, wan_video.py:806-896)
         audio_embeds=None,  # precomputed wav2vec features (1, 25, D, T)
+        longcat_video=None,  # LongCat continuation frames (video)
         s2v_pose_video=None,
         s2v_pose_latents=None,
         motion_video=None,
@@ -634,6 +658,17 @@ class WanVideoPipeline:
                     stacklevel=2,
                 )
                 negative_context = jnp.zeros_like(context)
+
+        if self.longcat_params is not None:
+            return self._generate_longcat(
+                context, negative_context, longcat_video,
+                height=height, width=width, num_frames=num_frames,
+                cfg_scale=cfg_scale, seed=seed,
+                num_inference_steps=num_inference_steps,
+                sigma_shift=sigma_shift, streaming_vae=streaming_vae,
+                output_type=output_type,
+                torch_compat_noise=torch_compat_noise,
+            )
 
         if audio_embeds is not None:
             assert self.s2v_params is not None, "no S2V model loaded"
@@ -917,6 +952,58 @@ class WanVideoPipeline:
         return postprocess_video(np.asarray(video.astype(jnp.float32)))
 
     # ------------------------------------------------------------------ s2v
+    def _generate_longcat(self, context, negative_context, longcat_video, *,
+                          height, width, num_frames, cfg_scale, seed,
+                          num_inference_steps, sigma_shift, streaming_vae,
+                          output_type, torch_compat_noise):
+        """LongCat-Video generation / continuation — ports
+        WanVideoUnit_LongCatVideo (reference wan_video.py:999-1015) and the
+        model_fn_longcat_video denoise (:1391-1418): conditioning frames
+        from the VAE-encoded input video are overwritten into the latents
+        every step, and the model output is negated."""
+        shape = self._latent_shape(height, width, num_frames)
+        latents = generate_noise(shape, seed=seed, dtype=self.dtype,
+                                 torch_compat=torch_compat_noise)
+        cond_latents = None
+        num_cond = 0
+        if longcat_video is not None:
+            lv = jnp.asarray(preprocess_video(longcat_video), self.dtype)
+            cond_latents = vae38_encode(self.vae_params, self.vae_cfg, lv)
+            num_cond = cond_latents.shape[2]
+            latents = latents.at[:, :, :num_cond].set(cond_latents)
+
+        scheduler = FlowMatchScheduler("Wan").set_timesteps(
+            num_inference_steps, shift=sigma_shift
+        )
+        sigmas = jnp.asarray(np.append(scheduler.sigmas, 0.0), jnp.float32)
+        timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
+        use_cfg = cfg_scale != 1.0 and negative_context is not None
+        cfg_scale = jnp.asarray(cfg_scale, jnp.float32)
+
+        for i in range(num_inference_steps):
+            t1 = jnp.broadcast_to(timesteps[i], (1,))
+            v = _longcat_sweep(self.longcat_params, latents, t1, context,
+                               lc_cfg=self.longcat_cfg, num_cond=num_cond)
+            if use_cfg:
+                v_n = _longcat_sweep(self.longcat_params, latents, t1,
+                                     negative_context,
+                                     lc_cfg=self.longcat_cfg,
+                                     num_cond=num_cond)
+                v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+            dt = (sigmas[i + 1] - sigmas[i]).astype(latents.dtype)
+            latents = latents + v.astype(latents.dtype) * dt
+            if cond_latents is not None:
+                latents = latents.at[:, :, :num_cond].set(cond_latents)
+
+        if self.vae_params is None or output_type == "latents":
+            return latents
+        video = vae38_decode(self.vae_params, self.vae_cfg,
+                             latents.astype(self.dtype),
+                             streaming=streaming_vae)
+        if output_type == "floatpoint":
+            return video
+        return postprocess_video(np.asarray(video.astype(jnp.float32)))
+
     def _generate_s2v(self, context, negative_context, audio_embeds, *,
                       input_image, s2v_pose_video, s2v_pose_latents,
                       motion_video, height, width, num_frames, cfg_scale,
