@@ -72,6 +72,9 @@ def main():
     p.add_argument("--motion_bucket_id", type=int, default=None)
     p.add_argument("--end_image", type=str, default=None)
     p.add_argument("--reference_image", type=str, default=None)
+    p.add_argument("--longcat_video", type=str, default=None,
+                   help="video to continue (LongCat-Video checkpoints): its "
+                        "frames stay pinned while the rest are generated")
     args = p.parse_args()
 
     from PIL import Image
@@ -112,6 +115,7 @@ def main():
         vace_video_mask=load_video(args.vace_video_mask),
         vace_reference_image=load_image(args.vace_reference_image),
         vace_scale=args.vace_scale,
+        longcat_video=load_video(args.longcat_video),
         camera_control_direction=args.camera_control_direction,
         camera_control_speed=args.camera_control_speed,
         motion_bucket_id=args.motion_bucket_id,

@@ -123,9 +123,6 @@ def longcat_block(p, x, ctx, t_mod6, cos, sin, cfg: LongCatDiTConfig,
     nh, hd = cfg.num_heads, cfg.head_dim
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = t_mod6  # each (B, T, 1, C) fp32
 
-    def mod(norm_x):
-        return norm_x  # placeholder (unused)
-
     def modulate(v, shift, scale):
         vf = _ln_fp32(v.astype(jnp.float32).reshape(b, T, per, c), cfg.eps)
         return ((vf * (scale + 1) + shift).reshape(b, n, c)).astype(v.dtype)
