@@ -243,11 +243,44 @@ def _build_nexus_gen_adapter(state_dict, extra_kwargs, dtype):
     return convert_nexus_gen_adapter_state_dict(state_dict, dtype=dtype), None
 
 
+def _build_flux_controlnet(state_dict, extra_kwargs, dtype):
+    from ..models.flux.controlnet import (
+        convert_flux_controlnet_state_dict,
+        detect_flux_controlnet_config,
+        normalize_flux_controlnet_source,
+    )
+
+    state_dict = normalize_flux_controlnet_source(state_dict)
+    cfg = detect_flux_controlnet_config(state_dict)
+    if extra_kwargs:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, **extra_kwargs)
+    return convert_flux_controlnet_state_dict(state_dict, cfg,
+                                              dtype=dtype), cfg
+
+
+def _build_qwen_blockwise_controlnet(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.controlnet import (
+        convert_qwen_blockwise_controlnet_state_dict,
+        detect_qwen_blockwise_controlnet_config,
+    )
+
+    cfg = detect_qwen_blockwise_controlnet_config(state_dict)
+    if extra_kwargs:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, **extra_kwargs)
+    return convert_qwen_blockwise_controlnet_state_dict(
+        state_dict, cfg, dtype=dtype), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
     registry.register_builder("wan_video_text_encoder", _build_umt5)
     registry.register_builder("flux_dit", _build_flux_dit)
+    registry.register_builder("flux_controlnet", _build_flux_controlnet)
     registry.register_builder("flux_text_encoder_clip", _build_flux_clip)
     registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
     registry.register_builder("flux_vae_encoder", _build_flux_vae)
@@ -255,6 +288,8 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("qwen_image_dit", _build_qwen_image_dit)
     registry.register_builder("qwen_image_text_encoder", _build_qwen_image_te)
     registry.register_builder("qwen_image_vae", _build_qwen_image_vae)
+    registry.register_builder("qwen_image_blockwise_controlnet",
+                              _build_qwen_blockwise_controlnet)
     registry.register_builder("z_image_dit", _build_z_image_dit)
     registry.register_builder("z_image_text_encoder", _build_z_image_te)
     registry.register_builder("flux2_dit", _build_flux2_dit)
@@ -309,12 +344,15 @@ class ModelPool:
             print(f"[ModelPool] skipping {path}: {e}")
             return []
 
-    def fetch_model(self, name: str, index: Optional[int] = None):
+    def fetch_model(self, name: str, index=None):
         """Reference fetch_model semantics (model_loader.py): None if absent;
-        the single entry, or a list when index>1 entries exist."""
+        the single entry, a list when index>1 entries exist, or every entry
+        as a list with ``index="all"``."""
         entries = self.models.get(name, [])
         if not entries:
             return None
+        if index == "all":
+            return entries
         if index is None or len(entries) == 1:
             return entries[0]
         return entries[:index]

@@ -241,10 +241,12 @@ def flux_dit_forward(
     prescaled: bool = False,  # scale·log2e folded into norm_q at convert
     tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> (out, state)
     tea_cache_opts=None,  # dict(rel_l1_thresh=, num_inference_steps=)
+    controlnet_res=None,  # (num_double_blocks, B, L_img, dim) aligned taps
+    controlnet_single_res=None,  # (num_single_blocks, B, L_img, dim)
 ):
-    """model_fn_flux_image core path (reference flux_image.py:1003-1209);
-    ControlNet / IP-Adapter / EliGen / Step1x branches are out of scope
-    (SURVEY.md §2.3 scopes the FLUX extras out)."""
+    """model_fn_flux_image core path (reference flux_image.py:1003-1209),
+    incl. the ControlNet residual adds (:1160-1166,:1183-1188 — applied to
+    the main-image tokens only; kontext tokens are left untouched)."""
     b, c, h, w = latents.shape
     dtype = latents.dtype
 
@@ -273,23 +275,35 @@ def flux_dit_forward(
     x = _dense(params["x_embedder"], x)
     ctx = _dense(params["context_embedder"], prompt_emb.astype(dtype))
 
-    def dbl(carry, p):
-        xa, xb = carry
-        return flux_double_block(p, xa, xb, cond, cos, sin, cfg,
-                                 prescaled), None
+    n_img = (h // 2) * (w // 2)
+    lt = ctx.shape[1]
 
-    def sgl(carry, p):
-        return flux_single_block(p, carry, cond, cos, sin, cfg,
-                                 prescaled), None
+    def dbl(carry, xs):
+        p, r = xs
+        xa, xb = carry
+        xa, xb = flux_double_block(p, xa, xb, cond, cos, sin, cfg, prescaled)
+        if r is not None:
+            # ControlNet tap added AFTER the block, main image tokens only
+            xa = xa.at[:, :n_img].add(r.astype(xa.dtype))
+        return (xa, xb), None
+
+    def sgl(carry, xs):
+        p, r = xs
+        hh = flux_single_block(p, carry, cond, cos, sin, cfg, prescaled)
+        if r is not None:
+            hh = hh.at[:, lt:lt + n_img].add(r.astype(hh.dtype))
+        return hh, None
 
     if remat:
         dbl = jax.checkpoint(dbl)
         sgl = jax.checkpoint(sgl)
 
     def run_blocks(xx):
-        (xa, c2), _ = jax.lax.scan(dbl, (xx, ctx), params["double_blocks"])
+        (xa, c2), _ = jax.lax.scan(
+            dbl, (xx, ctx), (params["double_blocks"], controlnet_res))
         hh = jnp.concatenate([c2, xa], axis=1)
-        (hh, _) = jax.lax.scan(sgl, hh, params["single_blocks"])
+        (hh, _) = jax.lax.scan(
+            sgl, hh, (params["single_blocks"], controlnet_single_res))
         return hh[:, ctx.shape[1]:]
 
     new_tc = None
@@ -398,6 +412,64 @@ def init_flux_dit_params(key, cfg: FluxDiTConfig, dtype=jnp.float32):
 
 
 # ------------------------------------------------------------------ convert
+def _sd_lin(sd, name):
+    import numpy as _np
+
+    p = {"w": _np.asarray(sd[name + ".weight"]).T}
+    if name + ".bias" in sd:
+        p["b"] = _np.asarray(sd[name + ".bias"])
+    return p
+
+
+def _sd_vec(sd, name):
+    import numpy as _np
+
+    return _np.asarray(sd[name + ".weight"])
+
+
+def _sd_mlp(sd, pre):
+    return {"fc1": _sd_lin(sd, pre + ".0"), "fc2": _sd_lin(sd, pre + ".2")}
+
+
+def _sd_double_block(sd, pre, s):
+    """One FluxJointTransformerBlock from reference module naming; ``s``
+    is the prescale factor folded into the q-norm gammas."""
+    return {
+        "norm1_a": _sd_lin(sd, pre + ".norm1_a.linear"),
+        "norm1_b": _sd_lin(sd, pre + ".norm1_b.linear"),
+        "attn": {
+            "a_qkv": _sd_lin(sd, pre + ".attn.a_to_qkv"),
+            "b_qkv": _sd_lin(sd, pre + ".attn.b_to_qkv"),
+            "norm_q_a": _sd_vec(sd, pre + ".attn.norm_q_a") * s,
+            "norm_k_a": _sd_vec(sd, pre + ".attn.norm_k_a"),
+            "norm_q_b": _sd_vec(sd, pre + ".attn.norm_q_b") * s,
+            "norm_k_b": _sd_vec(sd, pre + ".attn.norm_k_b"),
+            "a_out": _sd_lin(sd, pre + ".attn.a_to_out"),
+            "b_out": _sd_lin(sd, pre + ".attn.b_to_out"),
+        },
+        "ff_a": {"fc1": _sd_lin(sd, pre + ".ff_a.0"),
+                 "fc2": _sd_lin(sd, pre + ".ff_a.2")},
+        "ff_b": {"fc1": _sd_lin(sd, pre + ".ff_b.0"),
+                 "fc2": _sd_lin(sd, pre + ".ff_b.2")},
+    }
+
+
+def _sd_single_block(sd, pre, s):
+    return {
+        "norm": _sd_lin(sd, pre + ".norm.linear"),
+        "to_qkv_mlp": _sd_lin(sd, pre + ".to_qkv_mlp"),
+        "norm_q": _sd_vec(sd, pre + ".norm_q_a") * s,
+        "norm_k": _sd_vec(sd, pre + ".norm_k_a"),
+        "proj_out": _sd_lin(sd, pre + ".proj_out"),
+    }
+
+
+def _sd_stack(items):
+    import numpy as _np
+
+    return jax.tree.map(lambda *xs: _np.stack(xs), *items)
+
+
 def convert_flux_dit_state_dict(sd: Dict[str, Any], cfg: FluxDiTConfig,
                                 dtype=None, prescale: bool = False):
     """Consumes the reference FluxDiT module naming (what
@@ -405,66 +477,24 @@ def convert_flux_dit_state_dict(sd: Dict[str, Any], cfg: FluxDiTConfig,
 
     ``prescale``: fold softmax scale·log2e into every q-norm gamma so the
     forward can run ``prescaled=True`` (exactly free; see module doc)."""
-    import numpy as _np
-
-    def lin(name):
-        p = {"w": _np.asarray(sd[name + ".weight"]).T}
-        if name + ".bias" in sd:
-            p["b"] = _np.asarray(sd[name + ".bias"])
-        return p
-
-    def vec(name):
-        return _np.asarray(sd[name + ".weight"])
-
     s = (cfg.head_dim ** -0.5) * _LOG2E if prescale else 1.0
-
-    def mlp(pre):
-        return {"fc1": lin(pre + ".0"), "fc2": lin(pre + ".2")}
-
-    def dbl(i):
-        pre = f"blocks.{i}"
-        return {
-            "norm1_a": lin(pre + ".norm1_a.linear"),
-            "norm1_b": lin(pre + ".norm1_b.linear"),
-            "attn": {
-                "a_qkv": lin(pre + ".attn.a_to_qkv"),
-                "b_qkv": lin(pre + ".attn.b_to_qkv"),
-                "norm_q_a": vec(pre + ".attn.norm_q_a") * s,
-                "norm_k_a": vec(pre + ".attn.norm_k_a"),
-                "norm_q_b": vec(pre + ".attn.norm_q_b") * s,
-                "norm_k_b": vec(pre + ".attn.norm_k_b"),
-                "a_out": lin(pre + ".attn.a_to_out"),
-                "b_out": lin(pre + ".attn.b_to_out"),
-            },
-            "ff_a": {"fc1": lin(pre + ".ff_a.0"), "fc2": lin(pre + ".ff_a.2")},
-            "ff_b": {"fc1": lin(pre + ".ff_b.0"), "fc2": lin(pre + ".ff_b.2")},
-        }
-
-    def sgl(i):
-        pre = f"single_blocks.{i}"
-        return {
-            "norm": lin(pre + ".norm.linear"),
-            "to_qkv_mlp": lin(pre + ".to_qkv_mlp"),
-            "norm_q": vec(pre + ".norm_q_a") * s,
-            "norm_k": vec(pre + ".norm_k_a"),
-            "proj_out": lin(pre + ".proj_out"),
-        }
-
-    def stack(items):
-        return jax.tree.map(lambda *xs: _np.stack(xs), *items)
-
     params = {
-        "time_embedder": mlp("time_embedder.timestep_embedder"),
-        "pooled_text_embedder": mlp("pooled_text_embedder"),
-        "context_embedder": lin("context_embedder"),
-        "x_embedder": lin("x_embedder"),
-        "double_blocks": stack([dbl(i) for i in range(cfg.num_double_blocks)]),
-        "single_blocks": stack([sgl(i) for i in range(cfg.num_single_blocks)]),
-        "final_norm_out": lin("final_norm_out.linear"),
-        "final_proj_out": lin("final_proj_out"),
+        "time_embedder": _sd_mlp(sd, "time_embedder.timestep_embedder"),
+        "pooled_text_embedder": _sd_mlp(sd, "pooled_text_embedder"),
+        "context_embedder": _sd_lin(sd, "context_embedder"),
+        "x_embedder": _sd_lin(sd, "x_embedder"),
+        "double_blocks": _sd_stack(
+            [_sd_double_block(sd, f"blocks.{i}", s)
+             for i in range(cfg.num_double_blocks)]),
+        "single_blocks": _sd_stack(
+            [_sd_single_block(sd, f"single_blocks.{i}", s)
+             for i in range(cfg.num_single_blocks)]),
+        "final_norm_out": _sd_lin(sd, "final_norm_out.linear"),
+        "final_proj_out": _sd_lin(sd, "final_proj_out"),
     }
     if cfg.guidance_embed:
-        params["guidance_embedder"] = mlp("guidance_embedder.timestep_embedder")
+        params["guidance_embedder"] = _sd_mlp(
+            sd, "guidance_embedder.timestep_embedder")
     to = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
     return jax.tree.map(to, params)
 

@@ -207,9 +207,11 @@ def qwen_image_dit_forward(
     *,
     edit_latents: Optional[List] = None,  # list of (B, 16, He, We)
     remat: bool = False,
+    blockwise_controlnet=(),  # ((blocks_stacked, cond_tokens, scale), ...)
 ):
     """model_fn_qwen_image core path (reference qwen_image.py:698-795):
-    t2i plus Qwen-Image-Edit reference latents."""
+    t2i plus Qwen-Image-Edit reference latents and the blockwise-ControlNet
+    per-block residual adds (:797-805, main-image tokens only)."""
     b, c, h, w = latents.shape
     dtype = latents.dtype
 
@@ -233,13 +235,28 @@ def qwen_image_dit_forward(
     cond = _dense(params["time_embed"]["fc2"], jax.nn.silu(
         _dense(params["time_embed"]["fc1"], cond.astype(dtype))))
 
-    def body(carry, p):
+    n_img = (h // 2) * (w // 2)
+
+    def body(carry, xs):
+        p, cn_blocks = xs
         img, tx = carry
-        return qwen_block(p, img, tx, cond, rope, cfg), None
+        img, tx = qwen_block(p, img, tx, cond, rope, cfg)
+        if cn_blocks:
+            from .controlnet import qwen_blockwise_block
+
+            sl = img[:, :n_img]
+            r = 0.0
+            for cb, (_, cn_cond, scale) in zip(cn_blocks,
+                                               blockwise_controlnet):
+                r = r + qwen_blockwise_block(cb, sl, cn_cond, cfg.eps) \
+                    * jnp.asarray(scale, img.dtype)
+            img = img.at[:, :n_img].add(r)
+        return (img, tx), None
 
     if remat:
         body = jax.checkpoint(body)
-    (x, txt), _ = jax.lax.scan(body, (x, txt), params["blocks"])
+    cn_xs = tuple(e[0] for e in blockwise_controlnet)
+    (x, txt), _ = jax.lax.scan(body, (x, txt), (params["blocks"], cn_xs))
 
     # AdaLayerNorm(single=True): scale FIRST (general_modules.py:133-136)
     emb = _dense(params["norm_out"], jax.nn.silu(cond))

@@ -11,8 +11,10 @@ Kontext reference latents, embedded guidance (dev), true CFG
 TPU-native: the whole denoise loop runs in chunked jitted dispatches
 (module-scope jit like pipelines/wan_video.py — compiled once per
 resolution, reused across prompts/seeds); RoPE tables are host-side
-constants baked per compile.  ControlNet / IP-Adapter / EliGen /
-InfiniteYou / Step1x branches are out of scope per SURVEY.md §2.3.
+constants baked per compile.  ControlNet (MultiControlNet scale/sum +
+progress gating, ``flux_image.py:22-53``) runs inside the jitted sweep
+with dispatches split at gate transitions so gated-off ranges pay
+nothing.
 """
 from __future__ import annotations
 
@@ -26,6 +28,11 @@ import numpy as np
 
 from ..core.noise import generate_noise
 from ..diffusion.flow_match import FlowMatchScheduler
+from ..models.flux.controlnet import (
+    FluxControlNetConfig,
+    align_controlnet_res,
+    flux_controlnet_forward,
+)
 from ..models.flux.dit import (
     FluxDiTConfig,
     flux_dit_forward,
@@ -35,17 +42,34 @@ from ..models.flux.dit import (
 from ..models.flux.vae import AutoencoderKLConfig, vae_decode, vae_encode
 
 
+@dataclasses.dataclass
+class ControlNetInput:
+    """Reference ControlNetInput
+    (utils/controlnet/controlnet_input.py:5-13): ``start``/``end`` gate the
+    controlnet to the sigma-progress window [end, start] (1.0 = first
+    step)."""
+    controlnet_id: int = 0
+    scale: float = 1.0
+    start: float = 1.0
+    end: float = 0.0
+    image: Any = None
+    inpaint_mask: Any = None
+    processor_id: Optional[str] = None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws",
-                     "tea_opts"),
+                     "tea_opts", "cn_specs"),
 )
 def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
     kontext_latents, timesteps, sigmas, cfg_scale, tea_state, start,
+    cn_params=(), cn_conds=(),
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
+    cn_specs: tuple = (),  # ((FluxControlNetConfig, processor_id, scale),..)
 ):
     kid = None
     if kontext_hws is not None:
@@ -61,12 +85,34 @@ def _flux_denoise_chunk(
         tea_kw["tea_cache_opts"] = dict(
             rel_l1_thresh=tea_opts[0], num_inference_steps=tea_opts[1])
 
+    def controlnet_res(x, t, ctx, pl):
+        """MultiControlNet scale+sum (flux_image.py:40-53) + the reference's
+        hard-coded 19/38 alignment == the main dit's block counts."""
+        acc = [None, None]
+        for (cn_cfg, pid, scale), p_cn, cond_cn in zip(cn_specs, cn_params,
+                                                       cn_conds):
+            r, sr = flux_controlnet_forward(
+                p_cn, cn_cfg, x, cond_cn, t, ctx, pl,
+                guidance if cn_cfg.guidance_embed else None,
+                processor_id=pid)
+            for i, (rr, nb) in enumerate(
+                    ((r, dit_cfg.num_double_blocks),
+                     (sr, dit_cfg.num_single_blocks))):
+                rr = align_controlnet_res(rr, nb)
+                if rr is not None:
+                    rr = rr * jnp.asarray(scale, rr.dtype)
+                    acc[i] = rr if acc[i] is None else acc[i] + rr
+        return acc
+
     def sweep(x, t, ctx, pl, tc=None):
+        cn_r, cn_sr = controlnet_res(x, t, ctx, pl) if cn_specs else (None,
+                                                                      None)
         return flux_dit_forward(
             params, dit_cfg, x, t, ctx, pl,
             guidance if dit_cfg.guidance_embed else None,
             kontext_latents=kontext_latents, kontext_image_ids=kid,
-            tea_cache_state=tc, **tea_kw,
+            tea_cache_state=tc, controlnet_res=cn_r,
+            controlnet_single_res=cn_sr, **tea_kw,
         )
 
     def step(i, carry):
@@ -97,6 +143,7 @@ class FluxImagePipeline:
     te_t5_cfg: Any = None
     tokenizer_clip: Any = None
     tokenizer_t5: Any = None
+    controlnets: Any = None  # list of (params, FluxControlNetConfig)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -113,9 +160,11 @@ class FluxImagePipeline:
             "flux_vae_encoder")
         clip = pool.fetch_model("flux_text_encoder_clip")
         t5 = pool.fetch_model("flux_text_encoder_t5")
+        controlnets = pool.fetch_model("flux_controlnet", index="all")
         pipe = cls(
             dit_params=dit[0] if dit else None,
             dit_cfg=dit[1] if dit else None,
+            controlnets=controlnets,
             vae_params=vae[0] if vae else None,
             vae_cfg=vae[1] if vae else None,
             te_clip_params=clip[0] if clip else None,
@@ -176,6 +225,34 @@ class FluxImagePipeline:
         z = (mean - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
         return z.astype(self.dtype)
 
+    def _encode_controlnet_cond(self, ci: ControlNetInput, height, width):
+        """FluxImageUnit_ControlNet (reference flux_image.py:450-489):
+        VAE-encode the control image; inpaint models additionally black out
+        the masked pixels and append an inverted latent-res mask channel."""
+        from ..core.imaging import preprocess_image
+
+        image = ci.image.convert("RGB").resize((width, height))
+        arr = preprocess_image(image)[None]  # (1, C, H, W) in [-1, 1]
+        if ci.inpaint_mask is not None:
+            mask = preprocess_image(
+                ci.inpaint_mask.convert("RGB").resize(image.size))
+            arr = np.where(mask.mean(axis=0)[None, None] > 0, 0.0, arr)
+        z = vae_encode(self.vae_params, self.vae_cfg,
+                       jnp.asarray(arr, jnp.float32))
+        z = ((z - self.vae_cfg.shift_factor)
+             * self.vae_cfg.scaling_factor).astype(self.dtype)
+        if ci.inpaint_mask is not None:
+            m = (preprocess_image(
+                ci.inpaint_mask.convert("RGB").resize(image.size)) + 1) / 2
+            m = m.mean(axis=0)  # (H, W)
+            lh, lw = z.shape[2], z.shape[3]
+            ys = (np.arange(lh) * m.shape[0] // lh)
+            xs = (np.arange(lw) * m.shape[1] // lw)
+            m = 1.0 - m[np.ix_(ys, xs)]  # nearest, inverted
+            z = jnp.concatenate(
+                [z, jnp.asarray(m[None, None], self.dtype)], axis=1)
+        return z
+
     def __call__(
         self,
         prompt: Optional[str] = None,
@@ -192,6 +269,7 @@ class FluxImagePipeline:
         num_inference_steps: int = 30,
         tea_cache_l1_thresh: Optional[float] = None,
         kontext_images=None,
+        controlnet_inputs: Optional[List[ControlNetInput]] = None,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -258,16 +336,43 @@ class FluxImagePipeline:
                 lt += kontext_latents.shape[1]
             hidden = (latents.shape[0], lt, self.dit_cfg.dim)
             tea_state = init_tea_cache_state(hidden, hidden, jnp.float32)
+
+        cn_conds = []
+        if controlnet_inputs:
+            assert self.controlnets, "no flux_controlnet checkpoints loaded"
+            for ci in controlnet_inputs:
+                cn_conds.append(self._encode_controlnet_cond(ci, height,
+                                                            width))
+
+        def active_set(i):
+            """MultiControlNet progress gating (flux_image.py:43-45)."""
+            if not controlnet_inputs:
+                return ()
+            progress = (n - 1 - i) / max(n - 1, 1)
+            return tuple(
+                j for j, ci in enumerate(controlnet_inputs)
+                if not (progress > ci.start or progress < ci.end))
+
         s = 0
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
+            act = active_set(s)
+            while ln > 1 and active_set(s + ln - 1) != act:
+                ln -= 1  # split dispatches at gate transitions
+            specs, cps, ccs = (), (), ()
+            for j in act:
+                ci = controlnet_inputs[j]
+                p_cn, cfg_cn = self.controlnets[ci.controlnet_id]
+                specs += ((cfg_cn, ci.processor_id, float(ci.scale)),)
+                cps += (p_cn,)
+                ccs += (cn_conds[j],)
             latents, tea_state = _flux_denoise_chunk(
                 self.dit_params, latents, prompt_emb, pooled_prompt_emb,
                 negative_prompt_emb, negative_pooled_prompt_emb, guidance,
                 kontext_latents, timesteps, sigmas, cfg_t, tea_state,
-                jnp.int32(s),
+                jnp.int32(s), cps, ccs,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
-                kontext_hws=kontext_hws, tea_opts=tea_opts,
+                kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
             )
             s += ln
 

@@ -51,18 +51,22 @@ EDIT_TEMPLATE_DROP_IDX = 64  # reference qwen_image.py:362
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dit_cfg", "length", "do_cfg", "n_edit"),
+    jax.jit, static_argnames=("dit_cfg", "length", "do_cfg", "n_edit",
+                              "cn_scales"),
 )
 def _qwen_denoise_chunk(
     params, lat, prompt_emb, neg_prompt_emb, edit_latents, timesteps, sigmas,
-    cfg_scale, start,
+    cfg_scale, start, cn_blocks=(), cn_conds=(),
     *, dit_cfg: QwenImageDiTConfig, length: int, do_cfg: bool, n_edit: int,
+    cn_scales: tuple = (),
 ):
     edits = list(edit_latents) if n_edit else None
+    bw = tuple(zip(cn_blocks, cn_conds, cn_scales))
 
     def sweep(x, t, ctx):
         return qwen_image_dit_forward(params, dit_cfg, x, t, ctx,
-                                      edit_latents=edits)
+                                      edit_latents=edits,
+                                      blockwise_controlnet=bw)
 
     def step(i, x):
         t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
@@ -86,6 +90,7 @@ class QwenImagePipeline:
     vision_params: Any = None  # Qwen2.5-VL vision tower (Edit prompts)
     vision_cfg: Any = None
     tokenizer: Any = None  # transformers Qwen2 tokenizer (local path)
+    blockwise_controlnets: Any = None  # list of (params, cfg)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -111,6 +116,8 @@ class QwenImagePipeline:
             vae_cfg=vae[1] if vae else None,
             te_params=te_params, te_cfg=te_cfg,
             vision_params=vis_params, vision_cfg=vis_cfg,
+            blockwise_controlnets=pool.fetch_model(
+                "qwen_image_blockwise_controlnet", index="all"),
             dtype=dtype,
         )
         if tokenizer_path is not None:
@@ -171,6 +178,34 @@ class QwenImagePipeline:
             jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
             self.vae_cfg, arr).astype(self.dtype)
 
+    def _encode_controlnet_cond(self, ci, height, width):
+        """QwenImageUnit_BlockwiseControlNet (reference qwen_image.py:
+        484-525): VAE-encode the control image; inpaint variants black out
+        masked pixels and append an inverted latent-res mask channel."""
+        from ..core.imaging import preprocess_image
+
+        image = ci.image.convert("RGB").resize((width, height))
+        arr = preprocess_image(image)
+        if ci.inpaint_mask is not None:
+            mask = preprocess_image(
+                ci.inpaint_mask.convert("RGB").resize(image.size))
+            arr = np.where(mask.mean(axis=0)[None] > 0, 0.0, arr)
+        z = qwen_image_vae_encode(
+            jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
+            self.vae_cfg, jnp.asarray(arr[None], jnp.float32)
+        ).astype(self.dtype)
+        if ci.inpaint_mask is not None:
+            m = (preprocess_image(
+                ci.inpaint_mask.convert("RGB").resize(image.size)) + 1) / 2
+            m = m.mean(axis=0)
+            lh, lw = z.shape[2], z.shape[3]
+            ys = np.arange(lh) * m.shape[0] // lh
+            xs = np.arange(lw) * m.shape[1] // lw
+            m = 1.0 - m[np.ix_(ys, xs)]
+            z = jnp.concatenate(
+                [z, jnp.asarray(m[None, None], self.dtype)], axis=1)
+        return z
+
     def __call__(
         self,
         prompt: Optional[str] = None,
@@ -184,6 +219,7 @@ class QwenImagePipeline:
         num_inference_steps: int = 30,
         exponential_shift_mu: Optional[float] = None,
         edit_images=None,  # Qwen-Image-Edit reference image(s)
+        blockwise_controlnet_inputs=None,  # list[ControlNetInput]
         prompt_emb=None,
         negative_prompt_emb=None,
         latents=None,
@@ -235,16 +271,51 @@ class QwenImagePipeline:
                 edit_images = [edit_images]
             edit_latents = tuple(self._encode_image(im) for im in edit_images)
 
+        cn_conds = []
+        if blockwise_controlnet_inputs:
+            assert self.blockwise_controlnets, \
+                "no qwen_image_blockwise_controlnet checkpoints loaded"
+            from ..models.qwen.controlnet import qwen_blockwise_cond_embed
+            from ..models.qwen.dit import patchify as _patchify
+
+            for ci in blockwise_controlnet_inputs:
+                p_cn, cfg_cn = self.blockwise_controlnets[ci.controlnet_id]
+                z = self._encode_controlnet_cond(ci, height, width)
+                cn_conds.append(qwen_blockwise_cond_embed(
+                    p_cn, cfg_cn, _patchify(z)))
+
+        def active_set(i):
+            """QwenImageBlockwiseMultiControlNet gating with its 1e-4
+            tolerance (reference qwen_image.py:215-224)."""
+            if not blockwise_controlnet_inputs:
+                return ()
+            progress = (n - 1 - i) / max(n - 1, 1)
+            return tuple(
+                j for j, ci in enumerate(blockwise_controlnet_inputs)
+                if not (progress > ci.start + 1e-4
+                        or progress < ci.end - 1e-4))
+
         cfg_t = jnp.float32(cfg_scale)
         n = len(sched.timesteps)
         s = 0
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
+            act = active_set(s)
+            while ln > 1 and active_set(s + ln - 1) != act:
+                ln -= 1
+            blocks, conds, scales = (), (), ()
+            for j in act:
+                ci = blockwise_controlnet_inputs[j]
+                blocks += (self.blockwise_controlnets[
+                    ci.controlnet_id][0]["blocks"],)
+                conds += (cn_conds[j],)
+                scales += (float(ci.scale),)
             lat = _qwen_denoise_chunk(
                 self.dit_params, lat, prompt_emb, negative_prompt_emb,
                 edit_latents, timesteps, sigmas, cfg_t, jnp.int32(s),
+                blocks, conds,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
-                n_edit=len(edit_latents),
+                n_edit=len(edit_latents), cn_scales=scales,
             )
             s += ln
 
