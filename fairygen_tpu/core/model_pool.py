@@ -275,12 +275,66 @@ def _build_qwen_blockwise_controlnet(state_dict, extra_kwargs, dtype):
         state_dict, cfg, dtype=dtype), cfg
 
 
+def _build_flux_ipadapter(state_dict, extra_kwargs, dtype):
+    import dataclasses as _dc
+
+    from ..models.flux.ipadapter import (
+        FluxIpAdapterConfig,
+        convert_flux_ipadapter_state_dict,
+    )
+
+    cfg = FluxIpAdapterConfig()
+    sd = state_dict
+    if "ip_adapter" not in sd:
+        kw = {}
+        kv = sd.get("ipadapter_modules.0.to_k_ip.weight")
+        if kv is not None:
+            kw["cross_attention_dim"] = kv.shape[1]
+        p2 = sd.get("image_proj.proj.2.weight")
+        if p2 is not None and kv is not None:
+            kw["num_tokens"] = p2.shape[0] // kv.shape[1]
+        p0 = sd.get("image_proj.proj.0.weight")
+        if p0 is not None:
+            kw["id_embeddings_dim"] = p0.shape[1]
+        cfg = _dc.replace(cfg, **kw)
+    if extra_kwargs:
+        cfg = _dc.replace(cfg, **extra_kwargs)
+    return convert_flux_ipadapter_state_dict(state_dict, cfg,
+                                             dtype=dtype), cfg
+
+
+def _build_siglip_vision(state_dict, extra_kwargs, dtype):
+    import dataclasses as _dc
+
+    from ..models.siglip import (
+        SiglipVisionConfig,
+        convert_siglip_vision_state_dict,
+    )
+
+    sd = {(k[len("vision_model."):] if k.startswith("vision_model.")
+           else k): v for k, v in state_dict.items()}
+    pw = sd["embeddings.patch_embedding.weight"]
+    npos = sd["embeddings.position_embedding.weight"].shape[0]
+    fc1 = sd["encoder.layers.0.mlp.fc1.weight"]
+    cfg = SiglipVisionConfig(
+        hidden_size=pw.shape[0], intermediate_size=fc1.shape[0],
+        num_layers=1 + max(int(k.split(".")[2]) for k in sd
+                           if k.startswith("encoder.layers.")),
+        patch_size=pw.shape[-1],
+        image_size=pw.shape[-1] * int(npos ** 0.5))
+    if extra_kwargs:
+        cfg = _dc.replace(cfg, **extra_kwargs)
+    return convert_siglip_vision_state_dict(sd, cfg, dtype=dtype), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
     registry.register_builder("wan_video_text_encoder", _build_umt5)
     registry.register_builder("flux_dit", _build_flux_dit)
     registry.register_builder("flux_controlnet", _build_flux_controlnet)
+    registry.register_builder("flux_ipadapter", _build_flux_ipadapter)
+    registry.register_builder("siglip_vision_model", _build_siglip_vision)
     registry.register_builder("flux_text_encoder_clip", _build_flux_clip)
     registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
     registry.register_builder("flux_vae_encoder", _build_flux_vae)

@@ -146,7 +146,29 @@ def _adaln(p, cond, n_chunks: int):
 
 
 # ------------------------------------------------------------------ blocks
-def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled):
+def _rms_noaffine(x, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return y.astype(x.dtype)
+
+
+def _ip_attention(ip, q, n, prescaled):
+    """interact_with_ipadapter (reference flux_dit.py:6-11): a second
+    attention of the block's query against the projected image-prompt
+    tokens; returns the scaled merged-head residual.  ``norm_added_k`` is
+    an affine-free RMS at eps 1e-5 (flux_ipadapter.py:52)."""
+    ip_p, tokens, scale = ip
+    ip_k = _split_heads(jnp.dot(tokens, ip_p["to_k_ip"]["w"].astype(
+        tokens.dtype)), n)
+    ip_k = _rms_noaffine(ip_k, 1e-5)
+    ip_v = _split_heads(jnp.dot(tokens, ip_p["to_v_ip"]["w"].astype(
+        tokens.dtype)), n)
+    o = _merge_heads(attention(q, ip_k, ip_v, prescaled=prescaled))
+    return o * jnp.asarray(scale, o.dtype)
+
+
+def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
+                     ip=None):
     n = cfg.num_heads
     qkv_a = _dense(p["a_qkv"], xa)
     qkv_b = _dense(p["b_qkv"], xb)
@@ -165,18 +187,21 @@ def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled):
     o = _merge_heads(attention(q, k, v, prescaled=prescaled))
     lb = xb.shape[1]
     o_b, o_a = o[:, :lb], o[:, lb:]
+    if ip is not None:
+        # double blocks query with the PRE-rope normed q_a (flux_dit.py:97)
+        o_a = o_a + _ip_attention(ip, q_a, n, prescaled)
     return _dense(p["a_out"], o_a), _dense(p["b_out"], o_b)
 
 
 def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
-                      prescaled: bool = False):
+                      prescaled: bool = False, ip=None):
     """FluxJointTransformerBlock (flux_dit.py:108-148)."""
     sh_a, sc_a, g_a, sh_ma, sc_ma, g_ma = _adaln(p["norm1_a"], cond, 6)
     sh_b, sc_b, g_b, sh_mb, sc_mb, g_mb = _adaln(p["norm1_b"], cond, 6)
     ya = layer_norm(xa, cfg.eps) * (1 + sc_a) + sh_a
     yb = layer_norm(xb, cfg.eps) * (1 + sc_b) + sh_b
     att_a, att_b = _joint_attention(p["attn"], ya, yb, cos, sin, cfg,
-                                    prescaled)
+                                    prescaled, ip)
     xa = xa + g_a * att_a
     ya = layer_norm(xa, cfg.eps) * (1 + sc_ma) + sh_ma
     xa = xa + g_ma * _dense(p["ff_a"]["fc2"],
@@ -189,7 +214,7 @@ def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
 
 
 def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
-                      prescaled: bool = False):
+                      prescaled: bool = False, ip=None):
     """FluxSingleTransformerBlock (flux_dit.py:205-258): fused qkv+mlp
     projection, parallel attention/GELU, joint output projection."""
     n, d = cfg.num_heads, cfg.dim
@@ -203,6 +228,10 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
     att = _merge_heads(attention(q, k, v, prescaled=prescaled))
+    if ip is not None:
+        # single blocks query with the POST-rope q over ALL tokens (text
+        # included) — flux_dit.py:240-241
+        att = att + _ip_attention(ip, q, n, prescaled)
     h = jnp.concatenate([att, jax.nn.gelu(mlp)], axis=-1)
     return x + gate * _dense(p["proj_out"], h)
 
@@ -243,6 +272,7 @@ def flux_dit_forward(
     tea_cache_opts=None,  # dict(rel_l1_thresh=, num_inference_steps=)
     controlnet_res=None,  # (num_double_blocks, B, L_img, dim) aligned taps
     controlnet_single_res=None,  # (num_single_blocks, B, L_img, dim)
+    ipadapter=None,  # (ip_params, ip_tokens (1, L_ip, cross_dim), scale)
 ):
     """model_fn_flux_image core path (reference flux_image.py:1003-1209),
     incl. the ControlNet residual adds (:1160-1166,:1183-1188 — applied to
@@ -278,18 +308,28 @@ def flux_dit_forward(
     n_img = (h // 2) * (w // 2)
     lt = ctx.shape[1]
 
+    ip_tokens, ip_scale = (None, 1.0)
+    ip_dbl = ip_sgl = None
+    if ipadapter is not None:
+        ip_params, ip_tokens, ip_scale = ipadapter
+        ip_tokens = ip_tokens.astype(dtype)
+        ip_dbl, ip_sgl = ip_params["double"], ip_params["single"]
+
     def dbl(carry, xs):
-        p, r = xs
+        p, r, ip_p = xs
         xa, xb = carry
-        xa, xb = flux_double_block(p, xa, xb, cond, cos, sin, cfg, prescaled)
+        ip = (ip_p, ip_tokens, ip_scale) if ip_p is not None else None
+        xa, xb = flux_double_block(p, xa, xb, cond, cos, sin, cfg, prescaled,
+                                   ip)
         if r is not None:
             # ControlNet tap added AFTER the block, main image tokens only
             xa = xa.at[:, :n_img].add(r.astype(xa.dtype))
         return (xa, xb), None
 
     def sgl(carry, xs):
-        p, r = xs
-        hh = flux_single_block(p, carry, cond, cos, sin, cfg, prescaled)
+        p, r, ip_p = xs
+        ip = (ip_p, ip_tokens, ip_scale) if ip_p is not None else None
+        hh = flux_single_block(p, carry, cond, cos, sin, cfg, prescaled, ip)
         if r is not None:
             hh = hh.at[:, lt:lt + n_img].add(r.astype(hh.dtype))
         return hh, None
@@ -300,10 +340,12 @@ def flux_dit_forward(
 
     def run_blocks(xx):
         (xa, c2), _ = jax.lax.scan(
-            dbl, (xx, ctx), (params["double_blocks"], controlnet_res))
+            dbl, (xx, ctx), (params["double_blocks"], controlnet_res,
+                             ip_dbl))
         hh = jnp.concatenate([c2, xa], axis=1)
         (hh, _) = jax.lax.scan(
-            sgl, hh, (params["single_blocks"], controlnet_single_res))
+            sgl, hh, (params["single_blocks"], controlnet_single_res,
+                      ip_sgl))
         return hh[:, ctx.shape[1]:]
 
     new_tc = None

@@ -65,11 +65,13 @@ class ControlNetInput:
 def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
     kontext_latents, timesteps, sigmas, cfg_scale, tea_state, start,
-    cn_params=(), cn_conds=(),
+    cn_params=(), cn_conds=(), ip_params=None, ip_tokens=None,
+    ip_tokens_neg=None,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
     cn_specs: tuple = (),  # ((FluxControlNetConfig, processor_id, scale),..)
+    ip_scale: float = 1.0,
 ):
     kid = None
     if kontext_hws is not None:
@@ -104,26 +106,30 @@ def _flux_denoise_chunk(
                     acc[i] = rr if acc[i] is None else acc[i] + rr
         return acc
 
-    def sweep(x, t, ctx, pl, tc=None):
+    def sweep(x, t, ctx, pl, tc=None, ip_tok=None, ip_sc=1.0):
         cn_r, cn_sr = controlnet_res(x, t, ctx, pl) if cn_specs else (None,
                                                                       None)
+        ip = (ip_params, ip_tok, ip_sc) if ip_tok is not None else None
         return flux_dit_forward(
             params, dit_cfg, x, t, ctx, pl,
             guidance if dit_cfg.guidance_embed else None,
             kontext_latents=kontext_latents, kontext_image_ids=kid,
             tea_cache_state=tc, controlnet_res=cn_r,
-            controlnet_single_res=cn_sr, **tea_kw,
+            controlnet_single_res=cn_sr, ipadapter=ip, **tea_kw,
         )
 
     def step(i, carry):
         x, tc = carry
         t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
         if tea_opts is not None:
-            v, tc = sweep(x, t, prompt_emb, pooled, tc)
+            v, tc = sweep(x, t, prompt_emb, pooled, tc, ip_tokens, ip_scale)
         else:
-            v = sweep(x, t, prompt_emb, pooled)
+            v = sweep(x, t, prompt_emb, pooled, None, ip_tokens, ip_scale)
         if do_cfg:
-            v_n = sweep(x, t, neg_prompt_emb, neg_pooled)
+            # the reference runs the nega sweep with zero-embed ip tokens
+            # at scale 1.0 (FluxImageUnit_IPAdapter, flux_image.py:518-520)
+            v_n = sweep(x, t, neg_prompt_emb, neg_pooled,
+                        ip_tok=ip_tokens_neg)
             v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
         x = x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
         return x, tc
@@ -144,6 +150,8 @@ class FluxImagePipeline:
     tokenizer_clip: Any = None
     tokenizer_t5: Any = None
     controlnets: Any = None  # list of (params, FluxControlNetConfig)
+    ipadapter: Any = None  # (params, FluxIpAdapterConfig)
+    ipadapter_image_encoder: Any = None  # (params, SiglipVisionConfig)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -165,6 +173,8 @@ class FluxImagePipeline:
             dit_params=dit[0] if dit else None,
             dit_cfg=dit[1] if dit else None,
             controlnets=controlnets,
+            ipadapter=pool.fetch_model("flux_ipadapter"),
+            ipadapter_image_encoder=pool.fetch_model("siglip_vision_model"),
             vae_params=vae[0] if vae else None,
             vae_cfg=vae[1] if vae else None,
             te_clip_params=clip[0] if clip else None,
@@ -270,6 +280,8 @@ class FluxImagePipeline:
         tea_cache_l1_thresh: Optional[float] = None,
         kontext_images=None,
         controlnet_inputs: Optional[List[ControlNetInput]] = None,
+        ipadapter_images=None,  # PIL image(s) for the image prompt
+        ipadapter_scale: float = 1.0,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -337,6 +349,31 @@ class FluxImagePipeline:
             hidden = (latents.shape[0], lt, self.dit_cfg.dim)
             tea_state = init_tea_cache_state(hidden, hidden, jnp.float32)
 
+        ip_params, ip_tokens, ip_tokens_neg = None, None, None
+        if ipadapter_images is not None:
+            assert self.ipadapter and self.ipadapter_image_encoder, \
+                "flux_ipadapter / siglip_vision_model checkpoints not loaded"
+            from ..core.imaging import preprocess_image
+            from ..models.flux.ipadapter import flux_ipadapter_project
+            from ..models.siglip import siglip_vision_forward
+
+            if not isinstance(ipadapter_images, (list, tuple)):
+                ipadapter_images = [ipadapter_images]
+            enc_p, enc_cfg = self.ipadapter_image_encoder
+            size = enc_cfg.image_size
+            # reference: resize(384, resample=3 bicubic) then [-1, 1]
+            # (FluxImageUnit_IPAdapter, flux_image.py:510-513)
+            arr = np.stack([preprocess_image(
+                im.convert("RGB").resize((size, size), resample=3))
+                for im in ipadapter_images])
+            pooled_emb, _ = siglip_vision_forward(
+                enc_p, enc_cfg, jnp.asarray(arr, self.dtype))
+            ip_params, ip_cfg = self.ipadapter
+            ip_tokens = flux_ipadapter_project(ip_params, ip_cfg, pooled_emb)
+            if cfg_scale != 1.0:
+                ip_tokens_neg = flux_ipadapter_project(
+                    ip_params, ip_cfg, jnp.zeros_like(pooled_emb))
+
         cn_conds = []
         if controlnet_inputs:
             assert self.controlnets, "no flux_controlnet checkpoints loaded"
@@ -370,9 +407,10 @@ class FluxImagePipeline:
                 self.dit_params, latents, prompt_emb, pooled_prompt_emb,
                 negative_prompt_emb, negative_pooled_prompt_emb, guidance,
                 kontext_latents, timesteps, sigmas, cfg_t, tea_state,
-                jnp.int32(s), cps, ccs,
+                jnp.int32(s), cps, ccs, ip_params, ip_tokens, ip_tokens_neg,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
+                ip_scale=float(ipadapter_scale),
             )
             s += ln
 
