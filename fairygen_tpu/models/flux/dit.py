@@ -168,7 +168,7 @@ def _ip_attention(ip, q, n, prescaled):
 
 
 def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
-                     ip=None):
+                     ip=None, attn_bias=None):
     n = cfg.num_heads
     qkv_a = _dense(p["a_qkv"], xa)
     qkv_b = _dense(p["b_qkv"], xb)
@@ -184,7 +184,8 @@ def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
     v = jnp.concatenate([v_b, v_a], axis=1)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    o = _merge_heads(attention(q, k, v, prescaled=prescaled))
+    o = _merge_heads(attention(q, k, v, prescaled=prescaled,
+                               bias=attn_bias))
     lb = xb.shape[1]
     o_b, o_a = o[:, :lb], o[:, lb:]
     if ip is not None:
@@ -194,14 +195,14 @@ def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
 
 
 def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
-                      prescaled: bool = False, ip=None):
+                      prescaled: bool = False, ip=None, attn_bias=None):
     """FluxJointTransformerBlock (flux_dit.py:108-148)."""
     sh_a, sc_a, g_a, sh_ma, sc_ma, g_ma = _adaln(p["norm1_a"], cond, 6)
     sh_b, sc_b, g_b, sh_mb, sc_mb, g_mb = _adaln(p["norm1_b"], cond, 6)
     ya = layer_norm(xa, cfg.eps) * (1 + sc_a) + sh_a
     yb = layer_norm(xb, cfg.eps) * (1 + sc_b) + sh_b
     att_a, att_b = _joint_attention(p["attn"], ya, yb, cos, sin, cfg,
-                                    prescaled, ip)
+                                    prescaled, ip, attn_bias)
     xa = xa + g_a * att_a
     ya = layer_norm(xa, cfg.eps) * (1 + sc_ma) + sh_ma
     xa = xa + g_ma * _dense(p["ff_a"]["fc2"],
@@ -214,7 +215,7 @@ def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
 
 
 def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
-                      prescaled: bool = False, ip=None):
+                      prescaled: bool = False, ip=None, attn_bias=None):
     """FluxSingleTransformerBlock (flux_dit.py:205-258): fused qkv+mlp
     projection, parallel attention/GELU, joint output projection."""
     n, d = cfg.num_heads, cfg.dim
@@ -227,13 +228,40 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
     k = rms_norm(k, p["norm_k"], cfg.eps)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    att = _merge_heads(attention(q, k, v, prescaled=prescaled))
+    att = _merge_heads(attention(q, k, v, prescaled=prescaled,
+                                 bias=attn_bias))
     if ip is not None:
         # single blocks query with the POST-rope q over ALL tokens (text
         # included) — flux_dit.py:240-241
         att = att + _ip_attention(ip, q, n, prescaled)
     h = jnp.concatenate([att, jax.nn.gelu(mlp)], axis=-1)
     return x + gate * _dense(p["proj_out"], h)
+
+
+def eligen_attention_bias(entity_masks, lt: int, n_img: int):
+    """EliGen regional mask -> additive attention bias (B, 1, L, L).
+
+    Port of ``FluxDiT.construct_mask`` (reference flux_dit.py:325-356):
+    entity prompt i exchanges attention only with its masked image tokens
+    (the all-ones global mask rides last), different prompts never attend
+    each other, image-image stays dense.  ``entity_masks`` is
+    (B, N, 1, H, W) binary at latent resolution."""
+    b, n_ent = entity_masks.shape[:2]
+    img_masks = [jnp.sum(patchify(entity_masks[:, i].astype(jnp.float32)),
+                         -1) > 0 for i in range(n_ent)]
+    img_masks.append(jnp.ones((b, n_img), bool))
+    pi = jnp.stack(img_masks, 1)  # (B, N+1, n_img)
+    nt = n_ent + 1
+    n_txt = nt * lt
+    allow = jnp.ones((b, n_txt + n_img, n_txt + n_img), bool)
+    rows = jnp.repeat(pi, lt, axis=1)  # (B, n_txt, n_img)
+    allow = allow.at[:, :n_txt, n_txt:].set(rows)
+    allow = allow.at[:, n_txt:, :n_txt].set(jnp.swapaxes(rows, 1, 2))
+    block_diag = jnp.kron(jnp.eye(nt, dtype=jnp.int32),
+                          jnp.ones((lt, lt), jnp.int32)).astype(bool)
+    allow = allow.at[:, :n_txt, :n_txt].set(
+        jnp.broadcast_to(block_diag, (b, n_txt, n_txt)))
+    return jnp.where(allow, 0.0, -1e30).astype(jnp.float32)[:, None]
 
 
 # ------------------------------------------------------------------ forward
@@ -273,6 +301,8 @@ def flux_dit_forward(
     controlnet_res=None,  # (num_double_blocks, B, L_img, dim) aligned taps
     controlnet_single_res=None,  # (num_single_blocks, B, L_img, dim)
     ipadapter=None,  # (ip_params, ip_tokens (1, L_ip, cross_dim), scale)
+    entity_prompt_emb=None,  # EliGen: (B, N, Lt, context_dim)
+    entity_masks=None,  # EliGen: (B, N, 1, H, W) binary latent-res masks
 ):
     """model_fn_flux_image core path (reference flux_image.py:1003-1209),
     incl. the ControlNet residual adds (:1160-1166,:1183-1188 — applied to
@@ -293,8 +323,14 @@ def flux_dit_forward(
     x = patchify(latents)
     if image_ids is None:
         image_ids = prepare_image_ids(h, w)
-    ids = [np.zeros((prompt_emb.shape[1], 3), np.float64), image_ids]
+    lt_rows = prompt_emb.shape[1]
+    if entity_prompt_emb is not None:
+        # EliGen repeats the (zero) text ids once per entity prompt
+        # (process_entity_masks, flux_dit.py:381-382)
+        lt_rows = (entity_prompt_emb.shape[1] + 1) * prompt_emb.shape[1]
+    ids = [np.zeros((lt_rows, 3), np.float64), image_ids]
     if kontext_latents is not None:
+        assert entity_prompt_emb is None, "EliGen + Kontext is unsupported"
         x = jnp.concatenate([x, kontext_latents.astype(dtype)], axis=1)
         assert kontext_image_ids is not None
         ids.append(kontext_image_ids)
@@ -303,7 +339,20 @@ def flux_dit_forward(
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
     x = _dense(params["x_embedder"], x)
-    ctx = _dense(params["context_embedder"], prompt_emb.astype(dtype))
+    attn_bias = None
+    if entity_prompt_emb is not None:
+        n_ent = entity_prompt_emb.shape[1]
+        lt1 = prompt_emb.shape[1]
+        # entity prompts first, the global prompt LAST
+        # (process_entity_masks, flux_dit.py:375-377)
+        embs = [entity_prompt_emb[:, i] for i in range(n_ent)] + [prompt_emb]
+        ctx = jnp.concatenate(
+            [_dense(params["context_embedder"], e.astype(dtype))
+             for e in embs], axis=1)
+        attn_bias = eligen_attention_bias(entity_masks, lt1,
+                                          (h // 2) * (w // 2))
+    else:
+        ctx = _dense(params["context_embedder"], prompt_emb.astype(dtype))
 
     n_img = (h // 2) * (w // 2)
     lt = ctx.shape[1]
@@ -320,7 +369,7 @@ def flux_dit_forward(
         xa, xb = carry
         ip = (ip_p, ip_tokens, ip_scale) if ip_p is not None else None
         xa, xb = flux_double_block(p, xa, xb, cond, cos, sin, cfg, prescaled,
-                                   ip)
+                                   ip, attn_bias)
         if r is not None:
             # ControlNet tap added AFTER the block, main image tokens only
             xa = xa.at[:, :n_img].add(r.astype(xa.dtype))
@@ -329,7 +378,8 @@ def flux_dit_forward(
     def sgl(carry, xs):
         p, r, ip_p = xs
         ip = (ip_p, ip_tokens, ip_scale) if ip_p is not None else None
-        hh = flux_single_block(p, carry, cond, cos, sin, cfg, prescaled, ip)
+        hh = flux_single_block(p, carry, cond, cos, sin, cfg, prescaled, ip,
+                               attn_bias)
         if r is not None:
             hh = hh.at[:, lt:lt + n_img].add(r.astype(hh.dtype))
         return hh, None

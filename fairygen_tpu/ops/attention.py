@@ -46,8 +46,13 @@ def _resolve(impl: Optional[str]) -> str:
 _LOG2E = 1.4426950408889634
 
 
-def xla_attention(q, k, v, scale=None, prescaled=False, kv_len=None):
-    """Reference XLA path — fp32 softmax, works on any backend."""
+def xla_attention(q, k, v, scale=None, prescaled=False, kv_len=None,
+                  bias=None):
+    """Reference XLA path — fp32 softmax, works on any backend.
+
+    ``bias``: optional additive fp32 logits bias (B|1, N|1, S, T) — torch
+    SDPA ``attn_mask`` semantics (added after scaling); used by EliGen's
+    entity-region masks."""
     d = q.shape[-1]
     if prescaled:
         # caller folded scale·log2e into q (see flash_attention)
@@ -56,6 +61,8 @@ def xla_attention(q, k, v, scale=None, prescaled=False, kv_len=None):
         scale = (d**-0.5) if scale is None else scale
     # (B,S,N,D) -> einsum over heads
     logits = jnp.einsum("bsnd,btnd->bnst", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if kv_len is not None and kv_len != k.shape[1]:
         col = jnp.arange(k.shape[1])[None, None, None, :]
         logits = jnp.where(col < kv_len, logits, -1e30)
@@ -112,19 +119,23 @@ def attention_with_lse(q, k, v, scale=None, impl: Optional[str] = None,
 
 
 def attention(q, k, v, scale=None, impl: Optional[str] = None,
-              prescaled: bool = False, kv_len: Optional[int] = None):
-    """Scaled dot-product attention, (B, S, N, D) in/out, no mask.
+              prescaled: bool = False, kv_len: Optional[int] = None,
+              bias=None):
+    """Scaled dot-product attention, (B, S, N, D) in/out.
 
     Video DiT self/cross attention is dense (no causal mask) —
     reference wan_video_dit.py:27-60.  ``prescaled``: q already carries
     scale·log2e (folded into the producing norm — exactly free on TPU).
     ``kv_len``: mask kv padding columns exactly (Ulysses ragged tokens).
+    ``bias``: additive logits bias (EliGen entity-region masks) — routed
+    to the XLA path (the blocky entity mask defeats the flash kernel's
+    no-mask fast path; a block-sparse Pallas variant is a future lever).
     """
     resolved = _resolve(impl)
-    if resolved == "pallas":
+    if resolved == "pallas" and bias is None:
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, prescaled=prescaled,
                                kv_len=kv_len)
     return xla_attention(q, k, v, scale=scale, prescaled=prescaled,
-                         kv_len=kv_len)
+                         kv_len=kv_len, bias=bias)

@@ -66,7 +66,8 @@ def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
     kontext_latents, timesteps, sigmas, cfg_scale, tea_state, start,
     cn_params=(), cn_conds=(), ip_params=None, ip_tokens=None,
-    ip_tokens_neg=None,
+    ip_tokens_neg=None, entity_emb=None, entity_masks=None,
+    entity_emb_neg=None,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
@@ -106,7 +107,7 @@ def _flux_denoise_chunk(
                     acc[i] = rr if acc[i] is None else acc[i] + rr
         return acc
 
-    def sweep(x, t, ctx, pl, tc=None, ip_tok=None, ip_sc=1.0):
+    def sweep(x, t, ctx, pl, tc=None, ip_tok=None, ip_sc=1.0, ent=None):
         cn_r, cn_sr = controlnet_res(x, t, ctx, pl) if cn_specs else (None,
                                                                       None)
         ip = (ip_params, ip_tok, ip_sc) if ip_tok is not None else None
@@ -115,21 +116,25 @@ def _flux_denoise_chunk(
             guidance if dit_cfg.guidance_embed else None,
             kontext_latents=kontext_latents, kontext_image_ids=kid,
             tea_cache_state=tc, controlnet_res=cn_r,
-            controlnet_single_res=cn_sr, ipadapter=ip, **tea_kw,
+            controlnet_single_res=cn_sr, ipadapter=ip,
+            entity_prompt_emb=ent, entity_masks=(
+                entity_masks if ent is not None else None), **tea_kw,
         )
 
     def step(i, carry):
         x, tc = carry
         t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
         if tea_opts is not None:
-            v, tc = sweep(x, t, prompt_emb, pooled, tc, ip_tokens, ip_scale)
+            v, tc = sweep(x, t, prompt_emb, pooled, tc, ip_tokens, ip_scale,
+                          entity_emb)
         else:
-            v = sweep(x, t, prompt_emb, pooled, None, ip_tokens, ip_scale)
+            v = sweep(x, t, prompt_emb, pooled, None, ip_tokens, ip_scale,
+                      entity_emb)
         if do_cfg:
             # the reference runs the nega sweep with zero-embed ip tokens
             # at scale 1.0 (FluxImageUnit_IPAdapter, flux_image.py:518-520)
             v_n = sweep(x, t, neg_prompt_emb, neg_pooled,
-                        ip_tok=ip_tokens_neg)
+                        ip_tok=ip_tokens_neg, ent=entity_emb_neg)
             v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
         x = x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
         return x, tc
@@ -282,6 +287,9 @@ class FluxImagePipeline:
         controlnet_inputs: Optional[List[ControlNetInput]] = None,
         ipadapter_images=None,  # PIL image(s) for the image prompt
         ipadapter_scale: float = 1.0,
+        eligen_entity_prompts=None,  # list[str] or (B, N, Lt, ctx) array
+        eligen_entity_masks=None,  # list[PIL] or (B, N, 1, h/8, w/8) array
+        eligen_enable_on_negative: bool = False,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -349,6 +357,34 @@ class FluxImagePipeline:
             hidden = (latents.shape[0], lt, self.dit_cfg.dim)
             tea_state = init_tea_cache_state(hidden, hidden, jnp.float32)
 
+        entity_emb, entity_masks, entity_emb_neg = None, None, None
+        if eligen_entity_prompts is not None:
+            # FluxImageUnit_EntityControl (reference flux_image.py:522-613)
+            if hasattr(eligen_entity_prompts, "shape"):
+                entity_emb = jnp.asarray(eligen_entity_prompts, self.dtype)
+            else:
+                entity_emb = jnp.stack(
+                    [self.encode_prompt(p, t5_sequence_length)[0]
+                     for p in eligen_entity_prompts], axis=1)
+            if hasattr(eligen_entity_masks, "shape"):
+                entity_masks = jnp.asarray(eligen_entity_masks, self.dtype)
+            else:
+                from ..core.imaging import preprocess_image
+                from PIL import Image as _Image
+
+                ms = []
+                for m in eligen_entity_masks:
+                    m = m.convert("RGB").resize(
+                        (width // 8, height // 8), resample=_Image.NEAREST)
+                    ms.append(preprocess_image(m).mean(axis=0) > 0)
+                entity_masks = jnp.asarray(
+                    np.stack(ms)[None, :, None], self.dtype)
+            if eligen_enable_on_negative and cfg_scale != 1.0:
+                # nega entities: the negative prompt repeated per entity
+                entity_emb_neg = jnp.repeat(
+                    negative_prompt_emb[:, None], entity_emb.shape[1],
+                    axis=1)
+
         ip_params, ip_tokens, ip_tokens_neg = None, None, None
         if ipadapter_images is not None:
             assert self.ipadapter and self.ipadapter_image_encoder, \
@@ -408,6 +444,7 @@ class FluxImagePipeline:
                 negative_prompt_emb, negative_pooled_prompt_emb, guidance,
                 kontext_latents, timesteps, sigmas, cfg_t, tea_state,
                 jnp.int32(s), cps, ccs, ip_params, ip_tokens, ip_tokens_neg,
+                entity_emb, entity_masks, entity_emb_neg,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
                 ip_scale=float(ipadapter_scale),
