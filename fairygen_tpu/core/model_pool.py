@@ -327,6 +327,20 @@ def _build_siglip_vision(state_dict, extra_kwargs, dtype):
     return convert_siglip_vision_state_dict(sd, cfg, dtype=dtype), cfg
 
 
+def _build_flux_value_controller(state_dict, extra_kwargs, dtype):
+    from ..models.flux.value_control import (
+        convert_single_value_encoder_state_dict,
+    )
+
+    return convert_single_value_encoder_state_dict(state_dict, dtype=dtype)
+
+
+def _build_infiniteyou_projector(state_dict, extra_kwargs, dtype):
+    from ..models.flux.infiniteyou import convert_infiniteyou_state_dict
+
+    return convert_infiniteyou_state_dict(state_dict, dtype=dtype)
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -335,6 +349,10 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("flux_controlnet", _build_flux_controlnet)
     registry.register_builder("flux_ipadapter", _build_flux_ipadapter)
     registry.register_builder("siglip_vision_model", _build_siglip_vision)
+    registry.register_builder("flux_value_controller",
+                              _build_flux_value_controller)
+    registry.register_builder("infiniteyou_image_projector",
+                              _build_infiniteyou_projector)
     registry.register_builder("flux_text_encoder_clip", _build_flux_clip)
     registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
     registry.register_builder("flux_vae_encoder", _build_flux_vae)

@@ -67,7 +67,7 @@ def _flux_denoise_chunk(
     kontext_latents, timesteps, sigmas, cfg_scale, tea_state, start,
     cn_params=(), cn_conds=(), ip_params=None, ip_tokens=None,
     ip_tokens_neg=None, entity_emb=None, entity_masks=None,
-    entity_emb_neg=None,
+    entity_emb_neg=None, id_tokens=None, iy_guidance=None,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
@@ -90,13 +90,18 @@ def _flux_denoise_chunk(
 
     def controlnet_res(x, t, ctx, pl):
         """MultiControlNet scale+sum (flux_image.py:40-53) + the reference's
-        hard-coded 19/38 alignment == the main dit's block counts."""
+        hard-coded 19/38 alignment == the main dit's block counts.
+        InfiniteYou overrides the controlnet's prompt and guidance with the
+        identity tokens (model_fn_flux_image, flux_image.py:1087-1090)."""
+        cn_ctx, cn_guid = ctx, guidance
+        if id_tokens is not None:
+            cn_ctx, cn_guid = id_tokens, iy_guidance
         acc = [None, None]
         for (cn_cfg, pid, scale), p_cn, cond_cn in zip(cn_specs, cn_params,
                                                        cn_conds):
             r, sr = flux_controlnet_forward(
-                p_cn, cn_cfg, x, cond_cn, t, ctx, pl,
-                guidance if cn_cfg.guidance_embed else None,
+                p_cn, cn_cfg, x, cond_cn, t, cn_ctx, pl,
+                cn_guid if cn_cfg.guidance_embed else None,
                 processor_id=pid)
             for i, (rr, nb) in enumerate(
                     ((r, dit_cfg.num_double_blocks),
@@ -157,6 +162,8 @@ class FluxImagePipeline:
     controlnets: Any = None  # list of (params, FluxControlNetConfig)
     ipadapter: Any = None  # (params, FluxIpAdapterConfig)
     ipadapter_image_encoder: Any = None  # (params, SiglipVisionConfig)
+    value_controllers: Any = None  # list of (params, SingleValueEncoderConfig)
+    infiniteyou_projector: Any = None  # (params, InfiniteYouProjectorConfig)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -180,6 +187,10 @@ class FluxImagePipeline:
             controlnets=controlnets,
             ipadapter=pool.fetch_model("flux_ipadapter"),
             ipadapter_image_encoder=pool.fetch_model("siglip_vision_model"),
+            value_controllers=pool.fetch_model("flux_value_controller",
+                                               index="all"),
+            infiniteyou_projector=pool.fetch_model(
+                "infiniteyou_image_projector"),
             vae_params=vae[0] if vae else None,
             vae_cfg=vae[1] if vae else None,
             te_clip_params=clip[0] if clip else None,
@@ -290,6 +301,9 @@ class FluxImagePipeline:
         eligen_entity_prompts=None,  # list[str] or (B, N, Lt, ctx) array
         eligen_entity_masks=None,  # list[PIL] or (B, N, 1, h/8, w/8) array
         eligen_enable_on_negative: bool = False,
+        value_controller_inputs=None,  # scalar(s) for the value encoders
+        infiniteyou_id_embedding=None,  # precomputed arcface 512-d embed
+        infinityou_guidance: float = 1.0,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -356,6 +370,38 @@ class FluxImagePipeline:
                 lt += kontext_latents.shape[1]
             hidden = (latents.shape[0], lt, self.dit_cfg.dim)
             tea_state = init_tea_cache_state(hidden, hidden, jnp.float32)
+
+        if value_controller_inputs is not None:
+            # FluxImageUnit_ValueControl (flux_image.py:764-790): value
+            # tokens appended to BOTH CFG branches' prompt embeddings
+            assert self.value_controllers, \
+                "no flux_value_controller checkpoints loaded"
+            assert eligen_entity_prompts is None, \
+                "value control + EliGen is unsupported (mismatched prompt "\
+                "lengths break the entity mask, as in the reference)"
+            from ..models.flux.value_control import multi_value_encode
+
+            if not isinstance(value_controller_inputs, (list, tuple)):
+                value_controller_inputs = [value_controller_inputs]
+            v_emb = multi_value_encode(self.value_controllers,
+                                       value_controller_inputs
+                                       ).astype(self.dtype)
+            prompt_emb = jnp.concatenate([prompt_emb, v_emb], axis=1)
+            if negative_prompt_emb is not None:
+                negative_prompt_emb = jnp.concatenate(
+                    [negative_prompt_emb, v_emb], axis=1)
+
+        id_tokens, iy_guidance = None, None
+        if infiniteyou_id_embedding is not None:
+            assert self.infiniteyou_projector, \
+                "no infiniteyou_image_projector checkpoint loaded"
+            from ..models.flux.infiniteyou import infiniteyou_project
+
+            iy_p, iy_cfg = self.infiniteyou_projector
+            emb = jnp.asarray(infiniteyou_id_embedding, self.dtype).reshape(
+                1, -1, iy_cfg.embedding_dim)
+            id_tokens = infiniteyou_project(iy_p, iy_cfg, emb)
+            iy_guidance = jnp.full((1,), infinityou_guidance, jnp.float32)
 
         entity_emb, entity_masks, entity_emb_neg = None, None, None
         if eligen_entity_prompts is not None:
@@ -444,7 +490,8 @@ class FluxImagePipeline:
                 negative_prompt_emb, negative_pooled_prompt_emb, guidance,
                 kontext_latents, timesteps, sigmas, cfg_t, tea_state,
                 jnp.int32(s), cps, ccs, ip_params, ip_tokens, ip_tokens_neg,
-                entity_emb, entity_masks, entity_emb_neg,
+                entity_emb, entity_masks, entity_emb_neg, id_tokens,
+                iy_guidance,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
                 ip_scale=float(ipadapter_scale),
