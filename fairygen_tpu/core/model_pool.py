@@ -341,6 +341,12 @@ def _build_infiniteyou_projector(state_dict, extra_kwargs, dtype):
     return convert_infiniteyou_state_dict(state_dict, dtype=dtype)
 
 
+def _build_step1x_connector(state_dict, extra_kwargs, dtype):
+    from ..models.flux.step1x import convert_step1x_connector_state_dict
+
+    return convert_step1x_connector_state_dict(state_dict, dtype=dtype)
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -353,6 +359,7 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
                               _build_flux_value_controller)
     registry.register_builder("infiniteyou_image_projector",
                               _build_infiniteyou_projector)
+    registry.register_builder("step1x_connector", _build_step1x_connector)
     registry.register_builder("flux_text_encoder_clip", _build_flux_clip)
     registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
     registry.register_builder("flux_vae_encoder", _build_flux_vae)

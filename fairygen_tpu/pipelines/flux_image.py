@@ -60,26 +60,32 @@ class ControlNetInput:
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws",
-                     "tea_opts", "cn_specs"),
+                     "tea_opts", "cn_specs", "ip_scale",
+                     "kontext_id_offset", "s1x_cfg"),
 )
 def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
     kontext_latents, timesteps, sigmas, cfg_scale, tea_state, start,
     cn_params=(), cn_conds=(), ip_params=None, ip_tokens=None,
     ip_tokens_neg=None, entity_emb=None, entity_masks=None,
-    entity_emb_neg=None, id_tokens=None, iy_guidance=None,
+    entity_emb_neg=None, id_tokens=None, iy_guidance=None, s1x_params=None,
+    s1x_emb=None, s1x_mask=None, s1x_emb_neg=None, s1x_mask_neg=None,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
     cn_specs: tuple = (),  # ((FluxControlNetConfig, processor_id, scale),..)
     ip_scale: float = 1.0,
+    kontext_id_offset: int = 1,  # 1 = Kontext; 0 = Step1x reference latents
+    s1x_cfg=None,  # Step1xConnectorConfig (static)
 ):
     kid = None
     if kontext_hws is not None:
         parts = []
         for hw in kontext_hws:
             ids = prepare_image_ids(*hw)
-            ids[:, 0] += 1  # reference Kontext unit: ids[..., 0] = 1
+            # reference Kontext unit: ids[..., 0] = 1; Step1x references
+            # keep offset 0 (model_fn_flux_image:1121-1124)
+            ids[:, 0] += kontext_id_offset
             parts.append(ids)
         kid = np.concatenate(parts, axis=0)
 
@@ -126,19 +132,32 @@ def _flux_denoise_chunk(
                 entity_masks if ent is not None else None), **tea_kw,
         )
 
+    def branch_ctx(t, ctx, pl, emb, msk):
+        """Step1x swaps prompt/pooled for the per-step connector outputs
+        (model_fn_flux_image:1103-1106)."""
+        if emb is None:
+            return ctx, pl
+        from ..models.flux.step1x import step1x_connector_forward
+
+        return step1x_connector_forward(s1x_params, s1x_cfg, emb,
+                                        t / 1000.0, msk)
+
     def step(i, carry):
         x, tc = carry
         t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
+        ctx_p, pl_p = branch_ctx(t, prompt_emb, pooled, s1x_emb, s1x_mask)
         if tea_opts is not None:
-            v, tc = sweep(x, t, prompt_emb, pooled, tc, ip_tokens, ip_scale,
+            v, tc = sweep(x, t, ctx_p, pl_p, tc, ip_tokens, ip_scale,
                           entity_emb)
         else:
-            v = sweep(x, t, prompt_emb, pooled, None, ip_tokens, ip_scale,
+            v = sweep(x, t, ctx_p, pl_p, None, ip_tokens, ip_scale,
                       entity_emb)
         if do_cfg:
             # the reference runs the nega sweep with zero-embed ip tokens
             # at scale 1.0 (FluxImageUnit_IPAdapter, flux_image.py:518-520)
-            v_n = sweep(x, t, neg_prompt_emb, neg_pooled,
+            ctx_n, pl_n = branch_ctx(t, neg_prompt_emb, neg_pooled,
+                                     s1x_emb_neg, s1x_mask_neg)
+            v_n = sweep(x, t, ctx_n, pl_n,
                         ip_tok=ip_tokens_neg, ent=entity_emb_neg)
             v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
         x = x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
@@ -164,6 +183,7 @@ class FluxImagePipeline:
     ipadapter_image_encoder: Any = None  # (params, SiglipVisionConfig)
     value_controllers: Any = None  # list of (params, SingleValueEncoderConfig)
     infiniteyou_projector: Any = None  # (params, InfiniteYouProjectorConfig)
+    step1x_connector: Any = None  # (params, Step1xConnectorConfig)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -191,6 +211,7 @@ class FluxImagePipeline:
                                                index="all"),
             infiniteyou_projector=pool.fetch_model(
                 "infiniteyou_image_projector"),
+            step1x_connector=pool.fetch_model("step1x_connector"),
             vae_params=vae[0] if vae else None,
             vae_cfg=vae[1] if vae else None,
             te_clip_params=clip[0] if clip else None,
@@ -304,6 +325,11 @@ class FluxImagePipeline:
         value_controller_inputs=None,  # scalar(s) for the value encoders
         infiniteyou_id_embedding=None,  # precomputed arcface 512-d embed
         infinityou_guidance: float = 1.0,
+        step1x_llm_embedding=None,  # (1, L, in_ch) Qwen2.5-VL embedding
+        step1x_mask=None,  # (1, L) 0/1
+        step1x_llm_embedding_neg=None,
+        step1x_mask_neg=None,
+        step1x_reference_image=None,  # PIL edit source image
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -319,6 +345,17 @@ class FluxImagePipeline:
         timesteps = jnp.asarray(sched.timesteps, jnp.float32)
         sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
 
+        step1x = step1x_llm_embedding is not None
+        if step1x:
+            # the connector substitutes prompt/pooled per step; the T5/CLIP
+            # embeddings are unused placeholders
+            assert self.step1x_connector, "no step1x_connector loaded"
+            prompt_emb = jnp.zeros((1, 1, self.dit_cfg.context_dim),
+                                   self.dtype)
+            pooled_prompt_emb = jnp.zeros((1, self.dit_cfg.pooled_dim),
+                                          self.dtype)
+            negative_prompt_emb = prompt_emb
+            negative_pooled_prompt_emb = pooled_prompt_emb
         if prompt_emb is None:
             prompt_emb, pooled_prompt_emb = self.encode_prompt(
                 prompt, t5_sequence_length)
@@ -353,6 +390,16 @@ class FluxImagePipeline:
                 packed.append(patchify(z))
             kontext_latents = jnp.concatenate(packed, axis=1)
             kontext_hws = tuple(hws)
+
+        kontext_id_offset = 1
+        if step1x_reference_image is not None:
+            # Step1x reference latents ride the kontext slot with ids at
+            # offset 0 (model_fn_flux_image:1121-1126)
+            assert kontext_images is None, "step1x + kontext unsupported"
+            z = self._encode_image(step1x_reference_image)
+            kontext_latents = patchify(z)
+            kontext_hws = ((z.shape[2], z.shape[3]),)
+            kontext_id_offset = 0
 
         guidance = jnp.full((1,), embedded_guidance, jnp.float32)
         cfg_t = jnp.float32(cfg_scale)
@@ -492,9 +539,20 @@ class FluxImagePipeline:
                 jnp.int32(s), cps, ccs, ip_params, ip_tokens, ip_tokens_neg,
                 entity_emb, entity_masks, entity_emb_neg, id_tokens,
                 iy_guidance,
+                self.step1x_connector[0] if step1x else None,
+                (jnp.asarray(step1x_llm_embedding, self.dtype)
+                 if step1x else None),
+                jnp.asarray(step1x_mask) if step1x else None,
+                (jnp.asarray(step1x_llm_embedding_neg, self.dtype)
+                 if step1x and step1x_llm_embedding_neg is not None
+                 else None),
+                (jnp.asarray(step1x_mask_neg)
+                 if step1x and step1x_mask_neg is not None else None),
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
                 ip_scale=float(ipadapter_scale),
+                kontext_id_offset=kontext_id_offset,
+                s1x_cfg=self.step1x_connector[1] if step1x else None,
             )
             s += ln
 
