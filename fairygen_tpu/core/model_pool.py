@@ -347,6 +347,39 @@ def _build_step1x_connector(state_dict, extra_kwargs, dtype):
     return convert_step1x_connector_state_dict(state_dict, dtype=dtype)
 
 
+def _build_flux_lora_encoder(state_dict, extra_kwargs, dtype):
+    from ..models.flux.lora_runtime import (
+        convert_flux_lora_encoder_state_dict,
+    )
+
+    return convert_flux_lora_encoder_state_dict(state_dict, dtype=dtype)
+
+
+def _build_flux_lora_patcher(state_dict, extra_kwargs, dtype):
+    from ..models.flux.lora_runtime import (
+        convert_flux_lora_patcher_state_dict,
+    )
+
+    return convert_flux_lora_patcher_state_dict(state_dict, dtype=dtype)
+
+
+def _build_dinov3(state_dict, extra_kwargs, dtype):
+    from ..models.dinov3 import convert_dinov3_state_dict
+
+    return convert_dinov3_state_dict(state_dict, dtype=dtype)
+
+
+def _build_qwen_image2lora(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.image2lora import convert_image2lora_state_dict
+
+    cfg = None
+    if extra_kwargs:
+        from ..models.qwen.image2lora import QwenImage2LoRAConfig
+
+        cfg = QwenImage2LoRAConfig(**extra_kwargs)
+    return convert_image2lora_state_dict(state_dict, cfg, dtype=dtype)
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -360,6 +393,13 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("infiniteyou_image_projector",
                               _build_infiniteyou_projector)
     registry.register_builder("step1x_connector", _build_step1x_connector)
+    registry.register_builder("flux_lora_encoder", _build_flux_lora_encoder)
+    registry.register_builder("flux_lora_patcher", _build_flux_lora_patcher)
+    registry.register_builder("siglip2_image_encoder", _build_siglip_vision)
+    registry.register_builder("dinov3_image_encoder", _build_dinov3)
+    for _variant in ("style", "coarse", "fine"):
+        registry.register_builder(f"qwen_image_image2lora_{_variant}",
+                                  _build_qwen_image2lora)
     registry.register_builder("flux_text_encoder_clip", _build_flux_clip)
     registry.register_builder("flux_text_encoder_t5", _build_flux_t5)
     registry.register_builder("flux_vae_encoder", _build_flux_vae)

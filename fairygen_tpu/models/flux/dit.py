@@ -138,11 +138,24 @@ def _merge_heads(x):
     return x.reshape(b, l, n * hd)
 
 
-def _adaln(p, cond, n_chunks: int):
+def _adaln(p, cond, n_chunks: int, hot=None):
     """SiLU + linear modulation (reference general_modules.AdaLayerNorm /
     flux_dit.AdaLayerNormSingle/Continuous); cond (B, dim)."""
-    emb = _dense(p, jax.nn.silu(cond))
+    if hot is not None:
+        from .lora_runtime import hot_dense
+
+        emb = hot_dense(p, jax.nn.silu(cond), hot)
+    else:
+        emb = _dense(p, jax.nn.silu(cond))
     return jnp.split(emb[:, None, :], n_chunks, axis=-1)
+
+
+def _hdense(p, x, hot):
+    if hot is None:
+        return _dense(p, x)
+    from .lora_runtime import hot_dense
+
+    return hot_dense(p, x, hot)
 
 
 # ------------------------------------------------------------------ blocks
@@ -168,10 +181,10 @@ def _ip_attention(ip, q, n, prescaled):
 
 
 def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
-                     ip=None, attn_bias=None):
+                     ip=None, attn_bias=None, hot={}):
     n = cfg.num_heads
-    qkv_a = _dense(p["a_qkv"], xa)
-    qkv_b = _dense(p["b_qkv"], xb)
+    qkv_a = _hdense(p["a_qkv"], xa, hot.get("attn.a_to_qkv"))
+    qkv_b = _hdense(p["b_qkv"], xb, hot.get("attn.b_to_qkv"))
     q_a, k_a, v_a = jnp.split(_split_heads(qkv_a, 3 * n), 3, axis=2)
     q_b, k_b, v_b = jnp.split(_split_heads(qkv_b, 3 * n), 3, axis=2)
     q_a = rms_norm(q_a, p["norm_q_a"], cfg.eps)
@@ -191,37 +204,46 @@ def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
     if ip is not None:
         # double blocks query with the PRE-rope normed q_a (flux_dit.py:97)
         o_a = o_a + _ip_attention(ip, q_a, n, prescaled)
-    return _dense(p["a_out"], o_a), _dense(p["b_out"], o_b)
+    return (_hdense(p["a_out"], o_a, hot.get("attn.a_to_out")),
+            _hdense(p["b_out"], o_b, hot.get("attn.b_to_out")))
 
 
 def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
-                      prescaled: bool = False, ip=None, attn_bias=None):
+                      prescaled: bool = False, ip=None, attn_bias=None,
+                      hot={}):
     """FluxJointTransformerBlock (flux_dit.py:108-148)."""
-    sh_a, sc_a, g_a, sh_ma, sc_ma, g_ma = _adaln(p["norm1_a"], cond, 6)
-    sh_b, sc_b, g_b, sh_mb, sc_mb, g_mb = _adaln(p["norm1_b"], cond, 6)
+    sh_a, sc_a, g_a, sh_ma, sc_ma, g_ma = _adaln(
+        p["norm1_a"], cond, 6, hot.get("norm1_a.linear"))
+    sh_b, sc_b, g_b, sh_mb, sc_mb, g_mb = _adaln(
+        p["norm1_b"], cond, 6, hot.get("norm1_b.linear"))
     ya = layer_norm(xa, cfg.eps) * (1 + sc_a) + sh_a
     yb = layer_norm(xb, cfg.eps) * (1 + sc_b) + sh_b
     att_a, att_b = _joint_attention(p["attn"], ya, yb, cos, sin, cfg,
-                                    prescaled, ip, attn_bias)
+                                    prescaled, ip, attn_bias, hot)
     xa = xa + g_a * att_a
     ya = layer_norm(xa, cfg.eps) * (1 + sc_ma) + sh_ma
-    xa = xa + g_ma * _dense(p["ff_a"]["fc2"],
-                            jax.nn.gelu(_dense(p["ff_a"]["fc1"], ya)))
+    xa = xa + g_ma * _hdense(
+        p["ff_a"]["fc2"],
+        jax.nn.gelu(_hdense(p["ff_a"]["fc1"], ya, hot.get("ff_a.0"))),
+        hot.get("ff_a.2"))
     xb = xb + g_b * att_b
     yb = layer_norm(xb, cfg.eps) * (1 + sc_mb) + sh_mb
-    xb = xb + g_mb * _dense(p["ff_b"]["fc2"],
-                            jax.nn.gelu(_dense(p["ff_b"]["fc1"], yb)))
+    xb = xb + g_mb * _hdense(
+        p["ff_b"]["fc2"],
+        jax.nn.gelu(_hdense(p["ff_b"]["fc1"], yb, hot.get("ff_b.0"))),
+        hot.get("ff_b.2"))
     return xa, xb
 
 
 def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
-                      prescaled: bool = False, ip=None, attn_bias=None):
+                      prescaled: bool = False, ip=None, attn_bias=None,
+                      hot={}):
     """FluxSingleTransformerBlock (flux_dit.py:205-258): fused qkv+mlp
     projection, parallel attention/GELU, joint output projection."""
     n, d = cfg.num_heads, cfg.dim
-    shift, scale, gate = _adaln(p["norm"], cond, 3)
+    shift, scale, gate = _adaln(p["norm"], cond, 3, hot.get("norm.linear"))
     y = layer_norm(x, cfg.eps) * (1 + scale) + shift
-    h = _dense(p["to_qkv_mlp"], y)
+    h = _hdense(p["to_qkv_mlp"], y, hot.get("to_qkv_mlp"))
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
     q, k, v = jnp.split(_split_heads(qkv, 3 * n), 3, axis=2)
     q = rms_norm(q, p["norm_q"], cfg.eps)
@@ -235,7 +257,7 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
         # included) — flux_dit.py:240-241
         att = att + _ip_attention(ip, q, n, prescaled)
     h = jnp.concatenate([att, jax.nn.gelu(mlp)], axis=-1)
-    return x + gate * _dense(p["proj_out"], h)
+    return x + gate * _hdense(p["proj_out"], h, hot.get("proj_out"))
 
 
 def eligen_attention_bias(entity_masks, lt: int, n_img: int):
@@ -303,6 +325,7 @@ def flux_dit_forward(
     ipadapter=None,  # (ip_params, ip_tokens (1, L_ip, cross_dim), scale)
     entity_prompt_emb=None,  # EliGen: (B, N, Lt, context_dim)
     entity_masks=None,  # EliGen: (B, N, 1, H, W) binary latent-res masks
+    hot_lora=None,  # lora_runtime.stack_hot_lora output (unfused LoRAs)
 ):
     """model_fn_flux_image core path (reference flux_image.py:1003-1209),
     incl. the ControlNet residual adds (:1160-1166,:1183-1188 — applied to
@@ -364,22 +387,25 @@ def flux_dit_forward(
         ip_tokens = ip_tokens.astype(dtype)
         ip_dbl, ip_sgl = ip_params["double"], ip_params["single"]
 
+    hot_dbl = (hot_lora or {}).get("double") or {}
+    hot_sgl = (hot_lora or {}).get("single") or {}
+
     def dbl(carry, xs):
-        p, r, ip_p = xs
+        p, r, ip_p, hot = xs
         xa, xb = carry
         ip = (ip_p, ip_tokens, ip_scale) if ip_p is not None else None
         xa, xb = flux_double_block(p, xa, xb, cond, cos, sin, cfg, prescaled,
-                                   ip, attn_bias)
+                                   ip, attn_bias, hot)
         if r is not None:
             # ControlNet tap added AFTER the block, main image tokens only
             xa = xa.at[:, :n_img].add(r.astype(xa.dtype))
         return (xa, xb), None
 
     def sgl(carry, xs):
-        p, r, ip_p = xs
+        p, r, ip_p, hot = xs
         ip = (ip_p, ip_tokens, ip_scale) if ip_p is not None else None
         hh = flux_single_block(p, carry, cond, cos, sin, cfg, prescaled, ip,
-                               attn_bias)
+                               attn_bias, hot)
         if r is not None:
             hh = hh.at[:, lt:lt + n_img].add(r.astype(hh.dtype))
         return hh, None
@@ -391,11 +417,11 @@ def flux_dit_forward(
     def run_blocks(xx):
         (xa, c2), _ = jax.lax.scan(
             dbl, (xx, ctx), (params["double_blocks"], controlnet_res,
-                             ip_dbl))
+                             ip_dbl, hot_dbl))
         hh = jnp.concatenate([c2, xa], axis=1)
         (hh, _) = jax.lax.scan(
             sgl, hh, (params["single_blocks"], controlnet_single_res,
-                      ip_sgl))
+                      ip_sgl, hot_sgl))
         return hh[:, ctx.shape[1]:]
 
     new_tc = None

@@ -70,6 +70,7 @@ def _flux_denoise_chunk(
     ip_tokens_neg=None, entity_emb=None, entity_masks=None,
     entity_emb_neg=None, id_tokens=None, iy_guidance=None, s1x_params=None,
     s1x_emb=None, s1x_mask=None, s1x_emb_neg=None, s1x_mask_neg=None,
+    hot_lora=None,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
@@ -129,7 +130,8 @@ def _flux_denoise_chunk(
             tea_cache_state=tc, controlnet_res=cn_r,
             controlnet_single_res=cn_sr, ipadapter=ip,
             entity_prompt_emb=ent, entity_masks=(
-                entity_masks if ent is not None else None), **tea_kw,
+                entity_masks if ent is not None else None),
+            hot_lora=hot_lora, **tea_kw,
         )
 
     def branch_ctx(t, ctx, pl, emb, msk):
@@ -184,6 +186,9 @@ class FluxImagePipeline:
     value_controllers: Any = None  # list of (params, SingleValueEncoderConfig)
     infiniteyou_projector: Any = None  # (params, InfiniteYouProjectorConfig)
     step1x_connector: Any = None  # (params, Step1xConnectorConfig)
+    lora_encoder: Any = None  # (params, FluxLoRAEncoderConfig)
+    lora_patcher: Any = None  # (merger params by layer name, None)
+    hot_lora: Any = None  # stacked unfused LoRAs (load_hot_loras)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -212,6 +217,8 @@ class FluxImagePipeline:
             infiniteyou_projector=pool.fetch_model(
                 "infiniteyou_image_projector"),
             step1x_connector=pool.fetch_model("step1x_connector"),
+            lora_encoder=pool.fetch_model("flux_lora_encoder"),
+            lora_patcher=pool.fetch_model("flux_lora_patcher"),
             vae_params=vae[0] if vae else None,
             vae_cfg=vae[1] if vae else None,
             te_clip_params=clip[0] if clip else None,
@@ -272,6 +279,53 @@ class FluxImagePipeline:
         z = (mean - self.vae_cfg.shift_factor) * self.vae_cfg.scaling_factor
         return z.astype(self.dtype)
 
+    def load_hot_loras(self, lora_sds_or_paths, use_merger: bool = False):
+        """Load LoRAs UNFUSED so they can be gated per layer.  With
+        ``use_merger=True`` the flux_lora_patcher's learned LoraMerger
+        combines them (reference ``enable_lora_merger``,
+        flux_image.py:107-115); without, they sum like the plain hot path
+        (core/vram/layers.py:418-420)."""
+        from ..core.io import load_state_dict
+        from ..models.flux.lora_runtime import (
+            normalize_flux_lora_to_reference,
+            stack_hot_lora,
+        )
+
+        sds = []
+        for s in lora_sds_or_paths:
+            if isinstance(s, str):
+                s = load_state_dict(s)
+            sds.append(normalize_flux_lora_to_reference(s))
+        patcher = None
+        if use_merger:
+            assert self.lora_patcher, "no flux_lora_patcher loaded"
+            patcher = self.lora_patcher[0]
+        self.hot_lora = stack_hot_lora(sds, self.dit_cfg, patcher=patcher,
+                                       dtype=self.dtype)
+        return self
+
+    def encode_loras(self, lora_sds_or_paths, scale=None):
+        """FluxImageUnit_LoRAEncode (reference flux_image.py:846-900):
+        encode LoRA checkpoints into prompt tokens."""
+        from ..core.io import load_state_dict
+        from ..models.flux.lora_runtime import (
+            flux_lora_encoder_forward,
+            normalize_flux_lora_to_reference,
+        )
+
+        assert self.lora_encoder, "no flux_lora_encoder loaded"
+        p, cfg = self.lora_encoder
+        embs = []
+        for s in lora_sds_or_paths:
+            if isinstance(s, str):
+                s = load_state_dict(s)
+            embs.append(flux_lora_encoder_forward(
+                p, cfg, normalize_flux_lora_to_reference(s)))
+        emb = jnp.concatenate(embs, axis=1)
+        if scale is not None:
+            emb = emb * scale
+        return emb.astype(self.dtype)
+
     def _encode_controlnet_cond(self, ci: ControlNetInput, height, width):
         """FluxImageUnit_ControlNet (reference flux_image.py:450-489):
         VAE-encode the control image; inpaint models additionally black out
@@ -330,6 +384,8 @@ class FluxImagePipeline:
         step1x_llm_embedding_neg=None,
         step1x_mask_neg=None,
         step1x_reference_image=None,  # PIL edit source image
+        lora_encoder_inputs=None,  # LoRA state dicts / paths to encode
+        lora_encoder_scale: Optional[float] = None,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -417,6 +473,15 @@ class FluxImagePipeline:
                 lt += kontext_latents.shape[1]
             hidden = (latents.shape[0], lt, self.dit_cfg.dim)
             tea_state = init_tea_cache_state(hidden, hidden, jnp.float32)
+
+        if lora_encoder_inputs is not None:
+            # LoRA tokens append to the POSITIVE prompt only
+            # (FluxImageUnit_LoRAEncode, flux_image.py:890-899)
+            if not isinstance(lora_encoder_inputs, (list, tuple)):
+                lora_encoder_inputs = [lora_encoder_inputs]
+            lora_emb = self.encode_loras(lora_encoder_inputs,
+                                         scale=lora_encoder_scale)
+            prompt_emb = jnp.concatenate([prompt_emb, lora_emb], axis=1)
 
         if value_controller_inputs is not None:
             # FluxImageUnit_ValueControl (flux_image.py:764-790): value
@@ -548,6 +613,7 @@ class FluxImagePipeline:
                  else None),
                 (jnp.asarray(step1x_mask_neg)
                  if step1x and step1x_mask_neg is not None else None),
+                self.hot_lora,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
                 ip_scale=float(ipadapter_scale),

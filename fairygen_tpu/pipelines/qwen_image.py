@@ -91,6 +91,11 @@ class QwenImagePipeline:
     vision_cfg: Any = None
     tokenizer: Any = None  # transformers Qwen2 tokenizer (local path)
     blockwise_controlnets: Any = None  # list of (params, cfg)
+    siglip2_image_encoder: Any = None  # (params, SiglipVisionConfig)
+    dinov3_image_encoder: Any = None  # (params, DINOv3Config)
+    image2lora_style: Any = None  # (params, QwenImage2LoRAConfig)
+    image2lora_coarse: Any = None
+    image2lora_fine: Any = None
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -118,6 +123,12 @@ class QwenImagePipeline:
             vision_params=vis_params, vision_cfg=vis_cfg,
             blockwise_controlnets=pool.fetch_model(
                 "qwen_image_blockwise_controlnet", index="all"),
+            siglip2_image_encoder=pool.fetch_model("siglip2_image_encoder"),
+            dinov3_image_encoder=pool.fetch_model("dinov3_image_encoder"),
+            image2lora_style=pool.fetch_model("qwen_image_image2lora_style"),
+            image2lora_coarse=pool.fetch_model(
+                "qwen_image_image2lora_coarse"),
+            image2lora_fine=pool.fetch_model("qwen_image_image2lora_fine"),
             dtype=dtype,
         )
         if tokenizer_path is not None:
@@ -178,6 +189,74 @@ class QwenImagePipeline:
             jax.tree.map(lambda a: a.astype(jnp.float32), self.vae_params),
             self.vae_cfg, arr).astype(self.dtype)
 
+    def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
+        """Fuse a diffusers/peft-layout Qwen-Image LoRA into the DiT."""
+        from ..core.io import load_state_dict
+        from ..models.qwen.lora import load_qwen_image_lora
+
+        sd = lora_path_or_sd
+        if isinstance(sd, str):
+            sd = load_state_dict(sd)
+        self.dit_params = load_qwen_image_lora(
+            jax.tree.map(lambda a: a, self.dit_params), sd, alpha=alpha)
+        return self
+
+    def image2lora(self, images):
+        """QwenImageUnit_Image2LoRAEncode/Decode (reference qwen_image.py:
+        570-678): encode reference images with SigLIP2 ‖ DINOv3 (+
+        Qwen2.5-VL residual streams for the coarse/fine variants), run the
+        loaded Image2LoRA heads, and return the rank-concat-merged LoRA."""
+        from ..data.operators import ImageCropAndResize
+        from ..models.dinov3 import dinov3_forward, preprocess_dinov3
+        from ..models.qwen.image2lora import (
+            image2lora_forward,
+            merge_image2lora,
+        )
+        from ..models.siglip import siglip_vision_forward
+
+        assert self.siglip2_image_encoder and self.dinov3_image_encoder, \
+            "siglip2/dinov3 encoders not loaded"
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        crop_hi = ImageCropAndResize(height=1024, width=1024)
+        crop_lo = ImageCropAndResize(height=28 * 8, width=28 * 8)
+
+        def pooled(image):
+            from ..core.imaging import preprocess_image
+
+            sp, scfg = self.siglip2_image_encoder
+            im = crop_hi(image).resize((scfg.image_size, scfg.image_size))
+            s_emb, _ = siglip_vision_forward(
+                sp, scfg,
+                jnp.asarray(preprocess_image(im)[None], self.dtype))
+            dp, dcfg = self.dinov3_image_encoder
+            d_emb, _ = dinov3_forward(
+                dp, dcfg,
+                jnp.asarray(preprocess_dinov3(crop_hi(image), dcfg),
+                            self.dtype))
+            return jnp.concatenate([s_emb, d_emb], axis=-1)
+
+        def residual(image, highres):
+            im = crop_hi(image) if highres else crop_lo(image)
+            emb = self.encode_prompt_edit("", im)
+            return emb.reshape(1, -1)
+
+        loras = []
+        for image in images:
+            x = pooled(image)
+            if self.image2lora_style is not None:
+                p, cfg = self.image2lora_style
+                loras.append(image2lora_forward(p, cfg, x))
+            if self.image2lora_coarse is not None:
+                p, cfg = self.image2lora_coarse
+                loras.append(image2lora_forward(p, cfg, x,
+                                                residual(image, False)))
+            if self.image2lora_fine is not None:
+                p, cfg = self.image2lora_fine
+                loras.append(image2lora_forward(p, cfg, x,
+                                                residual(image, True)))
+        return merge_image2lora(loras, alpha=1.0 / len(images))
+
     def _encode_controlnet_cond(self, ci, height, width):
         """QwenImageUnit_BlockwiseControlNet (reference qwen_image.py:
         484-525): VAE-encode the control image; inpaint variants black out
@@ -219,7 +298,9 @@ class QwenImagePipeline:
         num_inference_steps: int = 30,
         exponential_shift_mu: Optional[float] = None,
         edit_images=None,  # Qwen-Image-Edit reference image(s)
+        context_image=None,  # in-context conditioning image
         blockwise_controlnet_inputs=None,  # list[ControlNetInput]
+        image2lora_images=None,  # style/subject reference image(s)
         prompt_emb=None,
         negative_prompt_emb=None,
         latents=None,
@@ -266,10 +347,26 @@ class QwenImagePipeline:
             lat = noise
 
         edit_latents = ()
+        if context_image is not None:
+            # context latents ride the sequence before any edit latents
+            # (QwenImageUnit_ContextImageEmbedder + model_fn_qwen_image
+            # :737-745: main, context, edit token order)
+            edit_latents += (self._encode_image(
+                context_image.resize((width, height))),)
         if edit_images is not None:
             if not isinstance(edit_images, (list, tuple)):
                 edit_images = [edit_images]
-            edit_latents = tuple(self._encode_image(im) for im in edit_images)
+            edit_latents += tuple(self._encode_image(im)
+                                  for im in edit_images)
+
+        dit_params = self.dit_params
+        if image2lora_images is not None:
+            # per-call fused copy — the pipeline's base weights stay clean
+            from ..models.qwen.lora import load_qwen_image_lora
+
+            lora = self.image2lora(image2lora_images)
+            dit_params = load_qwen_image_lora(
+                jax.tree.map(lambda a: a, self.dit_params), lora)
 
         cn_conds = []
         if blockwise_controlnet_inputs:
@@ -311,7 +408,7 @@ class QwenImagePipeline:
                 conds += (cn_conds[j],)
                 scales += (float(ci.scale),)
             lat = _qwen_denoise_chunk(
-                self.dit_params, lat, prompt_emb, negative_prompt_emb,
+                dit_params, lat, prompt_emb, negative_prompt_emb,
                 edit_latents, timesteps, sigmas, cfg_t, jnp.int32(s),
                 blocks, conds,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
