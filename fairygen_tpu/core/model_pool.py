@@ -243,6 +243,12 @@ def _build_nexus_gen_adapter(state_dict, extra_kwargs, dtype):
     return convert_nexus_gen_adapter_state_dict(state_dict, dtype=dtype), None
 
 
+def _build_nexus_gen_merger(state_dict, extra_kwargs, dtype):
+    from ..models.qwen.nexus_gen import convert_nexus_gen_merger_state_dict
+
+    return convert_nexus_gen_merger_state_dict(state_dict, dtype=dtype)
+
+
 def _build_flux_controlnet(state_dict, extra_kwargs, dtype):
     from ..models.flux.controlnet import (
         convert_flux_controlnet_state_dict,
@@ -417,6 +423,8 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("nexus_gen_llm", _build_nexus_gen_llm)
     registry.register_builder("nexus_gen_generation_adapter",
                               _build_nexus_gen_adapter)
+    registry.register_builder("nexus_gen_editing_adapter",
+                              _build_nexus_gen_merger)
     return registry
 
 

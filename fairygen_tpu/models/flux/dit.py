@@ -326,6 +326,10 @@ def flux_dit_forward(
     entity_prompt_emb=None,  # EliGen: (B, N, Lt, context_dim)
     entity_masks=None,  # EliGen: (B, N, 1, H, W) binary latent-res masks
     hot_lora=None,  # lora_runtime.stack_hot_lora output (unfused LoRAs)
+    txt_ids: Optional[np.ndarray] = None,  # (Lt, 3) host array — NexusGen
+    # editing uses fractional ids (flux_image.py:648-668); default zeros
+    flex_condition=None,  # (B, Cf, H, W) Flex inpaint/control channels,
+    # channel-concatenated before patchify (flux_image.py:1095-1100)
 ):
     """model_fn_flux_image core path (reference flux_image.py:1003-1209),
     incl. the ControlNet residual adds (:1160-1166,:1183-1188 — applied to
@@ -343,6 +347,9 @@ def flux_dit_forward(
             params["guidance_embedder"],
             _timestep_sinusoid(guidance * 1000.0, cfg.time_freq_dim), dtype)
 
+    if flex_condition is not None:
+        latents = jnp.concatenate(
+            [latents, flex_condition.astype(dtype)], axis=1)
     x = patchify(latents)
     if image_ids is None:
         image_ids = prepare_image_ids(h, w)
@@ -351,7 +358,9 @@ def flux_dit_forward(
         # EliGen repeats the (zero) text ids once per entity prompt
         # (process_entity_masks, flux_dit.py:381-382)
         lt_rows = (entity_prompt_emb.shape[1] + 1) * prompt_emb.shape[1]
-    ids = [np.zeros((lt_rows, 3), np.float64), image_ids]
+    if txt_ids is None:
+        txt_ids = np.zeros((lt_rows, 3), np.float64)
+    ids = [np.asarray(txt_ids, np.float64), image_ids]
     if kontext_latents is not None:
         assert entity_prompt_emb is None, "EliGen + Kontext is unsupported"
         x = jnp.concatenate([x, kontext_latents.astype(dtype)], axis=1)

@@ -81,22 +81,48 @@ def _axis_cos_sin(pos: np.ndarray, d: int, theta: int):
     return np.cos(ang), np.sin(ang)
 
 
+def _centered(n: int) -> np.ndarray:
+    return np.concatenate([np.arange(-(n - n // 2), 0), np.arange(0, n // 2)])
+
+
+def qwen_txt_rope(txt_len: int, max_vid: int, axes_dim, theta: int):
+    """Text rope rows: positions start past the largest image half-extent
+    (QwenEmbedRope.forward, qwen_image_dit.py:161-162)."""
+    tpos = np.arange(max_vid, max_vid + txt_len)
+    tc, ts = [], []
+    for d in axes_dim:
+        c, s = _axis_cos_sin(tpos, d, theta)
+        tc.append(c)
+        ts.append(s)
+    return (np.concatenate(tc, -1).astype(np.float32),
+            np.concatenate(ts, -1).astype(np.float32))
+
+
 def qwen_rope_tables(img_shapes: Sequence[Tuple[int, int, int]],
-                     txt_len: int, axes_dim, theta: int):
+                     txt_len: int, axes_dim, theta: int,
+                     interpolate: bool = False):
     """(img_cos, img_sin, txt_cos, txt_sin) fp32 — centered "scale_rope"
     grids per image entry (reference QwenEmbedRope.forward with
     scale_rope=True, qwen_image_dit.py:123-165): height/width positions
     run [-(n - n//2), ..., n//2 - 1]; frame positions offset by the entry
-    index; text positions start past max(h//2, w//2) over entries."""
+    index; text positions start past max(h//2, w//2) over entries.
+
+    ``interpolate``: Edit entries (idx>0) sample the FIRST entry's
+    spatial positions at their own resolution instead of their own
+    centered grid (``forward_sampling``, :168-215 —
+    edit_rope_interpolation)."""
     cos_parts, sin_parts = [], []
     max_vid = 0
     for idx, (f, h, w) in enumerate(img_shapes):
         ax = []
         fpos = np.arange(idx, idx + f)
-        hpos = np.concatenate([np.arange(-(h - h // 2), 0),
-                               np.arange(0, h // 2)])
-        wpos = np.concatenate([np.arange(-(w - w // 2), 0),
-                               np.arange(0, w // 2)])
+        if interpolate and idx > 0:
+            h0, w0 = img_shapes[0][1], img_shapes[0][2]
+            hpos = _centered(h0)[np.linspace(0, h0 - 1, h).astype(int)]
+            wpos = _centered(w0)[np.linspace(0, w0 - 1, w).astype(int)]
+        else:
+            hpos = _centered(h)
+            wpos = _centered(w)
         for d, pos, shape in (
             (axes_dim[0], fpos, (f, 1, 1)),
             (axes_dim[1], hpos, (1, h, 1)),
@@ -113,15 +139,7 @@ def qwen_rope_tables(img_shapes: Sequence[Tuple[int, int, int]],
         max_vid = max(max_vid, h // 2, w // 2)
     img_cos = np.concatenate(cos_parts, 0).astype(np.float32)
     img_sin = np.concatenate(sin_parts, 0).astype(np.float32)
-
-    tpos = np.arange(max_vid, max_vid + txt_len)
-    tc, ts = [], []
-    for d in axes_dim:
-        c, s = _axis_cos_sin(tpos, d, theta)
-        tc.append(c)
-        ts.append(s)
-    txt_cos = np.concatenate(tc, -1).astype(np.float32)
-    txt_sin = np.concatenate(ts, -1).astype(np.float32)
+    txt_cos, txt_sin = qwen_txt_rope(txt_len, max_vid, axes_dim, theta)
     return img_cos, img_sin, txt_cos, txt_sin
 
 
@@ -133,24 +151,36 @@ def _heads(x, n):
     return x.reshape(b, l, n, d // n)
 
 
-def _modulate(x, mod, eps):
+def _modulate(x, mod, eps, index=None):
     """mod (B, 3*dim) -> shift, scale, gate (reference _modulate,
-    qwen_image_dit.py:470-501, no index path)."""
-    shift, scale, gate = jnp.split(mod[:, None, :], 3, axis=-1)
+    qwen_image_dit.py:470-501).  With ``index`` (B, L) the mod batch is
+    doubled (t-conditioning rows then zero-t rows) and each token selects
+    its row — the Edit-Plus ``zero_cond_t`` path."""
+    shift, scale, gate = jnp.split(mod, 3, axis=-1)
+    if index is not None:
+        bh = shift.shape[0] // 2
+        sel = (index[..., None] != 0)
+        shift = jnp.where(sel, shift[bh:, None], shift[:bh, None])
+        scale = jnp.where(sel, scale[bh:, None], scale[:bh, None])
+        gate = jnp.where(sel, gate[bh:, None], gate[:bh, None])
+    else:
+        shift, scale, gate = (shift[:, None], scale[:, None], gate[:, None])
     return layer_norm(x, eps) * (1 + scale) + shift, gate
 
 
-def qwen_block(p, img, txt, cond, rope, cfg: QwenImageDiTConfig):
+def qwen_block(p, img, txt, cond, rope, cfg: QwenImageDiTConfig,
+               attn_bias=None, modulate_index=None):
     """QwenImageTransformerBlock (qwen_image_dit.py:434-548)."""
     img_cos, img_sin, txt_cos, txt_sin = rope
     n = cfg.num_heads
     img_mod = _dense(p["img_mod"], jax.nn.silu(cond))
-    txt_mod = _dense(p["txt_mod"], jax.nn.silu(cond))
+    txt_cond = cond[:1] if modulate_index is not None else cond
+    txt_mod = _dense(p["txt_mod"], jax.nn.silu(txt_cond))
     im_attn, im_mlp = jnp.split(img_mod, 2, axis=-1)
     tx_attn, tx_mlp = jnp.split(txt_mod, 2, axis=-1)
 
     a = p["attn"]
-    yi, gate_i = _modulate(img, im_attn, cfg.eps)
+    yi, gate_i = _modulate(img, im_attn, cfg.eps, modulate_index)
     yt, gate_t = _modulate(txt, tx_attn, cfg.eps)
     qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], cfg.eps)
     ki = rms_norm(_heads(_dense(a["to_k"], yi), n), a["norm_k"], cfg.eps)
@@ -163,14 +193,14 @@ def qwen_block(p, img, txt, cond, rope, cfg: QwenImageDiTConfig):
     q = jnp.concatenate([qt, qi], axis=1)
     k = jnp.concatenate([kt, ki], axis=1)
     v = jnp.concatenate([vt, vi], axis=1)
-    o = attention(q, k, v)
+    o = attention(q, k, v, bias=attn_bias)
     b, l, _, _ = o.shape
     o = o.reshape(b, l, n * cfg.head_dim)
     lt = txt.shape[1]
     txt = txt + gate_t * _dense(a["to_add_out"], o[:, :lt])
     img = img + gate_i * _dense(a["to_out"], o[:, lt:])
 
-    yi, gate_i = _modulate(img, im_mlp, cfg.eps)
+    yi, gate_i = _modulate(img, im_mlp, cfg.eps, modulate_index)
     yt, gate_t = _modulate(txt, tx_mlp, cfg.eps)
 
     def ff(pp, x):
@@ -208,39 +238,67 @@ def qwen_image_dit_forward(
     edit_latents: Optional[List] = None,  # list of (B, 16, He, We)
     remat: bool = False,
     blockwise_controlnet=(),  # ((blocks_stacked, cond_tokens, scale), ...)
+    layered: bool = False,  # latents (N, 16, H, W) = N image layers
+    zero_cond_t: bool = False,  # Edit-Plus: cond streams modulate at t=0
+    entity_prompt_embs: Optional[List] = None,  # EliGen: [(1, L_i, D_t)]
+    entity_masks=None,  # EliGen: (1, N, 1, H, W) binary latent-res masks
+    edit_rope_interpolation: bool = False,
 ):
-    """model_fn_qwen_image core path (reference qwen_image.py:698-795):
-    t2i plus Qwen-Image-Edit reference latents and the blockwise-ControlNet
-    per-block residual adds (:797-805, main-image tokens only)."""
+    """model_fn_qwen_image core path (reference qwen_image.py:698-830):
+    t2i, Qwen-Image-Edit reference latents, blockwise-ControlNet per-block
+    residual adds (:797-805, image tokens only), layered generation
+    (N latent layers sharing the rope frame axis), zero_cond_t per-token
+    modulation, EliGen entity masks, and edit rope interpolation."""
     b, c, h, w = latents.shape
     dtype = latents.dtype
 
-    img_shapes = [(1, h // 2, w // 2)]
+    n_layers = b if layered else 1
+    img_shapes = [(1, h // 2, w // 2)] * n_layers
     x = patchify(latents)
+    if layered:  # layers ride the token axis (reference "(B N) C ...")
+        x = x.reshape(1, -1, c * 4)
     if edit_latents:
         for e in edit_latents:
             img_shapes.append((1, e.shape[2] // 2, e.shape[3] // 2))
             x = jnp.concatenate([x, patchify(e.astype(dtype))], axis=1)
 
     rope = tuple(jnp.asarray(t) for t in qwen_rope_tables(
-        img_shapes, prompt_emb.shape[1], cfg.axes_dim, cfg.theta))
+        img_shapes, prompt_emb.shape[1], cfg.axes_dim, cfg.theta,
+        interpolate=edit_rope_interpolation))
 
     x = _dense(params["img_in"], x)
-    txt = _dense(params["txt_in"],
-                 rms_norm(prompt_emb.astype(dtype), params["txt_norm"],
-                          cfg.eps))
 
-    cond = _timestep_sinusoid(timestep.astype(jnp.float32) / 1000.0,
-                              cfg.time_freq_dim)
+    attn_bias = None
+    if entity_prompt_embs is not None:
+        txt, rope, attn_bias = _qwen_entity_inputs(
+            params, cfg, entity_prompt_embs, prompt_emb.astype(dtype),
+            entity_masks, img_shapes, x.shape[1], dtype)
+    else:
+        txt = _dense(params["txt_in"],
+                     rms_norm(prompt_emb.astype(dtype), params["txt_norm"],
+                              cfg.eps))
+
+    ts = timestep.astype(jnp.float32) / 1000.0
+    modulate_index = None
+    if zero_cond_t:
+        # main-entry tokens modulate at t, every extra stream at t=0
+        # (model_fn_qwen_image:753-760)
+        ts = jnp.concatenate([ts, ts * 0.0])
+        n_main = img_shapes[0][0] * img_shapes[0][1] * img_shapes[0][2]
+        modulate_index = jnp.asarray(
+            np.r_[np.zeros(n_main, np.int32),
+                  np.ones(x.shape[1] - n_main, np.int32)][None])
+    cond = _timestep_sinusoid(ts, cfg.time_freq_dim)
     cond = _dense(params["time_embed"]["fc2"], jax.nn.silu(
         _dense(params["time_embed"]["fc1"], cond.astype(dtype))))
 
-    n_img = (h // 2) * (w // 2)
+    n_img = n_layers * (h // 2) * (w // 2)
 
     def body(carry, xs):
         p, cn_blocks = xs
         img, tx = carry
-        img, tx = qwen_block(p, img, tx, cond, rope, cfg)
+        img, tx = qwen_block(p, img, tx, cond, rope, cfg, attn_bias,
+                             modulate_index)
         if cn_blocks:
             from .controlnet import qwen_blockwise_block
 
@@ -259,12 +317,72 @@ def qwen_image_dit_forward(
     (x, txt), _ = jax.lax.scan(body, (x, txt), (params["blocks"], cn_xs))
 
     # AdaLayerNorm(single=True): scale FIRST (general_modules.py:133-136)
-    emb = _dense(params["norm_out"], jax.nn.silu(cond))
+    final_cond = cond[:1] if zero_cond_t else cond
+    emb = _dense(params["norm_out"], jax.nn.silu(final_cond))
     scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
     x = layer_norm(x, cfg.eps) * (1 + scale) + shift
     x = _dense(params["proj_out"], x)
-    x = x[:, : (h // 2) * (w // 2)]
+    x = x[:, :n_img]
+    if layered:
+        x = x.reshape(n_layers, (h // 2) * (w // 2), c * 4)
     return unpatchify(x, h, w)
+
+
+def _qwen_entity_inputs(params, cfg, entity_embs, prompt_emb, entity_masks,
+                        img_shapes, n_img_total, dtype):
+    """EliGen inputs (reference QwenImageDiT.process_entity_masks,
+    qwen_image_dit.py:585-650): entity prompts (their own lengths) before
+    the global prompt, per-entity text rope tables, and the regional
+    attention bias over the [txt; img] layout."""
+    from ..flux.dit import patchify as patchify2d
+
+    embs = list(entity_embs) + [prompt_emb]
+    txt = jnp.concatenate(
+        [_dense(params["txt_in"],
+                rms_norm(e.astype(dtype), params["txt_norm"], cfg.eps))
+         for e in embs], axis=1)
+
+    max_vid = max(max(h // 2, w // 2) for _, h, w in img_shapes)
+    tcs, tss = [], []
+    for e in embs:
+        tc, ts_ = qwen_txt_rope(e.shape[1], max_vid, cfg.axes_dim,
+                                cfg.theta)
+        tcs.append(tc)
+        tss.append(ts_)
+    img_cos, img_sin, _, _ = qwen_rope_tables(img_shapes, 1, cfg.axes_dim,
+                                              cfg.theta)
+    rope = (jnp.asarray(img_cos), jnp.asarray(img_sin),
+            jnp.asarray(np.concatenate(tcs, 0)),
+            jnp.asarray(np.concatenate(tss, 0)))
+
+    # regional bias: entity prompt i <-> its masked image tokens (tiled
+    # across extra image streams), prompts never cross-attend
+    n_ent = entity_masks.shape[1]
+    seq_lens = [e.shape[1] for e in embs]
+    n_txt = sum(seq_lens)
+    n_main = img_shapes[0][0] * img_shapes[0][1] * img_shapes[0][2]
+    masks = [jnp.sum(patchify2d(entity_masks[:, i].astype(jnp.float32)),
+                     -1) > 0 for i in range(n_ent)]
+    masks.append(jnp.ones_like(masks[0]))
+    reps = n_img_total // n_main
+    allow = jnp.ones((1, n_txt + n_img_total, n_txt + n_img_total), bool)
+    start = 0
+    for ln_, m in zip(seq_lens, masks):
+        row = jnp.tile(jnp.broadcast_to(m[:, None, :], (1, ln_, n_main)),
+                       (1, 1, reps))
+        allow = allow.at[:, start:start + ln_, n_txt:].set(row)
+        allow = allow.at[:, n_txt:, start:start + ln_].set(
+            jnp.swapaxes(row, 1, 2))
+        start += ln_
+    # prompt-prompt: block diagonal only
+    pp = jnp.zeros((n_txt, n_txt), bool)
+    start = 0
+    for ln_ in seq_lens:
+        pp = pp.at[start:start + ln_, start:start + ln_].set(True)
+        start += ln_
+    allow = allow.at[:, :n_txt, :n_txt].set(pp[None])
+    bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)[:, None]
+    return txt, rope, bias
 
 
 # ------------------------------------------------------------------ params

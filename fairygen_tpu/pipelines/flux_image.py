@@ -61,7 +61,7 @@ class ControlNetInput:
     jax.jit,
     static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws",
                      "tea_opts", "cn_specs", "ip_scale",
-                     "kontext_id_offset", "s1x_cfg"),
+                     "kontext_id_offset", "s1x_cfg", "txt_ids"),
 )
 def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
@@ -70,7 +70,8 @@ def _flux_denoise_chunk(
     ip_tokens_neg=None, entity_emb=None, entity_masks=None,
     entity_emb_neg=None, id_tokens=None, iy_guidance=None, s1x_params=None,
     s1x_emb=None, s1x_mask=None, s1x_emb_neg=None, s1x_mask_neg=None,
-    hot_lora=None,
+    hot_lora=None, flex_condition=None, flex_uncondition=None,
+    flex_stop_t=None,
     *, dit_cfg: FluxDiTConfig, length: int, do_cfg: bool,
     kontext_hws: Optional[tuple] = None,
     tea_opts: Optional[tuple] = None,
@@ -78,7 +79,9 @@ def _flux_denoise_chunk(
     ip_scale: float = 1.0,
     kontext_id_offset: int = 1,  # 1 = Kontext; 0 = Step1x reference latents
     s1x_cfg=None,  # Step1xConnectorConfig (static)
+    txt_ids: Optional[tuple] = None,  # static ((f,h,w),...) fractional ids
 ):
+    tids_np = np.asarray(txt_ids, np.float64) if txt_ids is not None else None
     kid = None
     if kontext_hws is not None:
         parts = []
@@ -119,10 +122,17 @@ def _flux_denoise_chunk(
                     acc[i] = rr if acc[i] is None else acc[i] + rr
         return acc
 
-    def sweep(x, t, ctx, pl, tc=None, ip_tok=None, ip_sc=1.0, ent=None):
+    def sweep(x, t, ctx, pl, tc=None, ip_tok=None, ip_sc=1.0, ent=None,
+              tids=None):
         cn_r, cn_sr = controlnet_res(x, t, ctx, pl) if cn_specs else (None,
                                                                       None)
         ip = (ip_params, ip_tok, ip_sc) if ip_tok is not None else None
+        flex = None
+        if flex_condition is not None:
+            # Flex control switches off past flex_control_stop
+            # (model_fn_flux_image:1095-1100)
+            flex = jnp.where(t[0] >= flex_stop_t, flex_condition,
+                             flex_uncondition)
         return flux_dit_forward(
             params, dit_cfg, x, t, ctx, pl,
             guidance if dit_cfg.guidance_embed else None,
@@ -131,7 +141,7 @@ def _flux_denoise_chunk(
             controlnet_single_res=cn_sr, ipadapter=ip,
             entity_prompt_emb=ent, entity_masks=(
                 entity_masks if ent is not None else None),
-            hot_lora=hot_lora, **tea_kw,
+            hot_lora=hot_lora, flex_condition=flex, txt_ids=tids, **tea_kw,
         )
 
     def branch_ctx(t, ctx, pl, emb, msk):
@@ -150,10 +160,10 @@ def _flux_denoise_chunk(
         ctx_p, pl_p = branch_ctx(t, prompt_emb, pooled, s1x_emb, s1x_mask)
         if tea_opts is not None:
             v, tc = sweep(x, t, ctx_p, pl_p, tc, ip_tokens, ip_scale,
-                          entity_emb)
+                          entity_emb, tids_np)
         else:
             v = sweep(x, t, ctx_p, pl_p, None, ip_tokens, ip_scale,
-                      entity_emb)
+                      entity_emb, tids_np)
         if do_cfg:
             # the reference runs the nega sweep with zero-embed ip tokens
             # at scale 1.0 (FluxImageUnit_IPAdapter, flux_image.py:518-520)
@@ -386,6 +396,12 @@ class FluxImagePipeline:
         step1x_reference_image=None,  # PIL edit source image
         lora_encoder_inputs=None,  # LoRA state dicts / paths to encode
         lora_encoder_scale: Optional[float] = None,
+        prompt_txt_ids=None,  # (Lt, 3) custom text ids (NexusGen editing)
+        flex_inpaint_image=None,  # Flex models (in_dim 196)
+        flex_inpaint_mask=None,
+        flex_control_image=None,
+        flex_control_strength: float = 1.0,
+        flex_control_stop: float = 1.0,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -456,6 +472,36 @@ class FluxImagePipeline:
             kontext_latents = patchify(z)
             kontext_hws = ((z.shape[2], z.shape[3]),)
             kontext_id_offset = 0
+
+        flex_condition = flex_uncondition = flex_stop_t = None
+        if self.dit_cfg.in_dim == (3 * zc + 1) * 4:  # 196 for FLEX.2
+            # FluxImageUnit_Flex (flux_image.py:708-744): 16ch inpaint
+            # latents + 1ch mask + 16ch control latents alongside the 16
+            # noise channels (49ch -> 196 packed)
+            lh, lw = height // 8, width // 8
+            if flex_inpaint_image is not None:
+                fi = self._encode_image(flex_inpaint_image)
+            else:
+                fi = jnp.zeros((1, zc, lh, lw), self.dtype)
+            if flex_inpaint_mask is not None:
+                from ..core.imaging import preprocess_image
+
+                m = preprocess_image(
+                    flex_inpaint_mask.convert("RGB").resize((lw, lh)))
+                fm = jnp.asarray((m[0:1] + 1) / 2, self.dtype)[None]
+            else:
+                fm = jnp.ones((1, 1, lh, lw), self.dtype)
+            fi = fi * (1 - fm)
+            if flex_control_image is not None:
+                fc = self._encode_image(flex_control_image) \
+                    * flex_control_strength
+            else:
+                fc = jnp.zeros((1, zc, lh, lw), self.dtype)
+            flex_condition = jnp.concatenate([fi, fm, fc], axis=1)
+            flex_uncondition = jnp.concatenate(
+                [fi, fm, jnp.zeros_like(fc)], axis=1)
+            flex_stop_t = jnp.float32(sched.timesteps[
+                int(flex_control_stop * (len(sched.timesteps) - 1))])
 
         guidance = jnp.full((1,), embedded_guidance, jnp.float32)
         cfg_t = jnp.float32(cfg_scale)
@@ -613,12 +659,15 @@ class FluxImagePipeline:
                  else None),
                 (jnp.asarray(step1x_mask_neg)
                  if step1x and step1x_mask_neg is not None else None),
-                self.hot_lora,
+                self.hot_lora, flex_condition, flex_uncondition,
+                flex_stop_t,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,
                 ip_scale=float(ipadapter_scale),
                 kontext_id_offset=kontext_id_offset,
                 s1x_cfg=self.step1x_connector[1] if step1x else None,
+                txt_ids=(tuple(map(tuple, np.asarray(prompt_txt_ids)))
+                         if prompt_txt_ids is not None else None),
             )
             s += ln
 

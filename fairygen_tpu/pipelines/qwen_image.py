@@ -9,8 +9,9 @@ input-image start, Qwen-Image-Edit reference images as extra packed
 latents, fp32 VAE decode.
 
 TPU-native: chunked module-scope-jitted denoise loop (one compiled
-program per resolution).  EliGen / blockwise ControlNet / inpaint
-blending / layered mode are out of scope (SURVEY.md §2.3).
+program per resolution).  Blockwise ControlNet, EliGen entity control,
+inpaint blending, layered generation, zero_cond_t, context images,
+Image2LoRA, and edit rope interpolation all ride the same jitted sweep.
 """
 from __future__ import annotations
 
@@ -52,28 +53,44 @@ EDIT_TEMPLATE_DROP_IDX = 64  # reference qwen_image.py:362
 
 @functools.partial(
     jax.jit, static_argnames=("dit_cfg", "length", "do_cfg", "n_edit",
-                              "cn_scales"),
+                              "cn_scales", "layered", "zero_cond_t",
+                              "edit_rope_interpolation"),
 )
 def _qwen_denoise_chunk(
     params, lat, prompt_emb, neg_prompt_emb, edit_latents, timesteps, sigmas,
-    cfg_scale, start, cn_blocks=(), cn_conds=(),
+    cfg_scale, start, cn_blocks=(), cn_conds=(), entity_embs=(),
+    entity_embs_neg=(), entity_masks=None, input_latents=None,
+    inpaint_mask=None,
     *, dit_cfg: QwenImageDiTConfig, length: int, do_cfg: bool, n_edit: int,
-    cn_scales: tuple = (),
+    cn_scales: tuple = (), layered: bool = False, zero_cond_t: bool = False,
+    edit_rope_interpolation: bool = False,
 ):
     edits = list(edit_latents) if n_edit else None
     bw = tuple(zip(cn_blocks, cn_conds, cn_scales))
 
-    def sweep(x, t, ctx):
-        return qwen_image_dit_forward(params, dit_cfg, x, t, ctx,
-                                      edit_latents=edits,
-                                      blockwise_controlnet=bw)
+    def sweep(x, t, ctx, ents):
+        return qwen_image_dit_forward(
+            params, dit_cfg, x, t, ctx, edit_latents=edits,
+            blockwise_controlnet=bw, layered=layered,
+            zero_cond_t=zero_cond_t,
+            edit_rope_interpolation=edit_rope_interpolation,
+            entity_prompt_embs=list(ents) if ents else None,
+            entity_masks=entity_masks if ents else None)
 
     def step(i, x):
-        t = jnp.broadcast_to(timesteps[i], (x.shape[0],))
-        v = sweep(x, t, prompt_emb)
+        t = jnp.broadcast_to(timesteps[i], (1,))
+        v = sweep(x, t, prompt_emb, entity_embs)
         if do_cfg:
-            v_n = sweep(x, t, neg_prompt_emb)
+            v_n = sweep(x, t, neg_prompt_emb, entity_embs_neg)
             v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
+        if inpaint_mask is not None:
+            # BasePipeline.step inpaint blend (base_pipeline.py:209-215):
+            # masked-out regions follow the velocity returning to the
+            # input latents exactly
+            v_exp = (x - input_latents.astype(x.dtype)) \
+                / sigmas[i].astype(x.dtype)
+            m = inpaint_mask.astype(x.dtype)
+            v = v_exp * (1 - m) + v * m
         return x + v.astype(x.dtype) * (sigmas[i + 1] - sigmas[i]).astype(x.dtype)
 
     return jax.lax.fori_loop(start, start + length, step, lat)
@@ -301,6 +318,16 @@ class QwenImagePipeline:
         context_image=None,  # in-context conditioning image
         blockwise_controlnet_inputs=None,  # list[ControlNetInput]
         image2lora_images=None,  # style/subject reference image(s)
+        layer_num: Optional[int] = None,  # layered generation: N layers
+        layer_input_image=None,  # layered mode input image
+        zero_cond_t: bool = False,  # Edit-Plus conditioning-at-t=0
+        edit_rope_interpolation: bool = False,
+        eligen_entity_prompts=None,  # list[str] or list of emb arrays
+        eligen_entity_masks=None,  # list[PIL] or (1, N, 1, h/8, w/8)
+        eligen_enable_on_negative: bool = False,
+        inpaint_mask=None,  # PIL mask (requires input_image)
+        inpaint_blur_size: Optional[int] = None,
+        inpaint_blur_sigma: Optional[float] = None,
         prompt_emb=None,
         negative_prompt_emb=None,
         latents=None,
@@ -334,15 +361,17 @@ class QwenImagePipeline:
                 negative_prompt_emb = self.encode_prompt(negative_prompt)
 
         zc = self.vae_cfg.z_dim if self.vae_cfg else 16
+        nb = 1 if layer_num is None else layer_num + 1
         if latents is not None:
             noise = jnp.asarray(latents, self.dtype)
         else:
-            noise = generate_noise((1, zc, height // 8, width // 8),
+            noise = generate_noise((nb, zc, height // 8, width // 8),
                                    seed=0 if seed is None else seed
                                    ).astype(self.dtype)
+        input_latents = None
         if input_image is not None:
-            z0 = self._encode_image(input_image)
-            lat = sched.add_noise(z0, noise, 0).astype(self.dtype)
+            input_latents = self._encode_image(input_image)
+            lat = sched.add_noise(input_latents, noise, 0).astype(self.dtype)
         else:
             lat = noise
 
@@ -358,6 +387,57 @@ class QwenImagePipeline:
                 edit_images = [edit_images]
             edit_latents += tuple(self._encode_image(im)
                                   for im in edit_images)
+        if layer_input_image is not None:
+            # layered-mode input rides the sequence LAST
+            # (QwenImageUnit_LayerInputImageEmbedder + model_fn:746-750)
+            edit_latents += (self._encode_image(layer_input_image),)
+
+        mask_lat = None
+        if inpaint_mask is not None:
+            # QwenImageUnit_Inpaint (qwen_image.py:301-316): latent-res
+            # mean mask in [0, 1], optional gaussian blur
+            assert input_latents is not None, "inpaint needs input_image"
+            from ..core.imaging import preprocess_image
+
+            m = preprocess_image(
+                inpaint_mask.convert("RGB").resize(
+                    (width // 8, height // 8)), min_value=0, max_value=1)
+            m = m.mean(axis=0)[None, None]
+            if inpaint_blur_size is not None and inpaint_blur_sigma:
+                k = np.arange(-inpaint_blur_size, inpaint_blur_size + 1)
+                kern = np.exp(-0.5 * (k / inpaint_blur_sigma) ** 2)
+                kern /= kern.sum()
+                from scipy.ndimage import convolve1d  # in-image scipy
+
+                m[0, 0] = convolve1d(convolve1d(m[0, 0], kern, axis=0,
+                                                mode="nearest"),
+                                     kern, axis=1, mode="nearest")
+            mask_lat = jnp.asarray(m, self.dtype)
+
+        entity_embs, entity_embs_neg, entity_masks = (), (), None
+        if eligen_entity_prompts is not None:
+            # QwenImageUnit_EntityControl semantics, mirroring the FLUX
+            # unit: entity prompts at their own lengths; optional nega
+            # entities repeat the negative prompt
+            entity_embs = tuple(
+                (jnp.asarray(e, self.dtype) if hasattr(e, "shape")
+                 else self.encode_prompt(e))
+                for e in eligen_entity_prompts)
+            if hasattr(eligen_entity_masks, "shape"):
+                entity_masks = jnp.asarray(eligen_entity_masks, self.dtype)
+            else:
+                from ..core.imaging import preprocess_image
+                from PIL import Image as _Image
+
+                ms = [preprocess_image(m.convert("RGB").resize(
+                    (width // 8, height // 8),
+                    resample=_Image.NEAREST)).mean(axis=0) > 0
+                    for m in eligen_entity_masks]
+                entity_masks = jnp.asarray(np.stack(ms)[None, :, None],
+                                           self.dtype)
+            if eligen_enable_on_negative and do_cfg:
+                entity_embs_neg = tuple(
+                    negative_prompt_emb for _ in entity_embs)
 
         dit_params = self.dit_params
         if image2lora_images is not None:
@@ -410,9 +490,12 @@ class QwenImagePipeline:
             lat = _qwen_denoise_chunk(
                 dit_params, lat, prompt_emb, negative_prompt_emb,
                 edit_latents, timesteps, sigmas, cfg_t, jnp.int32(s),
-                blocks, conds,
+                blocks, conds, entity_embs, entity_embs_neg, entity_masks,
+                input_latents, mask_lat,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 n_edit=len(edit_latents), cn_scales=scales,
+                layered=layer_num is not None, zero_cond_t=zero_cond_t,
+                edit_rope_interpolation=edit_rope_interpolation,
             )
             s += ln
 
@@ -423,6 +506,15 @@ class QwenImagePipeline:
             self.vae_cfg, lat.astype(jnp.float32))
         from ..core.imaging import postprocess_image
 
+        if layer_num is not None:
+            # one output image per layer (reference qwen_image.py:187-189)
+            arrs = [postprocess_image(np.asarray(image[i]))
+                    for i in range(image.shape[0])]
+            if output_type == "pil":
+                from PIL import Image
+
+                return [Image.fromarray(a) for a in arrs]
+            return arrs
         arr = postprocess_image(np.asarray(image[0]))
         if output_type == "pil":
             from PIL import Image
