@@ -40,12 +40,28 @@ def main():
                    help="FLUX LoRA checkpoint (diffusers/civitai layout)")
     p.add_argument("--lora_alpha", type=float, default=1.0)
     p.add_argument("--tea_cache_l1_thresh", type=float, default=None)
+    p.add_argument("--controlnet_image", type=str, default=None,
+                   help="control image for loaded flux_controlnet models")
+    p.add_argument("--controlnet_scale", type=float, default=1.0)
+    p.add_argument("--controlnet_processor_id", type=str, default=None,
+                   help="union-mode selector: canny/tile/depth/blur/pose/"
+                        "gray/lq")
+    p.add_argument("--ipadapter_image", type=str, default=None,
+                   help="image prompt for loaded flux_ipadapter models")
+    p.add_argument("--ipadapter_scale", type=float, default=1.0)
+    p.add_argument("--eligen_entity_prompts", type=str, nargs="*",
+                   default=None)
+    p.add_argument("--eligen_entity_masks", type=str, nargs="*",
+                   default=None, help="one mask image per entity prompt")
     p.add_argument("--output", type=str, default="flux_out.png")
     args = p.parse_args()
 
     from PIL import Image
 
-    from fairygen_tpu.pipelines.flux_image import FluxImagePipeline
+    from fairygen_tpu.pipelines.flux_image import (
+        ControlNetInput,
+        FluxImagePipeline,
+    )
 
     pipe = FluxImagePipeline.from_pretrained(
         json.loads(args.model_paths),
@@ -70,6 +86,18 @@ def main():
         kontext_images=([Image.open(k).convert("RGB")
                          for k in args.kontext_images]
                         if args.kontext_images else None),
+        controlnet_inputs=([ControlNetInput(
+            image=Image.open(args.controlnet_image).convert("RGB"),
+            scale=args.controlnet_scale,
+            processor_id=args.controlnet_processor_id)]
+            if args.controlnet_image else None),
+        ipadapter_images=(Image.open(args.ipadapter_image).convert("RGB")
+                          if args.ipadapter_image else None),
+        ipadapter_scale=args.ipadapter_scale,
+        eligen_entity_prompts=args.eligen_entity_prompts,
+        eligen_entity_masks=([Image.open(m) for m in
+                              args.eligen_entity_masks]
+                             if args.eligen_entity_masks else None),
         output_type="pil",
     )
     image.save(args.output)
