@@ -64,6 +64,53 @@ def shard_wan_dit_params(params: Any, mesh: Mesh, ffn_dim: int = None):
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def flux_dit_param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding tree for the FLUX DiT: Megatron col/row splits over
+    ``tensor`` for every projection whose split avoids mid-block
+    collectives — double-block qkv (by heads) + out-proj + both FFNs, and
+    the single blocks' fused qkv+mlp / joint output projection (their 3D/4D
+    column groups each split evenly when tp | num_heads).  AdaLN
+    modulations and norms stay replicated (their outputs feed token-wide
+    layer norms — sharding them buys little memory for an extra gather).
+
+    At 12B bf16 this drops the per-chip DiT weight share to roughly
+    30% + 70%/tp — the fit path for FLUX.1 on 16 GB v5e chips.  No
+    communication code: XLA's SPMD partitioner inserts the single
+    reduce per row-split projection, exactly the Megatron schedule."""
+    tensor = AXES.tensor
+    rep = NamedSharding(mesh, P())
+    col_w = NamedSharding(mesh, P(None, None, tensor))
+    col_b = NamedSharding(mesh, P(None, tensor))
+    row_w = NamedSharding(mesh, P(None, tensor, None))
+
+    COL = {"a_qkv", "b_qkv", "fc1", "to_qkv_mlp"}
+    ROW = {"a_out", "b_out", "fc2", "proj_out"}
+
+    def fn(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if "double_blocks" in keys or "single_blocks" in keys:
+            if "norm" in keys or "norm1_a" in keys or "norm1_b" in keys:
+                return rep
+            if any(k in COL for k in keys):
+                return col_w if leaf.ndim == 3 else col_b
+            if any(k in ROW for k in keys):
+                return row_w if leaf.ndim == 3 else rep
+        return rep
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def shard_flux_dit_params(params: Any, mesh: Mesh, num_heads: int = None):
+    """Place FLUX DiT params on the mesh (idempotent like the wan
+    variant)."""
+    tp = mesh.shape[AXES.tensor]
+    if num_heads is not None and num_heads % tp != 0:
+        raise ValueError(
+            f"num_heads={num_heads} not divisible by tensor axis {tp}")
+    return jax.tree.map(jax.device_put, params,
+                        flux_dit_param_shardings(params, mesh))
+
+
 def wan_dit_fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2 ** 16):
     """ZeRO-3 / FSDP-style sharding tree: every large stacked-block weight
     is split over the ``data`` axis along its widest trailing dim.

@@ -199,8 +199,22 @@ class FluxImagePipeline:
     lora_encoder: Any = None  # (params, FluxLoRAEncoderConfig)
     lora_patcher: Any = None  # (merger params by layer name, None)
     hot_lora: Any = None  # stacked unfused LoRAs (load_hot_loras)
+    mesh: Any = None  # jax.sharding.Mesh for tensor-parallel weights
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
+
+    def use_mesh(self, mesh):
+        """Shard the 12B DiT weights over the mesh's ``tensor`` axis
+        (Megatron col/row FFN splits + head-aligned qkv sharding —
+        parallel/tensor_parallel.py) so FLUX.1 fits and scales on v5e
+        chips.  Idempotent; activations stay replicated (batch-1
+        denoise)."""
+        from ..parallel.tensor_parallel import shard_flux_dit_params
+
+        self.mesh = mesh
+        self.dit_params = shard_flux_dit_params(
+            self.dit_params, mesh, num_heads=self.dit_cfg.num_heads)
+        return self
 
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_clip=None,

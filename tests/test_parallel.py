@@ -362,3 +362,36 @@ def test_multihost_mesh_runs_train_step():
         state = init_state(params)
         _, loss = train_step(state, batch, jax.random.key(4))
     assert np.isfinite(float(loss))
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_flux_tensor_parallel_matches_single():
+    """FLUX DiT weights sharded over the tensor axis (head-aligned qkv +
+    Megatron FFN splits, parallel/tensor_parallel.py) — forward matches
+    the unsharded program; the fit path for 12B FLUX on v5e chips."""
+    from fairygen_tpu.models.flux.dit import (
+        FluxDiTConfig,
+        flux_dit_forward,
+        init_flux_dit_params,
+    )
+    from fairygen_tpu.parallel.tensor_parallel import shard_flux_dit_params
+
+    cfg = FluxDiTConfig.tiny()
+    mesh = make_mesh(data=2, seq=1, tensor=4)
+    params = init_flux_dit_params(jax.random.key(5), cfg)
+    lat = jax.random.normal(jax.random.key(6), (1, 4, 8, 12))
+    ts = jnp.asarray([500.0])
+    pe = jax.random.normal(jax.random.key(7), (1, 6, cfg.context_dim))
+    pl = jax.random.normal(jax.random.key(8), (1, cfg.pooled_dim))
+    gd = jnp.asarray([3.5])
+
+    ref = flux_dit_forward(params, cfg, lat, ts, pe, pl, gd)
+    sharded = shard_flux_dit_params(params, mesh, num_heads=cfg.num_heads)
+    fc1 = sharded["double_blocks"]["ff_a"]["fc1"]["w"]
+    assert fc1.addressable_shards[0].data.shape[-1] == 4 * cfg.dim // 4
+    qkv = sharded["double_blocks"]["attn"]["a_qkv"]["w"]
+    assert qkv.addressable_shards[0].data.shape[-1] == 3 * cfg.dim // 4
+    out = jax.jit(lambda p, l, t, c, po, g: flux_dit_forward(
+        p, cfg, l, t, c, po, g))(sharded, lat, ts, pe, pl, gd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
