@@ -111,6 +111,62 @@ def shard_flux_dit_params(params: Any, mesh: Mesh, num_heads: int = None):
                         flux_dit_param_shardings(params, mesh))
 
 
+def _block_tp_shardings(params: Any, mesh: Mesh, block_keys, col, row):
+    """Generic Megatron col/row sharding tree over stacked-block params:
+    leaves under ``block_keys`` whose path hits ``col`` split their last
+    dim over ``tensor``, ``row`` their middle dim; everything else (norms,
+    modulations, embedders) replicated."""
+    tensor = AXES.tensor
+    rep = NamedSharding(mesh, P())
+    col_w = NamedSharding(mesh, P(None, None, tensor))
+    col_b = NamedSharding(mesh, P(None, tensor))
+    row_w = NamedSharding(mesh, P(None, tensor, None))
+
+    def fn(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if any(b in keys for b in block_keys):
+            if any(k in col for k in keys):
+                return col_w if leaf.ndim == 3 else (
+                    col_b if leaf.ndim == 2 and leaf.shape[-1] %
+                    mesh.shape[tensor] == 0 else rep)
+            if any(k in row for k in keys):
+                return row_w if leaf.ndim == 3 else rep
+        return rep
+
+    return jax.tree_util.tree_map_with_path(fn, params)
+
+
+def shard_qwen_image_dit_params(params: Any, mesh: Mesh,
+                                num_heads: int = None):
+    """Qwen-Image DiT (20B) tensor sharding: separate q/k/v (+text adds)
+    column-split by heads, output projections row-split, both MLPs
+    Megatron col/row; modulations replicated.  The fit path for 20B bf16
+    on 16 GB v5e chips."""
+    tp = mesh.shape[AXES.tensor]
+    if num_heads is not None and num_heads % tp != 0:
+        raise ValueError(f"num_heads={num_heads} % tensor={tp} != 0")
+    sh = _block_tp_shardings(
+        params, mesh, ("blocks",),
+        col={"to_q", "to_k", "to_v", "add_q", "add_k", "add_v", "fc1"},
+        row={"to_out", "to_add_out", "fc2"})
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def shard_flux2_dit_params(params: Any, mesh: Mesh, num_heads: int = None):
+    """FLUX.2 DiT (32B) tensor sharding: q/k/v (+context adds) by heads,
+    output projections row-split, SwiGLU linear_in/linear_out and the
+    parallel single-block fused projections col/row-split."""
+    tp = mesh.shape[AXES.tensor]
+    if num_heads is not None and num_heads % tp != 0:
+        raise ValueError(f"num_heads={num_heads} % tensor={tp} != 0")
+    sh = _block_tp_shardings(
+        params, mesh, ("double_blocks", "single_blocks"),
+        col={"to_q", "to_k", "to_v", "add_q", "add_k", "add_v",
+             "linear_in", "to_qkv_mlp"},
+        row={"to_out", "to_add_out", "linear_out"})
+    return jax.tree.map(jax.device_put, params, sh)
+
+
 def wan_dit_fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2 ** 16):
     """ZeRO-3 / FSDP-style sharding tree: every large stacked-block weight
     is split over the ``data`` axis along its widest trailing dim.

@@ -64,8 +64,21 @@ class Flux2ImagePipeline:
     te_params: Any = None
     te_cfg: Any = None
     tokenizer: Any = None
+    mesh: Any = None  # jax.sharding.Mesh for tensor-parallel weights
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
+
+    def use_mesh(self, mesh):
+        """Shard the 32B DiT weights over the mesh's ``tensor`` axis
+        (head-aligned q/k/v + SwiGLU col/row splits,
+        parallel/tensor_parallel.py) — 32B bf16 does not fit ANY single
+        v5e chip; this is the mandatory scale-out path."""
+        from ..parallel.tensor_parallel import shard_flux2_dit_params
+
+        self.mesh = mesh
+        self.dit_params = shard_flux2_dit_params(
+            self.dit_params, mesh, num_heads=self.dit_cfg.num_heads)
+        return self
 
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_path=None,

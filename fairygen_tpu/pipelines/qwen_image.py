@@ -113,8 +113,20 @@ class QwenImagePipeline:
     image2lora_style: Any = None  # (params, QwenImage2LoRAConfig)
     image2lora_coarse: Any = None
     image2lora_fine: Any = None
+    mesh: Any = None  # jax.sharding.Mesh for tensor-parallel weights
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
+
+    def use_mesh(self, mesh):
+        """Shard the 20B DiT weights over the mesh's ``tensor`` axis
+        (head-aligned q/k/v + Megatron MLP splits,
+        parallel/tensor_parallel.py) — the fit path on 16 GB v5e chips."""
+        from ..parallel.tensor_parallel import shard_qwen_image_dit_params
+
+        self.mesh = mesh
+        self.dit_params = shard_qwen_image_dit_params(
+            self.dit_params, mesh, num_heads=self.dit_cfg.num_heads)
+        return self
 
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_path=None,

@@ -395,3 +395,56 @@ def test_flux_tensor_parallel_matches_single():
     out = jax.jit(lambda p, l, t, c, po, g: flux_dit_forward(
         p, cfg, l, t, c, po, g))(sharded, lat, ts, pe, pl, gd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_qwen_flux2_tensor_parallel_match_single():
+    """Qwen-Image (20B) and FLUX.2 (32B) DiT weight shardings — sharded
+    forwards exactly equal the unsharded programs."""
+    from fairygen_tpu.models.flux2.dit import (
+        Flux2DiTConfig,
+        flux2_dit_forward,
+        init_flux2_dit_params,
+    )
+    from fairygen_tpu.models.qwen.dit import (
+        QwenImageDiTConfig,
+        init_qwen_image_dit_params,
+        qwen_image_dit_forward,
+    )
+    from fairygen_tpu.parallel.tensor_parallel import (
+        shard_flux2_dit_params,
+        shard_qwen_image_dit_params,
+    )
+
+    mesh = make_mesh(data=2, seq=1, tensor=4)
+
+    qcfg = QwenImageDiTConfig.tiny()
+    qp = init_qwen_image_dit_params(jax.random.key(11), qcfg)
+    lat = jax.random.normal(jax.random.key(12), (1, 4, 8, 12))
+    ts = jnp.asarray([500.0])
+    pe = jax.random.normal(jax.random.key(13), (1, 6, qcfg.txt_dim))
+    ref = qwen_image_dit_forward(qp, qcfg, lat, ts, pe)
+    qps = shard_qwen_image_dit_params(qp, mesh, num_heads=qcfg.num_heads)
+    assert qps["blocks"]["attn"]["to_q"]["w"].addressable_shards[0].data \
+        .shape[-1] == qcfg.dim // 4
+    out = jax.jit(lambda p, l, t, c: qwen_image_dit_forward(
+        p, qcfg, l, t, c))(qps, lat, ts, pe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    from fairygen_tpu.models.flux2.dit import prepare_image_ids as pii2
+
+    fcfg = Flux2DiTConfig.tiny()
+    fp = init_flux2_dit_params(jax.random.key(14), fcfg)
+    lat2 = jax.random.normal(jax.random.key(15), (1, 24, fcfg.in_channels))
+    ctx = jax.random.normal(jax.random.key(16),
+                            (1, 6, fcfg.joint_attention_dim))
+    ids = pii2(4, 6)
+    ref2 = flux2_dit_forward(fp, fcfg, lat2, ts / 1000.0, ctx,
+                             jnp.asarray([3.5]), img_ids=ids)
+    fps = shard_flux2_dit_params(fp, mesh, num_heads=fcfg.num_heads)
+    out2 = jax.jit(lambda p, l, t, c, g: flux2_dit_forward(
+        p, fcfg, l, t, c, g, img_ids=ids))(
+        fps, lat2, ts / 1000.0, ctx, jnp.asarray([3.5]))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-5)
