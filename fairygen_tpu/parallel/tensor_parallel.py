@@ -167,6 +167,48 @@ def shard_flux2_dit_params(params: Any, mesh: Mesh, num_heads: int = None):
     return jax.tree.map(jax.device_put, params, sh)
 
 
+def shard_vl_text_params(params: Any, mesh: Mesh, num_heads: int,
+                         num_kv_heads: int):
+    """Tensor sharding for the shared Qwen2.5-VL/Qwen3/Mistral text stack
+    (``models/qwen/text_encoder.py`` layout: per-layer dicts under
+    ``layers``): q/gate/up column-split, o/down row-split, k/v
+    column-split when the kv heads divide the tensor axis (GQA kv counts
+    are small — 4 on Qwen2.5-VL-7B — so they stay replicated on wider
+    meshes), embedding split over the hidden dim.  The FLUX.2 Mistral
+    encoder is 24B — bigger than any single v5e chip."""
+    tensor = AXES.tensor
+    tp = mesh.shape[tensor]
+    if num_heads % tp != 0:
+        raise ValueError(f"num_heads={num_heads} % tensor={tp} != 0")
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, tensor))
+    colv = NamedSharding(mesh, P(tensor))
+    row = NamedSharding(mesh, P(tensor, None))
+    kv_ok = num_kv_heads % tp == 0
+
+    def place(p, sh):
+        return jax.tree.map(
+            lambda l, s: jax.device_put(l, s), p,
+            {k: (sh if k == "w" else
+                 (colv if sh is col else rep)) for k in p})
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        new = dict(layer)
+        for k in ("q", "gate", "up"):
+            new[k] = place(layer[k], col)
+        for k in ("o", "down"):
+            new[k] = place(layer[k], row)
+        for k in ("k", "v"):
+            new[k] = place(layer[k], col if kv_ok else rep)
+        out["layers"].append(new)
+    if "embed" in out:
+        out["embed"] = jax.device_put(out["embed"],
+                                      NamedSharding(mesh, P(None, tensor)))
+    return out
+
+
 def wan_dit_fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 2 ** 16):
     """ZeRO-3 / FSDP-style sharding tree: every large stacked-block weight
     is split over the ``data`` axis along its widest trailing dim.

@@ -73,11 +73,19 @@ class Flux2ImagePipeline:
         (head-aligned q/k/v + SwiGLU col/row splits,
         parallel/tensor_parallel.py) — 32B bf16 does not fit ANY single
         v5e chip; this is the mandatory scale-out path."""
-        from ..parallel.tensor_parallel import shard_flux2_dit_params
+        from ..parallel.tensor_parallel import (
+            shard_flux2_dit_params,
+            shard_vl_text_params,
+        )
 
         self.mesh = mesh
         self.dit_params = shard_flux2_dit_params(
             self.dit_params, mesh, num_heads=self.dit_cfg.num_heads)
+        if self.te_params is not None:
+            # the Mistral-Small encoder is 24B — shard it too
+            self.te_params = shard_vl_text_params(
+                self.te_params, mesh, self.te_cfg.num_heads,
+                self.te_cfg.num_kv_heads)
         return self
 
     @classmethod

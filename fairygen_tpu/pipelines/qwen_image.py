@@ -121,11 +121,19 @@ class QwenImagePipeline:
         """Shard the 20B DiT weights over the mesh's ``tensor`` axis
         (head-aligned q/k/v + Megatron MLP splits,
         parallel/tensor_parallel.py) — the fit path on 16 GB v5e chips."""
-        from ..parallel.tensor_parallel import shard_qwen_image_dit_params
+        from ..parallel.tensor_parallel import (
+            shard_qwen_image_dit_params,
+            shard_vl_text_params,
+        )
 
         self.mesh = mesh
         self.dit_params = shard_qwen_image_dit_params(
             self.dit_params, mesh, num_heads=self.dit_cfg.num_heads)
+        if self.te_params is not None and \
+                self.te_cfg.num_heads % mesh.shape["tensor"] == 0:
+            self.te_params = shard_vl_text_params(
+                self.te_params, mesh, self.te_cfg.num_heads,
+                self.te_cfg.num_kv_heads)
         return self
 
     @classmethod

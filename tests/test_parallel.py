@@ -448,3 +448,44 @@ def test_qwen_flux2_tensor_parallel_match_single():
         fps, lat2, ts / 1000.0, ctx, jnp.asarray([3.5]))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=1e-5)
+
+
+@requires_8dev
+@pytest.mark.slow
+def test_vl_text_tensor_parallel_matches_single():
+    """The shared VL text stack sharded over tensor (q/gate/up col, o/down
+    row, GQA kv col when divisible) — encode matches unsharded."""
+    from fairygen_tpu.models.qwen.text_encoder import (
+        QwenVLTextConfig,
+        qwen_vl_text_encode,
+    )
+    from fairygen_tpu.parallel.tensor_parallel import shard_vl_text_params
+
+    cfg = QwenVLTextConfig.tiny()
+    mesh = make_mesh(data=2, seq=1, tensor=4)
+    key = jax.random.key(21)
+
+    def dense(k, i, o):
+        return {"w": jax.random.normal(k, (i, o)) * 0.05,
+                "b": jnp.zeros((o,))}
+
+    d, m = cfg.dim, cfg.ffn_dim
+    nh, nk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        kk = jax.random.fold_in(key, i)
+        ks = jax.random.split(kk, 7)
+        layers.append({
+            "ln1": jnp.ones((d,)), "ln2": jnp.ones((d,)),
+            "q": dense(ks[0], d, nh * hd), "k": dense(ks[1], d, nk * hd),
+            "v": dense(ks[2], d, nk * hd), "o": dense(ks[3], nh * hd, d),
+            "gate": dense(ks[4], d, m), "up": dense(ks[5], d, m),
+            "down": dense(ks[6], m, d),
+        })
+    params = {"embed": jax.random.normal(key, (cfg.vocab, d)) * 0.05,
+              "layers": layers, "norm": jnp.ones((d,))}
+    ids = jnp.asarray([[3, 5, 7, 11, 13, 2]])
+    ref = qwen_vl_text_encode(params, cfg, ids)
+    sharded = shard_vl_text_params(params, mesh, nh, nk)
+    out = jax.jit(lambda p: qwen_vl_text_encode(p, cfg, ids))(sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
