@@ -49,6 +49,14 @@ EDIT_PROMPT_TEMPLATE = (
     "<|vision_end|>{}<|im_end|>\n<|im_start|>assistant\n"
 )
 EDIT_TEMPLATE_DROP_IDX = 64  # reference qwen_image.py:362
+EDIT_MULTI_TEMPLATE = (
+    "<|im_start|>system\nDescribe the key features of the input image "
+    "(color, shape, size, texture, objects, background), then explain how "
+    "the user's text instruction should alter or modify the image. "
+    "Generate a new image that meets the user's requirements while "
+    "maintaining consistency with the original input where appropriate."
+    "<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
+)  # multi-image variant: "Picture i:" slots prepended (qwen_image.py:371)
 
 
 @functools.partial(
@@ -187,7 +195,21 @@ class QwenImagePipeline:
                                      jnp.asarray(ids))
         return hidden[:, TEMPLATE_DROP_IDX:].astype(self.dtype)
 
-    def encode_prompt_edit(self, prompt: str, edit_image):
+    @staticmethod
+    def _area_resize(image, target_area: int, factor: int = 32):
+        """calculate_dimensions + resize (reference qwen_image.py:337-346,
+        537-548): fit the aspect ratio into ``target_area`` pixels with
+        /32-rounded sides."""
+        import math
+
+        ratio = image.size[0] / image.size[1]
+        w = math.sqrt(target_area * ratio)
+        h = w / ratio
+        return image.resize((round(w / factor) * factor,
+                             round(h / factor) * factor))
+
+    def encode_prompt_edit(self, prompt: str, edit_image,
+                           auto_resize: bool = True):
         """Image-conditioned Edit prompt: vision tower features spliced at
         the <|image_pad|> tokens with mRoPE positions, drop the 64
         template tokens (reference encode_prompt_edit,
@@ -202,6 +224,11 @@ class QwenImagePipeline:
         )
 
         assert self.tokenizer is not None and self.vision_params is not None
+        if auto_resize:
+            # the VL prompt sees the image at ~384x384 area (resize_image,
+            # reference qwen_image.py:344-346, applied at :376); Image2LoRA
+            # residual streams pass their own crops (auto_resize=False)
+            edit_image = self._area_resize(edit_image, 384 * 384)
         patches, grid = preprocess_image_for_vl(edit_image, self.vision_cfg)
         merged = grid[0] * (grid[1] // self.vision_cfg.spatial_merge_size) \
             * (grid[2] // self.vision_cfg.spatial_merge_size)
@@ -213,6 +240,40 @@ class QwenImagePipeline:
         pos = qwen_vl_rope_index(
             ids[0], [grid], self.te_cfg,
             spatial_merge_size=self.vision_cfg.spatial_merge_size)
+        hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
+                                     jnp.asarray(ids), image_embeds=vis,
+                                     position_ids=pos)
+        return hidden[:, EDIT_TEMPLATE_DROP_IDX:].astype(self.dtype)
+
+    def encode_prompt_edit_multi(self, prompt: str, edit_images):
+        """Multi-image Edit prompt: "Picture i:" vision slots per image
+        (reference encode_prompt_edit_multi, qwen_image.py:370-382)."""
+        from ..models.qwen.text_encoder import (
+            qwen_vl_rope_index,
+            qwen_vl_text_encode,
+        )
+        from ..models.qwen.vision import (
+            preprocess_image_for_vl,
+            qwen_vl_vision_encode,
+        )
+
+        assert self.tokenizer is not None and self.vision_params is not None
+        m = self.vision_cfg.spatial_merge_size
+        imgs = [self._area_resize(im, 384 * 384) for im in edit_images]
+        pats, grids = zip(*[preprocess_image_for_vl(im, self.vision_cfg)
+                            for im in imgs])
+        base = "".join(
+            "Picture {}: <|vision_start|>".format(i + 1)
+            + "<|image_pad|>" * (g[0] * (g[1] // m) * (g[2] // m))
+            + "<|vision_end|>"
+            for i, g in enumerate(grids))
+        txt = EDIT_MULTI_TEMPLATE.format(base + prompt)
+        ids = self.tokenizer(txt, return_tensors="np").input_ids
+        vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
+                                    jnp.asarray(np.concatenate(pats, 0)),
+                                    list(grids))
+        pos = qwen_vl_rope_index(ids[0], list(grids), self.te_cfg,
+                                 spatial_merge_size=m)
         hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
                                      jnp.asarray(ids), image_embeds=vis,
                                      position_ids=pos)
@@ -275,7 +336,7 @@ class QwenImagePipeline:
 
         def residual(image, highres):
             im = crop_hi(image) if highres else crop_lo(image)
-            emb = self.encode_prompt_edit("", im)
+            emb = self.encode_prompt_edit("", im, auto_resize=False)
             return emb.reshape(1, -1)
 
         loras = []
@@ -335,6 +396,7 @@ class QwenImagePipeline:
         num_inference_steps: int = 30,
         exponential_shift_mu: Optional[float] = None,
         edit_images=None,  # Qwen-Image-Edit reference image(s)
+        edit_image_auto_resize: bool = True,  # ~1MP /32-rounded resize
         context_image=None,  # in-context conditioning image
         blockwise_controlnet_inputs=None,  # list[ControlNetInput]
         image2lora_images=None,  # style/subject reference image(s)
@@ -361,24 +423,25 @@ class QwenImagePipeline:
         timesteps = jnp.asarray(sched.timesteps, jnp.float32)
         sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
 
-        first_edit = None
+        edit_list = None
         if edit_images is not None:
-            first_edit = edit_images[0] if isinstance(
-                edit_images, (list, tuple)) else edit_images
+            edit_list = (list(edit_images) if isinstance(
+                edit_images, (list, tuple)) else [edit_images])
+
+        def enc(p):
+            # reference PromptEmbedder dispatch (qwen_image.py:384-393):
+            # single image -> edit template, several -> "Picture i:" multi
+            if edit_list is None or self.vision_params is None:
+                return self.encode_prompt(p)
+            if len(edit_list) == 1:
+                return self.encode_prompt_edit(p, edit_list[0])
+            return self.encode_prompt_edit_multi(p, edit_list)
+
         if prompt_emb is None:
-            if first_edit is not None and self.vision_params is not None:
-                # reference: edit mode encodes the prompt WITH the image
-                # (encode_prompt_edit, qwen_image.py:360-368)
-                prompt_emb = self.encode_prompt_edit(prompt, first_edit)
-            else:
-                prompt_emb = self.encode_prompt(prompt)
+            prompt_emb = enc(prompt)
         do_cfg = cfg_scale != 1.0
         if do_cfg and negative_prompt_emb is None:
-            if first_edit is not None and self.vision_params is not None:
-                negative_prompt_emb = self.encode_prompt_edit(
-                    negative_prompt, first_edit)
-            else:
-                negative_prompt_emb = self.encode_prompt(negative_prompt)
+            negative_prompt_emb = enc(negative_prompt)
 
         zc = self.vae_cfg.z_dim if self.vae_cfg else 16
         nb = 1 if layer_num is None else layer_num + 1
@@ -405,6 +468,11 @@ class QwenImagePipeline:
         if edit_images is not None:
             if not isinstance(edit_images, (list, tuple)):
                 edit_images = [edit_images]
+            if edit_image_auto_resize:
+                # QwenImageUnit_EditImageEmbedder auto-resize (reference
+                # qwen_image.py:546-548): ~1MP area, /32-rounded sides
+                edit_images = [self._area_resize(im, 1024 * 1024)
+                               for im in edit_images]
             edit_latents += tuple(self._encode_image(im)
                                   for im in edit_images)
         if layer_input_image is not None:

@@ -51,3 +51,22 @@ def test_multimodal_prompt_matches_transformers(g):
                               image_embeds=vis, position_ids=pos)
     np.testing.assert_allclose(np.asarray(out), g["out"], atol=5e-5,
                                rtol=2e-4)
+
+
+def test_multi_image_prompt_matches_transformers(g):
+    """TWO images in one prompt (the "Picture i:" multi-edit layout):
+    per-image grids through the vision tower, spliced in order."""
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+    txt_params = convert_qwen_vl_text_state_dict(sd, TXT_CFG)
+    vis_params = convert_qwen_vl_vision_state_dict(sd, VIS_CFG)
+    grids = [tuple(r) for r in g["grid2"]]
+    vis = qwen_vl_vision_encode(vis_params, VIS_CFG,
+                                jnp.asarray(g["patches2"]), grids)
+    np.testing.assert_allclose(np.asarray(vis), g["vis2"], atol=3e-5,
+                               rtol=1e-4)
+    pos = qwen_vl_rope_index(g["ids2"][0], grids, TXT_CFG,
+                             spatial_merge_size=2)
+    out = qwen_vl_text_encode(txt_params, TXT_CFG, jnp.asarray(g["ids2"]),
+                              image_embeds=vis, position_ids=pos)
+    np.testing.assert_allclose(np.asarray(out), g["out2"], atol=5e-5,
+                               rtol=2e-4)

@@ -42,15 +42,32 @@ def main():
                      torch.full((16,), IMG), torch.tensor([VEND]), suffix])
     ids = ids[None]
 
+    # TWO images in one prompt ("Picture i:" multi-edit layout):
+    # an 8x8 grid (16 merged tokens) and a 4x4 grid (4 merged tokens)
+    grid2 = torch.tensor([[1, 8, 8], [1, 4, 4]])
+    patches2 = torch.cat([patches,
+                          torch.randn(16, 3 * 2 * 2 * 2, generator=g)])
+    mid = torch.randint(0, 1000, (3,), generator=g)
+    ids2 = torch.cat([prefix, torch.tensor([VSTART]),
+                      torch.full((16,), IMG), torch.tensor([VEND]), mid,
+                      torch.tensor([VSTART]), torch.full((4,), IMG),
+                      torch.tensor([VEND]), suffix])[None]
+
     with torch.no_grad():
         out = m(input_ids=ids, pixel_values=patches, image_grid_thw=grid,
                 output_hidden_states=True).hidden_states[-1]
         vis = m.visual(patches, grid_thw=grid)
+        out2 = m(input_ids=ids2, pixel_values=patches2,
+                 image_grid_thw=grid2,
+                 output_hidden_states=True).hidden_states[-1]
+        vis2 = m.visual(patches2, grid_thw=grid2)
 
     sd = {k: v.numpy() for k, v in m.state_dict().items()}
     np.savez("../tests/goldens/qwen_multimodal.npz",
              ids=ids.numpy(), patches=patches.numpy(), grid=grid.numpy(),
              out=out.numpy(), vis=vis.numpy(),
+             ids2=ids2.numpy(), patches2=patches2.numpy(),
+             grid2=grid2.numpy(), out2=out2.numpy(), vis2=vis2.numpy(),
              **{f"sd.{k}": v for k, v in sd.items()})
     print("wrote tests/goldens/qwen_multimodal.npz", out.shape, vis.shape)
 
