@@ -57,11 +57,47 @@ class ControlNetInput:
     processor_id: Optional[str] = None
 
 
+def _tile_tasks(H: int, W: int, tile_size: int, tile_stride: int):
+    """FastTileWorker task split (reference flux_image.py:980-989); tile
+    sizes clamp to the latent extent per axis (one dim may be small)."""
+    th, tw = min(tile_size, H), min(tile_size, W)
+    tasks = []
+    for h in range(0, H, tile_stride):
+        for w in range(0, W, tile_stride):
+            if (h - tile_stride >= 0 and h - tile_stride + th >= H) \
+                    or (w - tile_stride >= 0 and w - tile_stride + tw >= W):
+                continue
+            h_, w_ = h + th, w + tw
+            if h_ > H:
+                h, h_ = H - th, H
+            if w_ > W:
+                w, w_ = W - tw, W
+            tasks.append((h, h_, w, w_))
+    return tasks
+
+
+def _tile_mask(h: int, w: int, is_bound):
+    """Feather blend mask (FastTileWorker.build_mask,
+    flux_image.py:955-970) — host-side fp32 constant."""
+    hh = np.arange(h)[:, None] * np.ones((1, w))
+    ww = np.arange(w)[None, :] * np.ones((h, 1))
+    border = (h + w) // 4
+    pad = np.full((h, w), border)
+    mask = np.stack([
+        pad if is_bound[0] else hh + 1,
+        pad if is_bound[1] else h - hh,
+        pad if is_bound[2] else ww + 1,
+        pad if is_bound[3] else w - ww,
+    ]).min(axis=0)
+    return (np.clip(mask, 1, border) / border).astype(np.float32)[None, None]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "length", "do_cfg", "kontext_hws",
                      "tea_opts", "cn_specs", "ip_scale",
-                     "kontext_id_offset", "s1x_cfg", "txt_ids"),
+                     "kontext_id_offset", "s1x_cfg", "txt_ids",
+                     "tile_opts"),
 )
 def _flux_denoise_chunk(
     params, lat, prompt_emb, pooled, neg_prompt_emb, neg_pooled, guidance,
@@ -80,6 +116,7 @@ def _flux_denoise_chunk(
     kontext_id_offset: int = 1,  # 1 = Kontext; 0 = Step1x reference latents
     s1x_cfg=None,  # Step1xConnectorConfig (static)
     txt_ids: Optional[tuple] = None,  # static ((f,h,w),...) fractional ids
+    tile_opts: Optional[tuple] = None,  # (tile_size, tile_stride) latent px
 ):
     tids_np = np.asarray(txt_ids, np.float64) if txt_ids is not None else None
     kid = None
@@ -98,7 +135,7 @@ def _flux_denoise_chunk(
         tea_kw["tea_cache_opts"] = dict(
             rel_l1_thresh=tea_opts[0], num_inference_steps=tea_opts[1])
 
-    def controlnet_res(x, t, ctx, pl):
+    def controlnet_res(x, t, ctx, pl, conds=None):
         """MultiControlNet scale+sum (flux_image.py:40-53) + the reference's
         hard-coded 19/38 alignment == the main dit's block counts.
         InfiniteYou overrides the controlnet's prompt and guidance with the
@@ -107,8 +144,8 @@ def _flux_denoise_chunk(
         if id_tokens is not None:
             cn_ctx, cn_guid = id_tokens, iy_guidance
         acc = [None, None]
-        for (cn_cfg, pid, scale), p_cn, cond_cn in zip(cn_specs, cn_params,
-                                                       cn_conds):
+        for (cn_cfg, pid, scale), p_cn, cond_cn in zip(
+                cn_specs, cn_params, conds if conds is not None else cn_conds):
             r, sr = flux_controlnet_forward(
                 p_cn, cn_cfg, x, cond_cn, t, cn_ctx, pl,
                 cn_guid if cn_cfg.guidance_embed else None,
@@ -122,8 +159,38 @@ def _flux_denoise_chunk(
                     acc[i] = rr if acc[i] is None else acc[i] + rr
         return acc
 
+    def tiled_sweep(x, t, ctx, pl):
+        """FastTileWorker.tiled_forward over the DENOISER (reference
+        model_fn_flux_image tiled branch, :1038-1063): static spatial
+        tiles with feather-blended overlaps; per-tile image ids;
+        controlnet conditionings sliced per tile.  The extras that the
+        reference's tiled branch drops are unsupported here too."""
+        ts_, st_ = tile_opts
+        B, C, H, W = x.shape
+        values = jnp.zeros((B, C, H, W), jnp.float32)
+        weight = jnp.zeros((1, 1, H, W), jnp.float32)
+        for hl, hr, wl, wr in _tile_tasks(H, W, ts_, st_):
+            xt = x[:, :, hl:hr, wl:wr]
+            cn_r = cn_sr = None
+            if cn_specs:
+                conds = tuple(c[:, :, hl:hr, wl:wr] for c in cn_conds)
+                cn_r, cn_sr = controlnet_res(xt, t, ctx, pl, conds)
+            out = flux_dit_forward(
+                params, dit_cfg, xt, t, ctx, pl,
+                guidance if dit_cfg.guidance_embed else None,
+                controlnet_res=cn_r, controlnet_single_res=cn_sr,
+                hot_lora=hot_lora,
+            ).astype(jnp.float32)
+            mask = jnp.asarray(_tile_mask(
+                hr - hl, wr - wl, (hl == 0, hr >= H, wl == 0, wr >= W)))
+            values = values.at[:, :, hl:hr, wl:wr].add(out * mask)
+            weight = weight.at[:, :, hl:hr, wl:wr].add(mask)
+        return (values / weight).astype(x.dtype)
+
     def sweep(x, t, ctx, pl, tc=None, ip_tok=None, ip_sc=1.0, ent=None,
               tids=None):
+        if tile_opts is not None:
+            return tiled_sweep(x, t, ctx, pl)
         cn_r, cn_sr = controlnet_res(x, t, ctx, pl) if cn_specs else (None,
                                                                       None)
         ip = (ip_params, ip_tok, ip_sc) if ip_tok is not None else None
@@ -414,8 +481,11 @@ class FluxImagePipeline:
         flex_inpaint_image=None,  # Flex models (in_dim 196)
         flex_inpaint_mask=None,
         flex_control_image=None,
-        flex_control_strength: float = 1.0,
-        flex_control_stop: float = 1.0,
+        flex_control_strength: float = 0.5,  # reference defaults
+        flex_control_stop: float = 0.5,
+        tiled: bool = False,  # FastTileWorker spatial tiling (latent px)
+        tile_size: int = 128,
+        tile_stride: int = 64,
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -682,6 +752,10 @@ class FluxImagePipeline:
                 s1x_cfg=self.step1x_connector[1] if step1x else None,
                 txt_ids=(tuple(map(tuple, np.asarray(prompt_txt_ids)))
                          if prompt_txt_ids is not None else None),
+                tile_opts=((tile_size, tile_stride)
+                           if tiled and (height // 8 > tile_size
+                                         or width // 8 > tile_size)
+                           else None),
             )
             s += ln
 
