@@ -22,6 +22,9 @@ def main():
     p.add_argument("--qwen_tokenizer", type=str, required=True)
     p.add_argument("--clip_tokenizer", type=str, default=None)
     p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--reference_image", type=str, default=None,
+                   help="editing mode: the image to modify (needs the "
+                        "editing adapter + vision tower in --nexus_paths)")
     p.add_argument("--embedded_guidance", type=float, default=3.5)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
@@ -45,8 +48,25 @@ def main():
         ar_params, ar_cfg = ar_params["text"], ar_cfg[0]
 
     tok = AutoTokenizer.from_pretrained(args.qwen_tokenizer)
-    prompt_emb = nexus_gen_flux_prompt_emb(
-        ar_params, ar_cfg, adapter[0], tok, args.prompt)
+    prompt_txt_ids = None
+    if args.reference_image is not None:
+        from PIL import Image
+
+        from fairygen_tpu.models.qwen.nexus_gen import (
+            nexus_gen_editing_flux_prompt_emb,
+        )
+
+        merger = pool.fetch_model("nexus_gen_editing_adapter")
+        vision = pool.fetch_model("nexus_gen_llm")[0].get("vision")
+        assert merger is not None and vision is not None, \
+            "editing needs edit_decoder.bin + the AR model's vision tower"
+        prompt_emb, prompt_txt_ids = nexus_gen_editing_flux_prompt_emb(
+            ar_params, ar_cfg, vision, ar[1][1], merger[0], merger[1], tok,
+            args.prompt, Image.open(args.reference_image).convert("RGB"),
+            args.height // 8, args.width // 8)
+    else:
+        prompt_emb = nexus_gen_flux_prompt_emb(
+            ar_params, ar_cfg, adapter[0], tok, args.prompt)
 
     pipe = FluxImagePipeline.from_pretrained(
         json.loads(args.flux_paths), tokenizer_clip=args.clip_tokenizer)
@@ -67,6 +87,7 @@ def main():
         embedded_guidance=args.embedded_guidance,
         height=args.height, width=args.width, seed=args.seed,
         num_inference_steps=args.steps, output_type="pil",
+        prompt_txt_ids=prompt_txt_ids,
     )
     image.save(args.output)
     print(f"saved {args.output}")
