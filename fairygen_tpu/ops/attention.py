@@ -127,9 +127,10 @@ def attention(q, k, v, scale=None, impl: Optional[str] = None,
     reference wan_video_dit.py:27-60.  ``prescaled``: q already carries
     scale·log2e (folded into the producing norm — exactly free on TPU).
     ``kv_len``: mask kv padding columns exactly (Ulysses ragged tokens).
-    ``bias``: additive logits bias (EliGen entity-region masks) — routed
-    to the XLA path (the blocky entity mask defeats the flash kernel's
-    no-mask fast path; a block-sparse Pallas variant is a future lever).
+    ``bias``: additive logits bias (EliGen entity-region masks).
+    Head-shared biases get their own Pallas kernel
+    (``flash_attention_bias`` — the bias tile streams once per batch
+    row); per-head biases fall back to the XLA path.
     """
     resolved = _resolve(impl)
     if resolved == "pallas" and bias is None:
@@ -137,5 +138,13 @@ def attention(q, k, v, scale=None, impl: Optional[str] = None,
 
         return flash_attention(q, k, v, scale=scale, prescaled=prescaled,
                                kv_len=kv_len)
+    if resolved == "pallas" and bias is not None and kv_len is None \
+            and bias.ndim == 4 and bias.shape[1] == 1:
+        # head-shared additive bias (EliGen regional masks) has its own
+        # flash kernel — the bias tile streams once per batch row
+        from .flash_attention import flash_attention_bias
+
+        return flash_attention_bias(q, k, v, bias[:, 0], scale=scale,
+                                    prescaled=prescaled)
     return xla_attention(q, k, v, scale=scale, prescaled=prescaled,
                          kv_len=kv_len, bias=bias)

@@ -81,6 +81,92 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, sk_actual, 
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _fa_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref,
+                    l_ref):
+    """Forward with an additive logits bias (EliGen regional masks): the
+    bias arrives in the NATURAL log domain (torch SDPA attn_mask
+    semantics) and is converted to the kernel's base-2 domain in-tile.
+    Bias is head-shared (B, Sq, Sk) — the block index maps h -> h // n so
+    the (Sq, Sk) tile streams once per batch row, not per head."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + bias_ref[0] * _LOG2E
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention_bias(q, k, v, bias, scale=None, prescaled=False):
+    """Forward-only flash attention with a head-shared additive bias
+    (B|1, Sq, Sk) fp32 — the EliGen fast path.  Padded kv columns are
+    masked through the bias itself (-1e30 pad)."""
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    scale_val = float(d ** -0.5) if scale is None else float(scale)
+    bq = min(DEFAULT_BQ, max(128, sq))
+    bk = min(DEFAULT_BK, max(128, sk))
+    if not prescaled:
+        q = _prescale_q(q, scale_val)
+    qh = _heads_major(q, b, n, sq, d, bq)
+    kh = _heads_major(k, b, n, sk, d, bk)
+    vh = _heads_major(v, b, n, sk, d, bk)
+    sq_p, sk_p = qh.shape[1], kh.shape[1]
+
+    bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, sq, sk))
+    bias = jnp.pad(bias, ((0, 0), (0, sq_p - sq), (0, sk_p - sk)),
+                   constant_values=_NEG_INF)
+
+    grid = (b * n, sq_p // bq, sk_p // bk)
+    out = pl.pallas_call(
+        _fa_bias_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bq, bk), lambda h, i, j: (h // n, i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh, bias)
+    return out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
 def _fa_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref,
                        l_ref, *, sk_actual, bk, masked):
     """Forward that also emits per-row logsumexp (base-2) for the backward."""

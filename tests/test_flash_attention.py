@@ -68,3 +68,26 @@ def test_flash_backward_grads():
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_flash_bias_matches_xla_interpret():
+    """Head-shared additive-bias kernel (EliGen regional masks): block
+    -1e30/0 mask + small dense bias, ragged seq (pad masked via bias)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fairygen_tpu.ops.flash_attention import flash_attention_bias
+
+    b, s, n, d = 1, 300, 2, 64
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], (b, s, n, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, n, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, n, d), jnp.float32)
+    allow = jax.random.bernoulli(ks[3], 0.7, (b, s, s))
+    allow = allow.at[:, jnp.arange(s), jnp.arange(s)].set(True)
+    bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_bias(q, k, v, bias)
+    ref = xla_attention(q, k, v, bias=bias[:, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
