@@ -20,6 +20,8 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 import json
 
+import numpy as np
+
 NEGATIVE_PROMPT = (
     "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，整体发灰，最差质量，"
     "低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，画得不好的手部，画得不好的脸部，畸形的，"
@@ -72,6 +74,12 @@ def main():
     p.add_argument("--motion_bucket_id", type=int, default=None)
     p.add_argument("--end_image", type=str, default=None)
     p.add_argument("--reference_image", type=str, default=None)
+    p.add_argument("--audio", type=str, default=None,
+                   help="driving audio (wav) for S2V checkpoints; features "
+                        "are extracted by the native Wav2Vec2 tower and the "
+                        "output video is muxed with the audio")
+    p.add_argument("--audio_sample_rate", type=int, default=None,
+                   help="override the wav header sample rate")
     p.add_argument("--longcat_video", type=str, default=None,
                    help="video to continue (LongCat-Video checkpoints): its "
                         "frames stay pinned while the rest are generated")
@@ -105,8 +113,22 @@ def main():
 
         return load_video_frames(path)
 
+    input_audio = audio_sr = None
+    if args.audio:
+        import wave as wave_mod
+
+        with wave_mod.open(args.audio, "rb") as f:
+            audio_sr = args.audio_sample_rate or f.getframerate()
+            raw = f.readframes(f.getnframes())
+            data = np.frombuffer(raw, dtype=np.int16).astype(np.float32)
+            if f.getnchannels() > 1:
+                data = data.reshape(-1, f.getnchannels()).mean(axis=1)
+            input_audio = data / 32768.0
+
     frames = pipe(
         prompt=args.prompt,
+        input_audio=input_audio,
+        audio_sample_rate=audio_sr or 16000,
         negative_prompt=args.negative_prompt,
         input_image=load_image(args.input_image),
         end_image=load_image(args.end_image),
@@ -128,7 +150,17 @@ def main():
         tea_cache_l1_thresh=args.tea_cache_l1_thresh,
         tea_cache_model_id=args.tea_cache_model_id,
     )
-    out = save_video(frames, args.output, fps=args.fps, quality=5)
+    if args.audio:
+        from fairygen_tpu.utils.video import save_video_with_audio
+
+        try:
+            out = save_video_with_audio(frames, args.output, args.audio,
+                                        fps=args.fps, quality=5)
+        except Exception as e:
+            print(f"audio mux failed ({e}); saving silent video")
+            out = save_video(frames, args.output, fps=args.fps, quality=5)
+    else:
+        out = save_video(frames, args.output, fps=args.fps, quality=5)
     print(f"saved {out}")
 
 

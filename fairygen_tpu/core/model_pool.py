@@ -31,11 +31,22 @@ def _build_wan_dit(state_dict, extra_kwargs, dtype):
         return convert_longcat_dit_state_dict(state_dict, cfg,
                                               dtype=dtype), cfg
 
+    if "audio_dim" in extra_kwargs or "cond_dim" in extra_kwargs:
+        # the registry maps the S2V DiT's hash to wan_video_dit too
+        # (reference model_configs.py:286-287)
+        from ..models.wan.s2v import S2VConfig, convert_s2v_state_dict
+
+        s2v_fields = {f.name for f in dataclasses.fields(S2VConfig)}
+        kwargs = {k: v for k, v in extra_kwargs.items() if k in s2v_fields}
+        if "patch_size" in kwargs:
+            kwargs["patch_size"] = tuple(kwargs["patch_size"])
+        cfg = S2VConfig(**kwargs)
+        return convert_s2v_state_dict(state_dict, cfg, dtype=dtype), cfg
+
     fields = {f.name for f in dataclasses.fields(WanDiTConfig)}
     kwargs = {k: v for k, v in extra_kwargs.items() if k in fields}
     unknown = set(extra_kwargs) - fields
     if unknown - {"eps"}:
-        # S2V/audio variants carry kwargs our DiT does not implement yet
         raise NotImplementedError(f"unsupported WanModel kwargs: {sorted(unknown)}")
     if "patch_size" in kwargs:
         kwargs["patch_size"] = tuple(kwargs["patch_size"])
@@ -386,6 +397,17 @@ def _build_qwen_image2lora(state_dict, extra_kwargs, dtype):
     return convert_image2lora_state_dict(state_dict, cfg, dtype=dtype)
 
 
+def _build_wans2v_audio_encoder(state_dict, extra_kwargs, dtype):
+    import numpy as np
+
+    from ..models.wan.wav2vec import Wav2Vec2Config, convert_wav2vec2_state_dict
+
+    # audio tower runs fp32 (cheap; keeps transformers-exact hidden states)
+    cfg = Wav2Vec2Config()
+    return convert_wav2vec2_state_dict(state_dict, cfg,
+                                       dtype=np.float32), cfg
+
+
 def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
     registry.register_builder("wan_video_dit", _build_wan_dit)
     registry.register_builder("wan_video_vae", _build_wan_vae)
@@ -425,6 +447,8 @@ def install_default_builders(registry: ModelRegistry = MODEL_REGISTRY):
                               _build_nexus_gen_adapter)
     registry.register_builder("nexus_gen_editing_adapter",
                               _build_nexus_gen_merger)
+    registry.register_builder("wans2v_audio_encoder",
+                              _build_wans2v_audio_encoder)
     return registry
 
 

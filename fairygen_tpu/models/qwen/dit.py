@@ -13,8 +13,9 @@ extend the RoPE frame axis.
 
 TPU-native: one ``lax.scan`` over stacked block params, host-side fp64
 RoPE tables baked as fp32 constants, fp32 norms/softmax, optional remat.
-EliGen entity masks / blockwise ControlNet / fp8 / layer3d rope are out
-of scope (SURVEY.md §2.3).
+EliGen entity masks (``attn_bias``) and blockwise ControlNet
+(``controlnet_residuals``) are supported — see ``tests/test_qwen_extras.py``
+and ``tests/test_qwen_controlnet.py``; fp8 / layer3d rope are not ported.
 """
 from __future__ import annotations
 

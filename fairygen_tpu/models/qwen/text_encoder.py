@@ -16,8 +16,9 @@ implements the text decoder stack it runs for t2i prompts:
     tensor: transformers' ``hidden_states[-1]`` is post-final-norm).
 
 Image-conditioned editing prompts (``<|image_pad|>`` + the vision tower)
-are out of scope (SURVEY.md §2.3); edit mode takes precomputed
-embeddings.
+are supported natively — ``models/qwen/vision.py`` provides the tower and
+``encode_prompt_with_images`` splices image embeds with real (t,h,w)
+mRoPE positions (``tests/test_qwen_vision.py``, ``test_qwen_multimodal.py``).
 """
 from __future__ import annotations
 

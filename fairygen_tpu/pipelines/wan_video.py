@@ -238,6 +238,8 @@ class WanVideoPipeline:
     vace_cfg: Any = None
     s2v_params: Any = None  # speech-to-video DiT (models.wan.s2v)
     s2v_cfg: Any = None
+    wav2vec_params: Any = None  # audio feature extractor (models.wan.wav2vec)
+    wav2vec_cfg: Any = None
     camera_params: Any = None  # camera-control SimpleAdapter (models.wan.camera)
     camera_cfg: Any = None
     animate_params: Any = None  # Wan-Animate adapter (models.wan.animate)
@@ -266,16 +268,21 @@ class WanVideoPipeline:
         from ..models.wan.longcat import LongCatDiTConfig
 
         pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
-        dit = pool.fetch_model("wan_video_dit", index=2)
+        dit = pool.fetch_model("wan_video_dit", index=3)
         dit2 = longcat = None
         entries = dit if isinstance(dit, list) else ([dit] if dit else [])
-        # LongCat-Video registers under wan_video_dit (the registry maps
-        # its hash there); split it off by config type
+        # LongCat-Video and S2V register under wan_video_dit (the registry
+        # maps their hashes there); split them off by config type
+        from ..models.wan.s2v import S2VConfig
+
         longcats = [e for e in entries
                     if isinstance(e[1], LongCatDiTConfig)]
+        s2vs = [e for e in entries if isinstance(e[1], S2VConfig)]
         entries = [e for e in entries
-                   if not isinstance(e[1], LongCatDiTConfig)]
+                   if not isinstance(e[1], (LongCatDiTConfig, S2VConfig))]
         longcat = longcats[0] if longcats else None
+        s2v = s2vs[0] if s2vs else None
+        wav2vec = pool.fetch_model("wans2v_audio_encoder")
         dit_params = dit_cfg = None
         if entries:
             (dit_params, dit_cfg), *rest = entries
@@ -296,6 +303,10 @@ class WanVideoPipeline:
             tokenizer=tokenizer, dit2_params=dit2, dtype=dtype,
             longcat_params=longcat[0] if longcat else None,
             longcat_cfg=longcat[1] if longcat else None,
+            s2v_params=s2v[0] if s2v else None,
+            s2v_cfg=s2v[1] if s2v else None,
+            wav2vec_params=wav2vec[0] if wav2vec else None,
+            wav2vec_cfg=wav2vec[1] if wav2vec else None,
         )
         if mesh is not None:
             pipe.use_mesh(mesh, sp_strategy=sp_strategy)
@@ -600,6 +611,8 @@ class WanVideoPipeline:
         vace_scale: float = 1.0,
         # Speech-to-video (reference WanVideoUnit_S2V, wan_video.py:806-896)
         audio_embeds=None,  # precomputed wav2vec features (1, 25, D, T)
+        input_audio=None,  # raw waveform (T,) — encoded via wav2vec_params
+        audio_sample_rate: int = 16000,
         longcat_video=None,  # LongCat continuation frames (video)
         s2v_pose_video=None,
         s2v_pose_latents=None,
@@ -669,6 +682,18 @@ class WanVideoPipeline:
                 output_type=output_type,
                 torch_compat_noise=torch_compat_noise,
             )
+
+        if input_audio is not None and audio_embeds is None:
+            # reference WanVideoUnit_S2V.process_audio (wan_video.py:815-824):
+            # wav2vec all-layer features -> 30 fps -> fps-bucketed embeds;
+            # first bucket drives this clip (batch_frames = num_frames - 1)
+            assert self.wav2vec_params is not None, "no audio encoder loaded"
+            from ..models.wan.wav2vec import audio_embeds_from_waveform
+
+            audio_embeds = audio_embeds_from_waveform(
+                self.wav2vec_params, self.wav2vec_cfg, input_audio,
+                sample_rate=audio_sample_rate, num_frames=num_frames,
+            )[0]
 
         if audio_embeds is not None:
             assert self.s2v_params is not None, "no S2V model loaded"

@@ -101,3 +101,51 @@ def load_video_frames(path: str, height: Optional[int] = None,
           if os.path.isdir(path)
           else VideoData(video_file=path, height=height, width=width))
     return [vd[i] for i in range(len(vd))]
+
+
+def merge_video_audio(video_path: str, audio_path: str):
+    """Mux an audio track into an existing video via ffmpeg (reference
+    utils/data/__init__.py:150-212): copy the video stream, AAC-encode the
+    audio, trim to the shorter of the two.  Raises if ffmpeg is missing or
+    fails — callers that can live without audio should catch."""
+    import shutil
+    import subprocess
+
+    if not os.path.exists(video_path):
+        raise FileNotFoundError(f"video file {video_path} does not exist")
+    if not os.path.exists(audio_path):
+        raise FileNotFoundError(f"audio file {audio_path} does not exist")
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        try:
+            import imageio_ffmpeg
+
+            ffmpeg = imageio_ffmpeg.get_ffmpeg_exe()
+        except Exception as e:
+            raise RuntimeError("no ffmpeg available to mux audio") from e
+    base, ext = os.path.splitext(video_path)
+    temp_output = f"{base}_temp{ext}"
+    command = [
+        ffmpeg, "-y", "-i", video_path, "-i", audio_path,
+        "-c:v", "copy", "-c:a", "aac", "-b:a", "192k",
+        "-map", "0:v:0", "-map", "1:a:0", "-shortest", temp_output,
+    ]
+    try:
+        result = subprocess.run(command, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        if result.returncode != 0:
+            raise RuntimeError(f"ffmpeg failed: {result.stderr[-2000:]}")
+        shutil.move(temp_output, video_path)
+    except Exception:
+        if os.path.exists(temp_output):
+            os.remove(temp_output)
+        raise
+
+
+def save_video_with_audio(video, save_path: str, audio_path: str,
+                          fps: int = 16, quality: int = 9):
+    """Reference ``save_video_with_audio`` (utils/data/__init__.py:215):
+    write the frames, then mux the driving audio (S2V outputs)."""
+    out = save_video(video, save_path, fps=fps, quality=quality)
+    merge_video_audio(out, audio_path)
+    return out
