@@ -361,7 +361,14 @@ class QwenImagePipeline:
         masked pixels and append an inverted latent-res mask channel."""
         from ..core.imaging import preprocess_image
 
-        image = ci.image.convert("RGB").resize((width, height))
+        image = ci.image
+        if getattr(ci, "processor_id", None):
+            # reference Annotator front end (utils/controlnet/annotator.py):
+            # canny runs natively; tile/none/inpaint pass through
+            from ..utils.annotator import Annotator
+
+            image = Annotator(ci.processor_id)(image)
+        image = image.convert("RGB").resize((width, height))
         arr = preprocess_image(image)
         if ci.inpaint_mask is not None:
             mask = preprocess_image(
