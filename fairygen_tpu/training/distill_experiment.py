@@ -1,0 +1,263 @@
+"""Runnable tiny-scale distillation experiments (VERDICT round-2 item 1).
+
+The distillation RECIPES (``make_wan_distill_train_step``,
+``make_sdxl_distill_train_step``) previously existed but had never been
+*run*; these experiments execute real optimization loops at tiny scale and
+measure the student's few-step rollout against its teacher's full rollout,
+so the few-step throughput numbers in docs/NOTES.md rest on a demonstrated
+pipeline rather than a hypothetical one.
+
+Both experiments follow the same shape:
+
+  1. teacher = fixed weights (tiny golden SDXL UNet / random-init Wan DiT);
+  2. student initialized FROM the teacher;
+  3. train the student with the distillation objective on a small pool of
+     (noise, conditioning) draws;
+  4. gate: PSNR(student few-step rollout, teacher full rollout) must
+     improve over the untrained student and clear an absolute bar.
+
+Run via ``tools/run_distill_experiment.py`` or the tests in
+``tests/test_distillation.py``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.wan.dit import WanDiTConfig, init_dit_params, wan_dit_forward
+from .distill import (
+    make_sdxl_distill_train_step,
+    rollout_psnr,
+    sdxl_student_rollout,
+    sdxl_teacher_rollout,
+)
+from .train_step import make_wan_distill_train_step
+
+__all__ = [
+    "run_wan_distill_experiment",
+    "run_sdxl_distill_experiment",
+    "wan_student_rollout",
+    "wan_teacher_rollout",
+]
+
+
+# ------------------------------------------------------------------ Wan side
+def _wan_model_fn(cfg: WanDiTConfig):
+    def fn(params, lat, t, ctx):
+        return wan_dit_forward(params, cfg, lat, t, ctx)
+
+    return fn
+
+
+def wan_teacher_rollout(params, cfg: WanDiTConfig, noise, ctx,
+                        num_steps: int = 50, sigma_shift: float = 5.0):
+    """Full flow-match Euler rollout (the teacher trajectory the student
+    must compress)."""
+    from ..diffusion.flow_match import FlowMatchScheduler
+
+    sched = FlowMatchScheduler("Wan").set_timesteps(num_steps,
+                                                    shift=sigma_shift)
+    sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    fn = _wan_model_fn(cfg)
+
+    def step(i, lat):
+        t = jnp.broadcast_to(timesteps[i], (lat.shape[0],))
+        v = fn(params, lat, t, ctx)
+        return lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i])
+
+    return jax.lax.fori_loop(0, num_steps, step, noise)
+
+
+def wan_student_rollout(params, cfg: WanDiTConfig, noise, ctx,
+                        num_steps: int = 4, sigma_shift: float = 5.0):
+    return wan_teacher_rollout(params, cfg, noise, ctx, num_steps,
+                               sigma_shift)
+
+
+def run_wan_distill_experiment(
+    *,
+    num_train_steps: int = 200,
+    num_student_steps: int = 4,
+    num_teacher_steps: int = 24,
+    lr: float = 2e-4,
+    pool: int = 4,
+    seed: int = 0,
+    cfg: Optional[WanDiTConfig] = None,
+    log_every: int = 0,
+) -> Dict[str, float]:
+    """Few-step Wan student via trajectory imitation
+    (reference TrajectoryImitationLoss, diffusion/loss.py:36-119).
+
+    Teacher: tiny random-init DiT (its ODE flow is the ground truth).
+    Student: initialized from the teacher, trained so its
+    ``num_student_steps`` velocities match teacher finite differences.
+    """
+    # head_dim must give even h/w rope sections: dim 96 / 4 heads -> hd 24
+    cfg = cfg or WanDiTConfig(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+    )
+    key = jax.random.PRNGKey(seed)
+    k_teacher, k_data, k_train = jax.random.split(key, 3)
+    teacher = init_dit_params(k_teacher, cfg)
+    student = jax.tree.map(jnp.copy, teacher)
+
+    # fixed pool of (noise, context) draws
+    ks = jax.random.split(k_data, 2 * pool + 2)
+    shape = (1, cfg.in_dim, 5, 8, 8)
+    noises = [jax.random.normal(ks[2 * i], shape, jnp.float32)
+              for i in range(pool)]
+    ctxs = [jax.random.normal(ks[2 * i + 1], (1, 7, cfg.text_dim),
+                              jnp.float32) for i in range(pool)]
+    # held-out evaluation draw
+    eval_noise = jax.random.normal(ks[-2], shape, jnp.float32)
+    eval_ctx = jax.random.normal(ks[-1], (1, 7, cfg.text_dim), jnp.float32)
+
+    init_state, train_step = make_wan_distill_train_step(
+        cfg, optax.adam(lr), method="trajectory",
+        num_inference_steps=num_student_steps,
+        num_teacher_steps=num_teacher_steps, remat=False,
+    )
+    state = init_state(student)
+
+    def eval_psnr(params):
+        t_out = wan_teacher_rollout(teacher, cfg, eval_noise, eval_ctx,
+                                    num_teacher_steps)
+        s_out = wan_student_rollout(params, cfg, eval_noise, eval_ctx,
+                                    num_student_steps)
+        return rollout_psnr(s_out, t_out)
+
+    psnr_before = eval_psnr(student)
+    losses = []
+    for i in range(num_train_steps):
+        batch = {"latents": noises[i % pool], "context": ctxs[i % pool]}
+        state, loss = train_step(state, batch,
+                                 jax.random.fold_in(k_train, i),
+                                 teacher_params=teacher)
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  wan step {i + 1}: loss {losses[-1]:.5f}")
+    psnr_after = eval_psnr(state.params)
+    return dict(psnr_before=psnr_before, psnr_after=psnr_after,
+                loss_first=losses[0], loss_last=float(np.mean(losses[-10:])),
+                losses=losses)
+
+
+# ----------------------------------------------------------------- SDXL side
+def run_sdxl_distill_experiment(
+    unet_fn: Callable,  # (params, x, t, ctx) -> eps
+    teacher_params,
+    make_batch: Callable[[int], Dict],  # i -> {"noise"/"latents", "ctx"}
+    eval_batch: Dict,
+    *,
+    method: str = "direct",
+    num_train_steps: int = 150,
+    num_student_steps: int = 4,
+    num_teacher_steps: int = 50,
+    lr: float = 1e-4,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Dict[str, float]:
+    """SDXL LCM/direct distillation run; returns before/after PSNR of the
+    student's few-step LCM rollout vs the teacher's full DDIM rollout."""
+    student = jax.tree.map(jnp.copy, teacher_params)
+    init_state, train_step = make_sdxl_distill_train_step(
+        unet_fn, optax.adam(lr), teacher_params, method=method,
+        num_student_steps=num_student_steps,
+        num_teacher_steps=num_teacher_steps,
+    )
+    state = init_state(student)
+    key = jax.random.PRNGKey(seed)
+
+    target = sdxl_teacher_rollout(unet_fn, teacher_params,
+                                  eval_batch["noise"], eval_batch["ctx"],
+                                  num_teacher_steps)
+
+    def eval_psnr(params):
+        s = sdxl_student_rollout(unet_fn, params, eval_batch["noise"],
+                                 eval_batch["ctx"],
+                                 jax.random.PRNGKey(123), num_student_steps)
+        return rollout_psnr(s, target)
+
+    psnr_before = eval_psnr(student)
+    losses = []
+    for i in range(num_train_steps):
+        state, loss = train_step(state, make_batch(i),
+                                 jax.random.fold_in(key, i))
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"  sdxl step {i + 1}: loss {losses[-1]:.6f}")
+    psnr_after = eval_psnr(state.params)
+    return dict(psnr_before=psnr_before, psnr_after=psnr_after,
+                loss_first=losses[0], loss_last=float(np.mean(losses[-10:])),
+                losses=losses, params=state.params)
+
+
+def run_sdxl_golden_experiment(
+    golden_path: str = "tests/goldens/sdxl_unet.npz",
+    *,
+    method: str = "direct",
+    num_train_steps: int = 150,
+    num_student_steps: int = 4,
+    num_teacher_steps: int = 50,
+    lr: float = 1e-4,
+    pool: int = 4,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Dict[str, float]:
+    """SDXL distillation against the committed tiny golden UNet (real
+    converted weights, the same checkpoint the BrushNet trainer tests use)."""
+    from ..models.sdxl.unet2d import (
+        UNet2DConfig,
+        convert_unet2d_state_dict,
+        unet2d_forward,
+    )
+
+    g = np.load(golden_path)
+    cfg = UNet2DConfig(
+        block_out_channels=(32, 64),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+        transformer_layers_per_block=(1, 2), num_attention_heads=(2, 4),
+        cross_attention_dim=32, norm_num_groups=16,
+        addition_time_embed_dim=8, projection_class_embeddings_input_dim=80,
+    )
+    teacher = convert_unet2d_state_dict(
+        {k[6:]: g[k] for k in g.files if k.startswith("unet::")}, cfg)
+
+    def unet_fn(params, x, t, ctx):
+        return unet2d_forward(params, cfg, x, t, ctx["prompt_embeds"],
+                              text_embeds=ctx["pooled"],
+                              time_ids=ctx["time_ids"])
+
+    rs = np.random.RandomState(seed)
+
+    def draw():
+        return (
+            jnp.asarray(rs.randn(1, 4, 16, 16), jnp.float32),
+            {"prompt_embeds": jnp.asarray(rs.randn(1, 7, 32), jnp.float32),
+             "pooled": jnp.asarray(rs.randn(1, 32), jnp.float32),
+             "time_ids": jnp.asarray(rs.randn(1, 6), jnp.float32)},
+        )
+
+    draws = [draw() for _ in range(pool)]
+    eval_noise, eval_ctx = draw()
+
+    def make_batch(i):
+        noise, ctx = draws[i % pool]
+        key = "noise" if method == "direct" else "latents"
+        return {key: noise, "ctx": ctx}
+
+    return run_sdxl_distill_experiment(
+        unet_fn, teacher, make_batch,
+        {"noise": eval_noise, "ctx": eval_ctx},
+        method=method, num_train_steps=num_train_steps,
+        num_student_steps=num_student_steps,
+        num_teacher_steps=num_teacher_steps, lr=lr, seed=seed,
+        log_every=log_every,
+    )
