@@ -197,8 +197,9 @@ def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
     v = jnp.concatenate([v_b, v_a], axis=1)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
+    # q/k rms-normed -> bounded logits, max-free pallas softmax
     o = _merge_heads(attention(q, k, v, prescaled=prescaled,
-                               bias=attn_bias))
+                               bias=attn_bias, bounded_logits=True))
     lb = xb.shape[1]
     o_b, o_a = o[:, :lb], o[:, lb:]
     if ip is not None:
@@ -251,7 +252,7 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
     att = _merge_heads(attention(q, k, v, prescaled=prescaled,
-                                 bias=attn_bias))
+                                 bias=attn_bias, bounded_logits=True))
     if ip is not None:
         # single blocks query with the POST-rope q over ALL tokens (text
         # included) — flux_dit.py:240-241

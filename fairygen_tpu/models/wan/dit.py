@@ -294,7 +294,9 @@ def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None):
     if attn_fn is not None:
         o = attn_fn(q, k, v).reshape(b, s, d)
     else:
-        o = attention(q, k, v, prescaled=True).reshape(b, s, d)
+        # q/k are rms-normed -> logits provably bounded, max-free softmax
+        o = attention(q, k, v, prescaled=True,
+                      bounded_logits=True).reshape(b, s, d)
     return _apply_dense(p["o"], o)
 
 
@@ -312,7 +314,8 @@ def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
     v = _apply_dense(p["v"], txt)
     lk = txt.shape[1]
     o = attention(q, k.reshape(b, lk, num_heads, hd),
-                  v.reshape(b, lk, num_heads, hd), prescaled=True)
+                  v.reshape(b, lk, num_heads, hd), prescaled=True,
+                  bounded_logits=True)
     o = o.reshape(b, s, d)
     if has_image_input:
         k_img = rms_norm(_apply_dense(p["k_img"], img), p["norm_k_img"], eps)
@@ -321,6 +324,7 @@ def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
         o_img = attention(
             q, k_img.reshape(b, li, num_heads, hd),
             v_img.reshape(b, li, num_heads, hd), prescaled=True,
+            bounded_logits=True,
         ).reshape(b, s, d)
         o = o + o_img
     return _apply_dense(p["o"], o)

@@ -120,7 +120,7 @@ def attention_with_lse(q, k, v, scale=None, impl: Optional[str] = None,
 
 def attention(q, k, v, scale=None, impl: Optional[str] = None,
               prescaled: bool = False, kv_len: Optional[int] = None,
-              bias=None):
+              bias=None, bounded_logits: bool = False):
     """Scaled dot-product attention, (B, S, N, D) in/out.
 
     Video DiT self/cross attention is dense (no causal mask) —
@@ -131,13 +131,17 @@ def attention(q, k, v, scale=None, impl: Optional[str] = None,
     Head-shared biases get their own Pallas kernel
     (``flash_attention_bias`` — the bias tile streams once per batch
     row); per-head biases fall back to the XLA path.
+    ``bounded_logits``: skip softmax max-tracking in the Pallas kernels —
+    pass True ONLY when q/k are rms-normed (then |logits₂| <= √d·log2e
+    < 17, so exp2 cannot overflow and the shift is mathematically
+    unnecessary); ignored on the XLA path.
     """
     resolved = _resolve(impl)
     if resolved == "pallas" and bias is None:
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, prescaled=prescaled,
-                               kv_len=kv_len)
+                               kv_len=kv_len, bounded_logits=bounded_logits)
     if resolved == "pallas" and bias is not None and kv_len is None \
             and bias.ndim == 4 and bias.shape[1] == 1:
         # head-shared additive bias (EliGen regional masks) has its own

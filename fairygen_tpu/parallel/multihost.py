@@ -99,13 +99,21 @@ def make_multihost_mesh(
 
     num_hosts = max(n // n_local, 1)
     if num_hosts > 1:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (data // num_hosts, seq, tensor),
-            (num_hosts, 1, 1),
-            devices=devices,
-        )
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data // num_hosts, seq, tensor),
+                (num_hosts, 1, 1),
+                devices=devices,
+            )
+        except ValueError:
+            # simulated multi-process runtimes (CPU jax.distributed) have
+            # no slice_index topology; group by process so the data axis
+            # spans hosts and seq/tensor stay within one host's devices
+            ordered = sorted(devices,
+                             key=lambda d: (d.process_index, d.id))
+            arr = np.array(ordered).reshape(data, seq, tensor)
     else:
         arr = np.array(devices).reshape(data, seq, tensor)
     return Mesh(arr, (AXES.data, AXES.seq, AXES.tensor))
