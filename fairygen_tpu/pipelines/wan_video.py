@@ -647,6 +647,7 @@ class WanVideoPipeline:
         streaming_vae: bool = False,
         output_type: str = "quantized",
         torch_compat_noise: bool = False,
+        progress_callback=None,  # callable(steps_done, total_steps)
     ):
         f = self.vae_cfg.upsampling_factor if self.vae_cfg else 16
         height, width, num_frames = check_resize_height_width(
@@ -870,6 +871,7 @@ class WanVideoPipeline:
             tea_cache_l1_thresh=tea_cache_l1_thresh,
             tea_cache_model_id=tea_cache_model_id,
             num_inference_steps=num_inference_steps,
+            progress_callback=progress_callback,
         )
         if n_ref:
             # drop the denoised reference frames (reference wan_video.py:312-317)
@@ -1133,7 +1135,7 @@ class WanVideoPipeline:
                  vace_context=None, vace_scale: float = 1.0,
                  camera_tokens=None, reference_latents=None,
                  pose_latents=None, face_pixel_values=None,
-                 face_pixel_values_nega=None):
+                 face_pixel_values_nega=None, progress_callback=None):
         sigmas = jnp.asarray(np.append(scheduler.sigmas, 0.0), jnp.float32)
         timesteps = jnp.asarray(scheduler.timesteps, jnp.float32)
         n = len(scheduler.timesteps)
@@ -1192,6 +1194,11 @@ class WanVideoPipeline:
                                  if pose_latents is not None else None),
                 )
                 s += ln
+                if progress_callback is not None:
+                    # per-dispatch progress for minute-long requests
+                    # (serving streams this; the device work is async, so
+                    # this reports dispatched steps, not retired ones)
+                    progress_callback(int(s), int(n))
             return lat, tea_a, tea_b
 
         if self.dit2_params is not None:

@@ -22,6 +22,7 @@ JSON body, GET /healthz, GET /metrics.
 """
 from __future__ import annotations
 
+import itertools
 import json
 import threading
 import time
@@ -29,6 +30,8 @@ from collections import defaultdict, deque
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable, Dict, List, Optional, Tuple
+
+_req_counter = itertools.count(1)
 
 
 @dataclass
@@ -39,6 +42,12 @@ class Request:
     _done: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[str] = None
+    id: str = field(default_factory=lambda: f"req-{next(_req_counter)}")
+    progress: float = 0.0  # 0..1, updated per dispatch for long requests
+
+    def status(self) -> Dict[str, Any]:
+        return {"id": self.id, "done": self._done.is_set(),
+                "progress": round(self.progress, 4), "error": self.error}
 
     def signature(self) -> Tuple:
         """Compile signature: requests in one batch must share it."""
@@ -64,6 +73,7 @@ class BatchingEngine:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._queues: Dict[Tuple, deque] = defaultdict(deque)
+        self._requests: Dict[str, Request] = {}  # id -> live/finished
         self._lock = threading.Condition()
         self._stop = False
         self._stats = {"requests": 0, "batches": 0, "errors": 0,
@@ -78,8 +88,13 @@ class BatchingEngine:
         with self._lock:
             self._queues[req.signature()].append(req)
             self._stats["requests"] += 1
+            self._requests[req.id] = req
             self._lock.notify()
         return req
+
+    def get(self, request_id: str) -> Optional[Request]:
+        with self._lock:
+            return self._requests.get(request_id)
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
@@ -132,6 +147,11 @@ class BatchingEngine:
             prompts = [r.prompt for r in batch]
             params = dict(batch[0].params)
             try:
+                if getattr(self._generate, "supports_progress", False):
+                    def _progress(frac, _batch=batch):
+                        for r in _batch:
+                            r.progress = frac
+                    params["_progress"] = _progress
                 results = self._generate(prompts, **params)
                 if len(results) != len(batch):
                     raise RuntimeError(
@@ -149,6 +169,7 @@ class BatchingEngine:
                     self._stats["batches"] += 1
                     self._stats["batched_total"] += len(batch)
                 for r in batch:
+                    r.progress = 1.0
                     r._done.set()
 
 
@@ -175,6 +196,30 @@ def t2i_generate_fn(pipe):
         params.setdefault("output_type", "np")
         return [pipe(prompt=p, **params) for p in prompts]
 
+    return fn
+
+
+def video_generate_fn(pipe, *, fps: int = 15):
+    """Adapt a WanVideoPipeline to the engine.
+
+    Requests bucket by (height, width, num_frames, steps, ...) compile
+    signature; generation runs per prompt.  Minute-long requests report
+    per-dispatch denoise progress through the engine (GET /status/<id> on
+    the server), using the pipeline's ``progress_callback`` hook."""
+
+    def fn(prompts, _progress=None, **params):
+        params.setdefault("output_type", "np")
+        outs = []
+        n = len(prompts)
+        for i, p in enumerate(prompts):
+            cb = None
+            if _progress is not None:
+                def cb(done, total, _i=i):  # noqa: E306
+                    _progress((_i + done / max(total, 1)) / n)
+            outs.append(pipe(prompt=p, progress_callback=cb, **params))
+        return outs
+
+    fn.supports_progress = True
     return fn
 
 
@@ -211,6 +256,22 @@ class InferenceServer:
                     self._json(200, {"ok": True})
                 elif self.path == "/metrics":
                     self._json(200, outer.engine.stats())
+                elif self.path.startswith("/status/"):
+                    req = outer.engine.get(self.path[len("/status/"):])
+                    if req is None:
+                        self._json(404, {"error": "unknown request id"})
+                    else:
+                        self._json(200, req.status())
+                elif self.path.startswith("/result/"):
+                    req = outer.engine.get(self.path[len("/result/"):])
+                    if req is None:
+                        self._json(404, {"error": "unknown request id"})
+                    elif not req._done.is_set():
+                        self._json(202, req.status())
+                    elif req.error is not None:
+                        self._json(500, {"error": req.error})
+                    else:
+                        self._json(200, {"result": outer._encode(req.result)})
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -223,6 +284,11 @@ class InferenceServer:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     req = outer.engine.submit(
                         payload["prompt"], **payload.get("params", {}))
+                    if payload.get("async"):
+                        # long-running (video) requests: poll
+                        # /status/<id>, fetch /result/<id>
+                        self._json(202, req.status())
+                        return
                     result = req.wait(timeout=timeout)
                     self._json(200, {"result": outer._encode(result)})
                 except Exception as e:  # noqa: BLE001
