@@ -59,3 +59,19 @@ def shard_batch(mesh: Mesh) -> NamedSharding:
 def shard_tokens(mesh: Mesh, batch_axis_first: bool = True) -> NamedSharding:
     """(B, S, D) activations: batch over data axis, tokens over seq axis."""
     return NamedSharding(mesh, P(AXES.data, AXES.seq))
+
+
+def shard_batch_over_data(x, mesh: Mesh):
+    """Pad the leading axis to a multiple of the data-axis size and place
+    the array batch-sharded.  Returns (sharded, n_pad) — callers drop the
+    last n_pad rows of the result (used to spread independent work items,
+    e.g. VAE decode tiles, across chips)."""
+    import jax
+
+    n_data = mesh.shape[AXES.data]
+    n_pad = (-x.shape[0]) % n_data
+    if n_pad:
+        import jax.numpy as jnp
+
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], n_pad, axis=0)], axis=0)
+    return jax.device_put(x, shard_batch(mesh)), n_pad

@@ -53,9 +53,15 @@ def _tile_tasks(H, W, size, stride):
 def vae38_tiled_decode(params, cfg: WanVAEConfig, latents,
                        tile_size: Tuple[int, int] = (30, 52),
                        tile_stride: Tuple[int, int] = (15, 26),
-                       streaming: bool = True):
+                       streaming: bool = True, mesh=None):
     """latents (B, z, T, H, W) -> video (B, 3, T', H·f, W·f), tile sizes in
-    latent units (reference defaults tile 30x52 stride 15x26 ≈ 480x832 px)."""
+    latent units (reference defaults tile 30x52 stride 15x26 ≈ 480x832 px).
+
+    ``mesh``: shard the independent tiles over the mesh ``data`` axis —
+    same-shape tiles are stacked along the batch axis and decoded in one
+    SPMD program (per-sample numerics identical to the sequential path;
+    the 720p decode is the single-chip tail of the v5e-8 projection, and
+    its tiles are embarrassingly parallel)."""
     B, C, T, H, W = latents.shape
     f = cfg.upsampling_factor
     size_h, size_w = tile_size
@@ -65,19 +71,40 @@ def vae38_tiled_decode(params, cfg: WanVAEConfig, latents,
     values = np.zeros((B, 3, out_T, H * f, W * f), np.float32)
     weight = np.zeros((1, 1, 1, H * f, W * f), np.float32)
 
+    tasks = []
     for h, h_, w, w_ in _tile_tasks(H, W, tile_size, tile_stride):
         h_, w_ = min(h + size_h, H), min(w + size_w, W)
-        tile = latents[:, :, :, h:h_, w:w_]
-        dec = vae38_decode(params, cfg, tile, streaming=streaming, clamp=False)
+        tasks.append((h, h_, w, w_))
+
+    # group same-shape tiles so each group decodes as ONE batched call
+    groups: dict = {}
+    for t in tasks:
+        h, h_, w, w_ = t
+        groups.setdefault((h_ - h, w_ - w), []).append(t)
+
+    for (th_, tw_), group in groups.items():
+        batch = jnp.concatenate(
+            [latents[:, :, :, h:h_, w:w_] for h, h_, w, w_ in group], axis=0)
+        if mesh is not None:
+            from ...core.meshes import shard_batch_over_data
+
+            batch, n_pad = shard_batch_over_data(batch, mesh)
+        dec = vae38_decode(params, cfg, batch, streaming=streaming,
+                           clamp=False)
         dec = np.asarray(dec.astype(jnp.float32))
-        mask = _build_mask(
-            dec.shape[-2], dec.shape[-1],
-            is_bound=(h == 0, h_ >= H, w == 0, w_ >= W),
-            border_width=((size_h - stride_h) * f, (size_w - stride_w) * f),
-        )
-        th, tw = h * f, w * f
-        values[:, :, :, th:th + dec.shape[-2], tw:tw + dec.shape[-1]] += dec * mask
-        weight[:, :, :, th:th + dec.shape[-2], tw:tw + dec.shape[-1]] += mask
+        if mesh is not None and n_pad:
+            dec = dec[: dec.shape[0] - n_pad]
+        for i, (h, h_, w, w_) in enumerate(group):
+            d = dec[i * B:(i + 1) * B]
+            mask = _build_mask(
+                d.shape[-2], d.shape[-1],
+                is_bound=(h == 0, h_ >= H, w == 0, w_ >= W),
+                border_width=((size_h - stride_h) * f,
+                              (size_w - stride_w) * f),
+            )
+            ph, pw = h * f, w * f
+            values[:, :, :, ph:ph + d.shape[-2], pw:pw + d.shape[-1]] += d * mask
+            weight[:, :, :, ph:ph + d.shape[-2], pw:pw + d.shape[-1]] += mask
     values = values / weight
     return jnp.clip(jnp.asarray(values), -1, 1)
 

@@ -888,6 +888,7 @@ class WanVideoPipeline:
             video = vae38_tiled_decode(
                 self.vae_params, self.vae_cfg, latents.astype(self.dtype),
                 tile_size=tile_size, tile_stride=tile_stride,
+                mesh=self.mesh,
             )
         else:
             video = vae38_decode(self.vae_params, self.vae_cfg,

@@ -61,3 +61,23 @@ def test_temporal_tiler_identity_model():
     out = temporal_tiled_model_fn(model_fn, lat, sliding_window_size=5,
                                   sliding_window_stride=3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(lat) * 2.0, atol=1e-5)
+
+
+def test_tiled_decode_mesh_sharded_matches_sequential(goldens):
+    """Tiles sharded over the mesh data axis (batched same-shape groups)
+    must reproduce the sequential tile loop (per-sample numerics are
+    identical; only tile scheduling changes)."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fairygen_tpu.core.meshes import make_mesh
+
+    params = _params(goldens)
+    z = jnp.asarray(goldens("wan_vae")["z"])  # tiny latent
+    kw = dict(tile_size=(2, 2), tile_stride=(1, 2), streaming=False)
+    seq = np.asarray(vae38_tiled_decode(params, CFG, z, **kw))
+    mesh = make_mesh(data=8, seq=1)
+    par = np.asarray(vae38_tiled_decode(params, CFG, z, mesh=mesh, **kw))
+    np.testing.assert_allclose(par, seq, atol=1e-6)
