@@ -133,7 +133,7 @@ def flux2_double_block(p, img, txt, mod_img, mod_txt, cos, sin,
     q = _apply_rope(jnp.concatenate([qt, qi], 1), cos, sin)
     k = _apply_rope(jnp.concatenate([kt, ki], 1), cos, sin)
     v = jnp.concatenate([vt, vi], 1)
-    o = attention(q, k, v)
+    o = attention(q, k, v, bounded_logits=True)
     b, l, _, _ = o.shape
     o = o.reshape(b, l, n * cfg.head_dim)
     lt = txt.shape[1]
@@ -160,7 +160,7 @@ def flux2_single_block(p, x, mod, cos, sin, cfg: Flux2DiTConfig):
     k = rms_norm(k, p["norm_k"], 1e-5)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    att = attention(q, k, v)
+    att = attention(q, k, v, bounded_logits=True)
     b, l, _, _ = att.shape
     att = att.reshape(b, l, d)
     x1, x2 = jnp.split(mlp, 2, axis=-1)

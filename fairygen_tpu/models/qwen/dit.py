@@ -194,7 +194,8 @@ def qwen_block(p, img, txt, cond, rope, cfg: QwenImageDiTConfig,
     q = jnp.concatenate([qt, qi], axis=1)
     k = jnp.concatenate([kt, ki], axis=1)
     v = jnp.concatenate([vt, vi], axis=1)
-    o = attention(q, k, v, bias=attn_bias)
+    # q/k rms-normed -> bounded logits (max-free pallas softmax)
+    o = attention(q, k, v, bias=attn_bias, bounded_logits=True)
     b, l, _, _ = o.shape
     o = o.reshape(b, l, n * cfg.head_dim)
     lt = txt.shape[1]

@@ -137,11 +137,12 @@ def longcat_block(p, x, ctx, t_mod6, cos, sin, cfg: LongCatDiTConfig,
     if num_cond:
         nc = num_cond * per
         # cond queries attend cond tokens only; noise queries attend all
-        o_cond = attention(q[:, :nc], k[:, :nc], v[:, :nc])
-        o_noise = attention(q[:, nc:], k, v)
+        o_cond = attention(q[:, :nc], k[:, :nc], v[:, :nc],
+                           bounded_logits=True)
+        o_noise = attention(q[:, nc:], k, v, bounded_logits=True)
         o = jnp.concatenate([o_cond, o_noise], axis=1)
     else:
-        o = attention(q, k, v)
+        o = attention(q, k, v, bounded_logits=True)
     att = _dense(p["proj"], o.reshape(b, n, nh * hd))
     x = (x.astype(jnp.float32)
          + (g_a * att.astype(jnp.float32).reshape(b, T, per, c)).reshape(

@@ -261,7 +261,7 @@ def s2v_dit_block(p, x, ctx, t_mod2, seq_len_x, freqs, cfg: S2VConfig):
     v = _apply_dense(a["v"], y).reshape(b, s, n, hd)
     q = rope_apply(q, freqs)
     k = rope_apply(k, freqs)
-    o = attention(q, k, v).reshape(b, s, d)
+    o = attention(q, k, v, bounded_logits=True).reshape(b, s, d)
     x = x + g_msa * _apply_dense(a["o"], o)
     y = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
     x = x + _cross_attention(p["cross_attn"], y, ctx, n, cfg.eps, False)

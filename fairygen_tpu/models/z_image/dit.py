@@ -118,7 +118,7 @@ def _attention(p, x, cos, sin, cfg: ZImageDiTConfig):
     k = rms_norm(k, p["norm_k"], 1e-5)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    o = attention(q, k, v).reshape(b, l, n * hd)
+    o = attention(q, k, v, bounded_logits=True).reshape(b, l, n * hd)
     return _dense(p["to_out"], o)
 
 
