@@ -162,10 +162,26 @@ def run_sdxl_distill_experiment(
     lr: float = 1e-4,
     seed: int = 0,
     log_every: int = 0,
+    perturb: float = 0.0,
 ) -> Dict[str, float]:
     """SDXL LCM/direct distillation run; returns before/after PSNR of the
-    student's few-step LCM rollout vs the teacher's full DDIM rollout."""
+    student's few-step LCM rollout vs the teacher's full DDIM rollout.
+
+    ``perturb``: relative Gaussian noise added to the student init.  The
+    consistency objective is near a fixed point when student == teacher
+    (it scores self-consistency along the teacher ODE), so demonstrating
+    that it OPTIMIZES requires starting the student off the teacher."""
     student = jax.tree.map(jnp.copy, teacher_params)
+    if perturb:
+        pkey = jax.random.PRNGKey(seed + 1)
+        leaves, treedef = jax.tree.flatten(student)
+        keys = jax.random.split(pkey, len(leaves))
+        leaves = [
+            l + perturb * jnp.std(l) * jax.random.normal(kk, l.shape, l.dtype)
+            if l.ndim >= 1 and jnp.issubdtype(l.dtype, jnp.floating) else l
+            for l, kk in zip(leaves, keys)
+        ]
+        student = jax.tree.unflatten(treedef, leaves)
     init_state, train_step = make_sdxl_distill_train_step(
         unet_fn, optax.adam(lr), teacher_params, method=method,
         num_student_steps=num_student_steps,
@@ -194,7 +210,9 @@ def run_sdxl_distill_experiment(
             print(f"  sdxl step {i + 1}: loss {losses[-1]:.6f}")
     psnr_after = eval_psnr(state.params)
     return dict(psnr_before=psnr_before, psnr_after=psnr_after,
-                loss_first=losses[0], loss_last=float(np.mean(losses[-10:])),
+                loss_first=losses[0],
+                loss_early=float(np.mean(losses[:10])),
+                loss_last=float(np.mean(losses[-10:])),
                 losses=losses, params=state.params)
 
 
@@ -209,6 +227,7 @@ def run_sdxl_golden_experiment(
     pool: int = 4,
     seed: int = 0,
     log_every: int = 0,
+    perturb: float = 0.0,
 ) -> Dict[str, float]:
     """SDXL distillation against the committed tiny golden UNet (real
     converted weights, the same checkpoint the BrushNet trainer tests use)."""
@@ -259,5 +278,5 @@ def run_sdxl_golden_experiment(
         method=method, num_train_steps=num_train_steps,
         num_student_steps=num_student_steps,
         num_teacher_steps=num_teacher_steps, lr=lr, seed=seed,
-        log_every=log_every,
+        log_every=log_every, perturb=perturb,
     )

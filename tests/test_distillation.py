@@ -50,15 +50,21 @@ def test_sdxl_direct_distillation_trains_a_student():
 
 
 @pytest.mark.slow
-def test_sdxl_consistency_distillation_step_decreases_loss():
-    """Latent-consistency objective (LCM proper): self-consistency loss
-    must fall under optimization."""
+def test_sdxl_consistency_distillation_recovers_perturbed_student():
+    """Latent-consistency objective (LCM proper).  At student == teacher
+    the objective sits near its fixed point (loss ~1e-3), so the
+    demonstration starts from a perturbed student: optimization must
+    pull the self-consistency loss back down and must not degrade the
+    rollout."""
     from fairygen_tpu.training.distill_experiment import (
         run_sdxl_golden_experiment,
     )
 
     r = run_sdxl_golden_experiment(method="consistency", num_train_steps=80,
-                                   num_teacher_steps=25, lr=3e-4)
-    assert r["loss_last"] < r["loss_first"], r
-    # the consistency student must not DEGRADE the rollout
+                                   num_teacher_steps=25, lr=3e-4,
+                                   perturb=0.05)
+    # per-step losses are noisy across random timesteps: compare the
+    # first-10 mean against the last-10 mean
+    assert r["loss_last"] < 0.6 * r["loss_early"], r
+    # training from the perturbed start must not DEGRADE the rollout
     assert r["psnr_after"] > r["psnr_before"] - 1.0, r
