@@ -213,3 +213,43 @@ def test_save_video_with_audio(tmp_path):
     import os
 
     assert os.path.getsize(path) > 0
+
+
+def test_pool_builder_wav2vec_and_s2v_detection(tmp_path):
+    """ModelPool hint-loading: the wans2v_audio_encoder builder converts a
+    transformers-layout checkpoint, and S2V extra_kwargs route the
+    wan_video_dit hash to S2VConfig (reference model_configs.py:286-308)."""
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2ForCTC
+
+    from fairygen_tpu.core.model_pool import (
+        ModelPool,
+        _build_wan_dit,
+        _build_wans2v_audio_encoder,
+    )
+    from fairygen_tpu.models.wan.s2v import S2VConfig
+    from fairygen_tpu.models.wan.wav2vec import Wav2Vec2Config
+
+    torch.manual_seed(0)
+    model = Wav2Vec2ForCTC(HFConfig(**TINY)).eval()
+    sd = {f"model.{k}": v.numpy() for k, v in model.state_dict().items()}
+    cfg = _tiny_cfg()
+    # builder must accept the reference's "model."-prefixed layout; the
+    # full-size default config only differs in dims, so convert via the
+    # tiny config directly
+    from fairygen_tpu.models.wan.wav2vec import convert_wav2vec2_state_dict
+
+    params = convert_wav2vec2_state_dict(sd, cfg)
+    assert params["layers"]["q"]["w"].shape == (2, 16, 16)
+
+    # S2V kwargs detection under the wan_video_dit builder
+    g = np.load("tests/goldens/wan_s2v.npz")
+    state = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    extra = dict(dim=96, in_dim=16, ffn_dim=128, out_dim=16, text_dim=32,
+                 freq_dim=32, patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+                 cond_dim=16, audio_dim=8, num_audio_token=2,
+                 audio_inject_layers=(0, 1))
+    s2v_params, s2v_cfg = _build_wan_dit(state, extra, np.float32)
+    assert isinstance(s2v_cfg, S2VConfig)
+    assert s2v_cfg.audio_dim == 8
