@@ -91,3 +91,39 @@ def test_flash_bias_matches_xla_interpret():
     ref = xla_attention(q, k, v, bias=bias[:, None])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "shape,kv_len",
+    [
+        ((1, 777, 2, 64), None),   # ragged seq (pad-masked columns)
+        ((1, 512, 2, 64), 300),    # explicit ragged kv (Ulysses padding)
+        ((1, 300, 2, 64), None),   # small-kv single-tile path
+        ((2, 2100, 4, 128), None),  # multi-tile streaming path
+    ],
+)
+def test_bounded_logits_matches_default(shape, kv_len):
+    """Max-free (bounded-logits) kernels must equal the max-tracking path
+    bit-close on rms-norm-scale inputs, including pad masking and the
+    explicit kv_len ragged path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, n, d = shape
+    ks = jax.random.split(jax.random.key(11), 3)
+    # rms-norm-scale magnitudes (the precondition for bounded_logits)
+    q = jax.random.normal(ks[0], (b, s, n, d), jnp.float32)
+    q = q / jnp.sqrt(jnp.mean(q * q, -1, keepdims=True))
+    k = jax.random.normal(ks[1], (b, s, n, d), jnp.float32)
+    k = k / jnp.sqrt(jnp.mean(k * k, -1, keepdims=True))
+    v = jax.random.normal(ks[2], (b, s, n, d), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_fwd_impl(q, k, v, None, kv_len=kv_len,
+                              bounded_logits=True)
+    valid = None if kv_len is None else jnp.arange(s) < kv_len
+    from fairygen_tpu.ops.attention import xla_attention as _xla
+
+    ref = _xla(q, k[:, :kv_len] if kv_len else k,
+               v[:, :kv_len] if kv_len else v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
