@@ -1,0 +1,140 @@
+"""TeaCache coefficient calibration.
+
+The reference ships fixed per-model-id polynomial tables
+(``wan_video.py:1026-1035``) with no entry for Wan2.2-TI2V-5B and no way
+to produce one.  This module implements the calibration recipe the
+TeaCache method is built on: run the FULL (uncached) model over real
+denoise trajectories, record per step
+
+  * x = relative L1 drift of the timestep-modulation signal ``t_mod``
+    (exactly the quantity the runtime gate measures,
+    ``utils/tea_cache.py:74-77``), and
+  * y = relative L1 drift of the model output between consecutive steps
+    (the quantity the gate is trying to PREDICT — skipping a step reuses
+    the previous residual, so the approximation error is the output
+    drift),
+
+then least-squares fit the degree-4 polynomial mapping x -> y.  Plugging
+the fitted coefficients into ``TEACACHE_COEFFICIENTS`` makes
+``pipe(tea_cache_l1_thresh=...)`` thresholds mean "accumulated predicted
+relative output error" for the calibrated model, the same semantics the
+reference's published tables have for theirs.
+
+Usage (any Wan-family checkpoint):
+
+    from fairygen_tpu.utils.tea_cache_calibration import (
+        calibrate_wan_tea_cache, register_tea_cache_coefficients)
+    coeffs, pairs = calibrate_wan_tea_cache(params, cfg, latents, contexts)
+    register_tea_cache_coefficients("Wan2.2-TI2V-5B", coeffs)
+
+or ``tools/calibrate_tea_cache.py`` from checkpoint files.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .tea_cache import TEACACHE_COEFFICIENTS
+
+
+def register_tea_cache_coefficients(model_id: str,
+                                    coefficients: Sequence[float]):
+    """Install (or override) a coefficient entry at runtime; the pipeline's
+    ``tea_cache_model_id=`` then accepts ``model_id``."""
+    TEACACHE_COEFFICIENTS[model_id] = [float(c) for c in coefficients]
+
+
+def fit_tea_cache_coefficients(x_drift: np.ndarray, y_drift: np.ndarray,
+                               deg: int = 4) -> List[float]:
+    """Least-squares polynomial fit (highest power first, matching
+    ``jnp.polyval`` and the reference tables)."""
+    x = np.asarray(x_drift, np.float64)
+    y = np.asarray(y_drift, np.float64)
+    if len(x) <= deg:
+        raise ValueError(
+            f"need more than {deg} (x, y) pairs to fit a degree-{deg} "
+            f"polynomial, got {len(x)} — calibrate over more steps")
+    return [float(c) for c in np.polyfit(x, y, deg)]
+
+
+def _rel_l1(curr: np.ndarray, prev: np.ndarray) -> float:
+    num = float(np.abs(curr.astype(np.float64) - prev.astype(np.float64)).mean())
+    den = float(np.abs(prev.astype(np.float64)).mean())
+    return num / max(den, 1e-12)
+
+
+def capture_wan_drift_pairs(
+    params,
+    cfg,
+    latents,  # (B, C, F, H, W) initial noise
+    context,  # (B, L, text_dim)
+    *,
+    num_inference_steps: int = 50,
+    sigma_shift: float = 5.0,
+    fuse_vae_embedding_in_latents: Optional[bool] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run one full (uncached) flow-match rollout and collect the per-step
+    (t_mod drift, output drift) pairs.  Returns (xs, ys), one entry per
+    step transition (num_inference_steps - 1 of them)."""
+    from ..diffusion.flow_match import FlowMatchScheduler
+    from ..models.wan.dit import time_embedding, wan_dit_forward
+
+    if fuse_vae_embedding_in_latents is None:
+        fuse_vae_embedding_in_latents = cfg.fuse_vae_embedding_in_latents
+
+    sched = FlowMatchScheduler("Wan").set_timesteps(num_inference_steps,
+                                                    shift=sigma_shift)
+    sigmas = np.append(np.asarray(sched.sigmas), 0.0)
+    timesteps = np.asarray(sched.timesteps)
+
+    lat = latents
+    prev_tmod = prev_out = None
+    xs, ys = [], []
+    for i in range(num_inference_steps):
+        t = jnp.broadcast_to(jnp.asarray(timesteps[i], jnp.float32),
+                             (lat.shape[0],))
+        if cfg.seperated_timestep and fuse_vae_embedding_in_latents:
+            # the runtime gate sees the two-segment t_mod (dit.py seg path)
+            uniq_t = jnp.stack(
+                [jnp.zeros_like(t), t.astype(lat.dtype)], axis=1)
+            _, t_mod = time_embedding(params, cfg, uniq_t)
+        else:
+            _, t_mod = time_embedding(params, cfg, t)
+        v = wan_dit_forward(
+            params, cfg, lat, t, context,
+            fuse_vae_embedding_in_latents=fuse_vae_embedding_in_latents)
+        t_mod_np = np.asarray(t_mod, np.float32)
+        v_np = np.asarray(v, np.float32)
+        if prev_tmod is not None:
+            xs.append(_rel_l1(t_mod_np, prev_tmod))
+            ys.append(_rel_l1(v_np, prev_out))
+        prev_tmod, prev_out = t_mod_np, v_np
+        lat = lat + v.astype(lat.dtype) * jnp.asarray(
+            sigmas[i + 1] - sigmas[i], lat.dtype)
+    return np.asarray(xs), np.asarray(ys)
+
+
+def calibrate_wan_tea_cache(
+    params,
+    cfg,
+    latents_list,  # list of initial-noise draws
+    contexts_list,  # list of matching contexts
+    *,
+    num_inference_steps: int = 50,
+    sigma_shift: float = 5.0,
+    deg: int = 4,
+) -> Tuple[List[float], Tuple[np.ndarray, np.ndarray]]:
+    """Calibrate over several (noise, context) trajectories (the reference
+    tables were fit over prompt sets the same way)."""
+    all_x, all_y = [], []
+    for lat, ctx in zip(latents_list, contexts_list):
+        x, y = capture_wan_drift_pairs(
+            params, cfg, lat, ctx, num_inference_steps=num_inference_steps,
+            sigma_shift=sigma_shift)
+        all_x.append(x)
+        all_y.append(y)
+    xs = np.concatenate(all_x)
+    ys = np.concatenate(all_y)
+    return fit_tea_cache_coefficients(xs, ys, deg=deg), (xs, ys)
