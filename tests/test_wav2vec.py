@@ -253,3 +253,50 @@ def test_pool_builder_wav2vec_and_s2v_detection(tmp_path):
     s2v_params, s2v_cfg = _build_wan_dit(state, extra, np.float32)
     assert isinstance(s2v_cfg, S2VConfig)
     assert s2v_cfg.audio_dim == 8
+
+
+def test_full_xlsr53_config_shapes_abstractly():
+    """The production config (24 layers, hidden 1024) wires up: eval_shape
+    the whole forward so dimension mistakes fail fast without allocating
+    the 300M params."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Wav2Vec2Config()  # XLSR-53 defaults
+
+    def build_and_run(wave):
+        rng = np.random.RandomState(0)
+        # shape-only init via eval_shape of the init itself is awkward
+        # (numpy RandomState); build abstract params directly
+        def lw(din, dout):
+            return {"w": jnp.zeros((din, dout)), "b": jnp.zeros((dout,))}
+
+        def ln(d):
+            return {"w": jnp.zeros((d,)), "b": jnp.zeros((d,))}
+
+        conv_layers = []
+        cin = 1
+        for cout, k in zip(cfg.conv_dim, cfg.conv_kernel):
+            conv_layers.append({"conv": {"w": jnp.zeros((k, cin, cout)),
+                                         "b": jnp.zeros((cout,))},
+                                "ln": ln(cout)})
+            cin = cout
+        h, f = cfg.hidden_size, cfg.intermediate_size
+        layers = jax.tree.map(
+            lambda x: jnp.zeros((cfg.num_hidden_layers,) + x.shape),
+            {"ln1": ln(h), "q": lw(h, h), "k": lw(h, h), "v": lw(h, h),
+             "o": lw(h, h), "ln2": ln(h), "ffn1": lw(h, f), "ffn2": lw(f, h)})
+        params = {
+            "conv_layers": conv_layers, "fp_ln": ln(cfg.conv_dim[-1]),
+            "fp_proj": lw(cfg.conv_dim[-1], h),
+            "pos_conv": {"w": jnp.zeros((cfg.num_conv_pos_embeddings,
+                                         h // cfg.num_conv_pos_embedding_groups,
+                                         h)),
+                         "b": jnp.zeros((h,))},
+            "layers": layers, "final_ln": ln(h)}
+        return wav2vec2_all_hidden_states(params, cfg, wave)
+
+    out = jax.eval_shape(build_and_run,
+                         jax.ShapeDtypeStruct((1, 16000), jnp.float32))
+    # 16000 samples -> 49 frames at 50 fps (valid-pad conv stack /320)
+    assert out.shape == (25, 1, 49, 1024), out.shape
