@@ -148,10 +148,17 @@ def main():
 
     logger = ModelLogger(args.output_path,
                          remove_prefix_in_ckpt=args.remove_prefix_in_ckpt)
+    if args.resume_from:
+        from fairygen_tpu.training.runner import restore_train_state
+
+        state = restore_train_state(
+            args.resume_from, jax.eval_shape(lambda: state))
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
     launch_training_task(
         state, train_step, dataset, collate,
         num_epochs=args.num_epochs, save_steps=args.save_steps,
         logger=logger, mesh=mesh,
+        preemption_checkpoint=args.preemption_checkpoint,
     )
 
 

@@ -51,6 +51,11 @@ def add_output_config(parser):
     parser.add_argument("--output_path", type=str, default="./models")
     parser.add_argument("--remove_prefix_in_ckpt", type=str, default="pipe.dit.")
     parser.add_argument("--save_steps", type=int, default=None)
+    parser.add_argument("--preemption_checkpoint", type=str, default=None,
+                        help="full-train-state path saved on SIGTERM/SIGINT "
+                             "(resume with --resume_from)")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="orbax train-state checkpoint to resume from")
     return parser
 
 

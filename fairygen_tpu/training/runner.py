@@ -97,6 +97,46 @@ def restore_train_state(path: str, abstract_state):
         return ckptr.restore(os.path.abspath(path), abstract_state)
 
 
+class PreemptionGuard:
+    """Preemption-safe training (TPU VMs get SIGTERM'd): on SIGTERM/SIGINT
+    set a flag; the training loop checkpoints the FULL train state at the
+    next step boundary and exits cleanly, so `--resume` continues exactly
+    where the preempted run stopped.  The reference has no analogue (its
+    recovery is periodic step checkpoints only — SURVEY §5)."""
+
+    def __init__(self, checkpoint_path: str):
+        self.checkpoint_path = checkpoint_path
+        self.triggered = False
+        self._previous = {}
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            self.triggered = True
+            print(f"[preemption] caught signal {signum}; will checkpoint at "
+                  "the next step boundary", flush=True)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # not the main thread
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._previous.items():
+            signal.signal(sig, prev)
+        return False
+
+    def checkpoint(self, state):
+        save_train_state(self.checkpoint_path, state)
+        print(f"[preemption] train state saved to {self.checkpoint_path}",
+              flush=True)
+
+
 def launch_training_task(
     state,
     train_step: Callable,
@@ -110,17 +150,23 @@ def launch_training_task(
     log_every: int = 10,
     mesh=None,
     metrics_logger=None,  # utils.train_logging.MetricsLogger
+    preemption_checkpoint: Optional[str] = None,
 ):
     """Reference launch_training_task (runner.py:8-47) as a plain loop:
     per-sample batches (collate = identity on element 0), AdamW/schedule
     live inside train_step, loss printed every ``log_every`` (and streamed
-    to JSONL/TensorBoard via ``metrics_logger``)."""
+    to JSONL/TensorBoard via ``metrics_logger``).
+
+    ``preemption_checkpoint``: path for SIGTERM-triggered full-state saves
+    (see PreemptionGuard); the loop exits cleanly after saving."""
     rng = rng if rng is not None else jax.random.key(0)
     step = 0
     import contextlib
 
     ctx = mesh if mesh is not None else contextlib.nullcontext()
-    with ctx:
+    guard = (PreemptionGuard(preemption_checkpoint)
+             if preemption_checkpoint else contextlib.nullcontext())
+    with ctx, guard:
         for epoch in range(num_epochs):
             for sample in dataset:
                 batch = collate_fn(sample)
@@ -133,6 +179,10 @@ def launch_training_task(
                         metrics_logger.log(step, loss=float(loss), epoch=epoch)
                 if logger is not None:
                     logger.on_step_end(state, step, save_steps)
+                if preemption_checkpoint and guard.triggered:
+                    jax.block_until_ready(state.params)
+                    guard.checkpoint(state)
+                    return state
             if logger is not None:
                 logger.on_epoch_end(state, epoch)
     return state
