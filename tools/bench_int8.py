@@ -1,4 +1,11 @@
-# int8 FFN throughput vs bf16 at DiT shapes
+"""int8 W8A8 vs bf16 FFN throughput probe.
+
+WARNING: int8 dot_general HANGS the tunneled (axon) remote compiler —
+run only on directly-attached TPUs (docs/NOTES.md round-2/3 retests).
+
+    PYTHONPATH=/root/repo python tools/bench_int8.py
+"""
+import sys; sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import time, jax, jax.numpy as jnp
 from fairygen_tpu.ops.quant import quantize_dense_params, quantized_dense
 key = jax.random.key(0)
