@@ -340,7 +340,8 @@ def _expand_segments(m, seg: int, s: int):
     )
 
 
-def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None):
+def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None,
+              fused_norms=True):
     """One DiT block — reference wan_video_dit.py:213-229.
 
     t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep), or
@@ -349,6 +350,35 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
     """
     mod = (p["modulation"][None, None].astype(jnp.float32) + t_mod.astype(jnp.float32))
     mod = mod.astype(x.dtype)
+    sp = mod.shape[1]
+    if sp in (1, 2) and fused_norms:
+        # fused LayerNorm->modulate (one HBM pass instead of XLA's
+        # materialized fp32 intermediate — measured 2.7 ms/block exposed,
+        # docs/NOTES.md round-3).  Two-segment rows select per token.
+        from ...ops.fused_norms import affine_rows, layer_norm_modulate
+
+        rows = mod if sp == 2 else jnp.concatenate([mod, mod], axis=1)
+        seg_val = int(seg) if seg is not None else 0
+        if seg is not None:
+            g_msa = _expand_segments(mod[:, :, 2], seg, x.shape[1])
+            g_mlp = _expand_segments(mod[:, :, 5], seg, x.shape[1])
+        else:
+            g_msa, g_mlp = mod[:, 0, 2][:, None], mod[:, 0, 5][:, None]
+
+        y = layer_norm_modulate(x, rows[:, :, 0], rows[:, :, 1], seg_val,
+                                cfg.eps)
+        x = x + g_msa * _self_attention(p["self_attn"], y, freqs,
+                                        cfg.num_heads, cfg.eps, attn_fn)
+        sh3, sc3 = affine_rows(p["norm3"]["w"], p["norm3"]["b"], x.shape[0])
+        y = layer_norm_modulate(x, sh3, sc3, 0, cfg.eps)
+        x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads,
+                                 cfg.eps, cfg.has_image_input)
+        y = layer_norm_modulate(x, rows[:, :, 3], rows[:, :, 4], seg_val,
+                                cfg.eps)
+        ff = _apply_dense(p["ffn"]["fc2"],
+                          _gelu_tanh(_apply_dense(p["ffn"]["fc1"], y)))
+        return x + g_mlp * ff
+
     if seg is not None:
         s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [
             _expand_segments(mod[:, :, i], seg, x.shape[1]) for i in range(6)
@@ -369,7 +399,7 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
 def blocks_forward(
     stacked, x, ctx, t_mod, freqs, cfg: WanDiTConfig, remat: bool = False,
     hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0, attn_fn=None,
-    seg=None,
+    seg=None, fused_norms=True,
 ):
     """lax.scan over the stacked block params (optionally rematerialized).
 
@@ -382,7 +412,8 @@ def blocks_forward(
             p, hint = layer
         else:
             p = layer
-        y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn, seg=seg)
+        y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn, seg=seg,
+                      fused_norms=fused_norms)
         if hints is not None:
             y = y + hint * hint_scale
         return y, None
@@ -633,7 +664,7 @@ def wan_dit_forward(
         for i in range(cfg.num_layers):
             blk = jax.tree.map(lambda a: a[i], params["blocks"])
             x = dit_block(blk, x, ctx, t_mod, freqs, cfg, attn_fn,
-                          seg=seg_boundary)
+                          seg=seg_boundary, fused_norms=mesh is None)
             if vace_hints is not None:
                 x = x + vace_hints[i] * vace_scale
             x = animate_after_transformer_block(
@@ -647,7 +678,7 @@ def wan_dit_forward(
             lambda xx: blocks_forward(
                 params["blocks"], xx, ctx, t_mod, freqs, cfg, remat=remat,
                 hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
-                seg=seg_boundary,
+                seg=seg_boundary, fused_norms=mesh is None,
             ),
             **tea_cache_opts,
         )
@@ -656,7 +687,7 @@ def wan_dit_forward(
         x = blocks_forward(
             params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
             hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
-            seg=seg_boundary,
+            seg=seg_boundary, fused_norms=mesh is None,
         )
     x = head_forward(params["head"], x, t, cfg, seg=seg_boundary)
     if x.shape[1] != s_orig:

@@ -1,0 +1,119 @@
+"""Fused LayerNorm -> modulate Pallas kernel.
+
+The DiT block runs three LayerNorms plus two AdaLN modulations per block
+over the (S, D) activation; measured on v5e these expose ~2.7 ms/block
+even though each is "just" elementwise+reduction — XLA materializes the
+fp32 normalized intermediate between the reduction and the consumer
+matmul (docs/NOTES.md round-3).  This kernel does
+``(x - mean) * rsqrt(var + eps) * (1 + scale) + shift`` in ONE HBM pass:
+read the bf16 tile, reduce in VMEM fp32, select the per-token modulation
+row, write bf16.
+
+The modulation rows come in the DiT's two-segment form (reference
+per-token timestep, wan_video.py:1218-1228: first-frame tokens get row 0,
+the rest row 1) — pass ``(B, 2, D)`` rows and the static ``seg`` boundary.
+Uniform modulation passes the same row twice.  Differentiable via
+custom_vjp (backward recomputes through the reference XLA formula, so
+remat/training paths are unaffected).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .attention import _on_tpu
+
+
+def _ln_mod_reference(x, shift2, scale2, seg: int, eps: float):
+    """Plain-XLA reference (also the backward recompute path)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    idx = jnp.arange(x.shape[1])[None, :, None]
+    sc = jnp.where(idx >= seg, scale2[:, 1:2], scale2[:, 0:1]).astype(jnp.float32)
+    sh = jnp.where(idx >= seg, shift2[:, 1:2], shift2[:, 0:1]).astype(jnp.float32)
+    return (y * (1.0 + sc) + sh).astype(x.dtype)
+
+
+def _ln_mod_kernel(x_ref, sh_ref, sc_ref, o_ref, *, eps, seg, bq):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # (bq, D)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * lax.rsqrt(var + eps)
+    idx = lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0) + i * bq
+    # arithmetic select (mosaic dislikes the (bq,1) i1 x (1,D) broadcast)
+    m = (idx >= seg).astype(jnp.float32)  # (bq, 1)
+    sc0 = sc_ref[0, 0][None, :].astype(jnp.float32)
+    sc1 = sc_ref[0, 1][None, :].astype(jnp.float32)
+    sh0 = sh_ref[0, 0][None, :].astype(jnp.float32)
+    sh1 = sh_ref[0, 1][None, :].astype(jnp.float32)
+    sc = sc0 + m * (sc1 - sc0)
+    sh = sh0 + m * (sh1 - sh0)
+    o_ref[0] = (y * (1.0 + sc) + sh).astype(o_ref.dtype)
+
+
+def _ln_mod_pallas(x, shift2, scale2, seg: int, eps: float, bq: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d = x.shape
+    pad = (-s) % bq
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    sp = xp.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_ln_mod_kernel, eps=eps, seg=seg, bq=bq),
+        grid=(b, sp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((1, 2, d), lambda bb, i: (bb, 0, 0)),
+            pl.BlockSpec((1, 2, d), lambda bb, i: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(xp, shift2, scale2)
+    return out[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def layer_norm_modulate(x, shift2, scale2, seg: int = 0, eps: float = 1e-6):
+    """x (B, S, D); shift2/scale2 (B, 2, D) segment rows; tokens with index
+    >= ``seg`` use row 1 (``seg=0`` => row 1 everywhere — pass the same row
+    twice for uniform modulation)."""
+    if _on_tpu() and x.shape[-1] % 128 == 0:
+        return _ln_mod_pallas(x, shift2, scale2, seg, eps)
+    return _ln_mod_reference(x, shift2, scale2, seg, eps)
+
+
+def _ln_mod_fwd(x, shift2, scale2, seg, eps):
+    return layer_norm_modulate(x, shift2, scale2, seg, eps), (x, shift2, scale2)
+
+
+def _ln_mod_bwd(seg, eps, res, g):
+    x, shift2, scale2 = res
+    _, vjp = jax.vjp(
+        lambda x_, sh_, sc_: _ln_mod_reference(x_, sh_, sc_, seg, eps),
+        x, shift2, scale2)
+    return vjp(g)
+
+
+layer_norm_modulate.defvjp(_ln_mod_fwd, _ln_mod_bwd)
+
+
+def affine_rows(weight, bias, batch: int):
+    """Affine LayerNorm (y*w + b) as modulation rows: scale = w - 1,
+    shift = b, duplicated so both segments match."""
+    sc = jnp.broadcast_to((weight - 1.0)[None, None], (batch, 2, weight.shape[0]))
+    sh = jnp.broadcast_to(bias[None, None], (batch, 2, bias.shape[0]))
+    return sh, sc
