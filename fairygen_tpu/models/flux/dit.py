@@ -33,6 +33,7 @@ import numpy as np
 from ...ops.attention import attention
 from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import layer_norm, rms_norm
+from ...ops.fused_norms import ln_modulate
 
 _LOG2E = 1.4426950408889634
 
@@ -217,18 +218,18 @@ def flux_double_block(p, xa, xb, cond, cos, sin, cfg: FluxDiTConfig,
         p["norm1_a"], cond, 6, hot.get("norm1_a.linear"))
     sh_b, sc_b, g_b, sh_mb, sc_mb, g_mb = _adaln(
         p["norm1_b"], cond, 6, hot.get("norm1_b.linear"))
-    ya = layer_norm(xa, cfg.eps) * (1 + sc_a) + sh_a
-    yb = layer_norm(xb, cfg.eps) * (1 + sc_b) + sh_b
+    ya = ln_modulate(xa, sh_a, sc_a, cfg.eps)
+    yb = ln_modulate(xb, sh_b, sc_b, cfg.eps)
     att_a, att_b = _joint_attention(p["attn"], ya, yb, cos, sin, cfg,
                                     prescaled, ip, attn_bias, hot)
     xa = xa + g_a * att_a
-    ya = layer_norm(xa, cfg.eps) * (1 + sc_ma) + sh_ma
+    ya = ln_modulate(xa, sh_ma, sc_ma, cfg.eps)
     xa = xa + g_ma * _hdense(
         p["ff_a"]["fc2"],
         jax.nn.gelu(_hdense(p["ff_a"]["fc1"], ya, hot.get("ff_a.0"))),
         hot.get("ff_a.2"))
     xb = xb + g_b * att_b
-    yb = layer_norm(xb, cfg.eps) * (1 + sc_mb) + sh_mb
+    yb = ln_modulate(xb, sh_mb, sc_mb, cfg.eps)
     xb = xb + g_mb * _hdense(
         p["ff_b"]["fc2"],
         jax.nn.gelu(_hdense(p["ff_b"]["fc1"], yb, hot.get("ff_b.0"))),
@@ -243,7 +244,7 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
     projection, parallel attention/GELU, joint output projection."""
     n, d = cfg.num_heads, cfg.dim
     shift, scale, gate = _adaln(p["norm"], cond, 3, hot.get("norm.linear"))
-    y = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    y = ln_modulate(x, shift, scale, cfg.eps)
     h = _hdense(p["to_qkv_mlp"], y, hot.get("to_qkv_mlp"))
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
     q, k, v = jnp.split(_split_heads(qkv, 3 * n), 3, axis=2)
@@ -442,7 +443,7 @@ def flux_dit_forward(
 
         p0 = jax.tree.map(lambda a: a[0], params["double_blocks"]["norm1_a"])
         sh0, sc0 = _adaln(p0, cond, 6)[:2]
-        modulated = layer_norm(x, cfg.eps) * (1 + sc0) + sh0
+        modulated = ln_modulate(x, sh0, sc0, cfg.eps)
         x, new_tc = tea_cache_blocks(
             tea_cache_state, x, modulated, run_blocks,
             model_id=tea_cache_opts.get("model_id", "FLUX.1"),
@@ -453,7 +454,7 @@ def flux_dit_forward(
         x = run_blocks(x)
 
     shift, scale = _adaln(params["final_norm_out"], cond, 2)
-    x = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    x = ln_modulate(x, shift, scale, cfg.eps)
     x = _dense(params["final_proj_out"], x)
     if kontext_latents is not None:
         x = x[:, : (h // 2) * (w // 2)]

@@ -31,6 +31,7 @@ import numpy as np
 from ...ops.attention import attention
 from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import layer_norm, rms_norm
+from ...ops.fused_norms import ln_modulate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,8 +121,8 @@ def flux2_double_block(p, img, txt, mod_img, mod_txt, cos, sin,
     n = cfg.num_heads
     (sh, sc, g), (sh2, sc2, g2) = mod_img
     (csh, csc, cg), (csh2, csc2, cg2) = mod_txt
-    yi = layer_norm(img, cfg.eps) * (1 + sc) + sh
-    yt = layer_norm(txt, cfg.eps) * (1 + csc) + csh
+    yi = ln_modulate(img, sh, sc, cfg.eps)
+    yt = ln_modulate(txt, csh, csc, cfg.eps)
 
     a = p["attn"]
     qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], 1e-5)
@@ -140,9 +141,9 @@ def flux2_double_block(p, img, txt, mod_img, mod_txt, cos, sin,
     txt = txt + cg * _dense(a["to_add_out"], o[:, :lt])
     img = img + g * _dense(a["to_out"], o[:, lt:])
 
-    yi = layer_norm(img, cfg.eps) * (1 + sc2) + sh2
+    yi = ln_modulate(img, sh2, sc2, cfg.eps)
     img = img + g2 * _swiglu_ff(p["ff"], yi)
-    yt = layer_norm(txt, cfg.eps) * (1 + csc2) + csh2
+    yt = ln_modulate(txt, csh2, csc2, cfg.eps)
     txt = txt + cg2 * _swiglu_ff(p["ff_context"], yt)
     return img, txt
 
@@ -152,7 +153,7 @@ def flux2_single_block(p, x, mod, cos, sin, cfg: Flux2DiTConfig):
     n, d = cfg.num_heads, cfg.dim
     mlp_hidden = int(d * cfg.mlp_ratio)
     sh, sc, g = mod
-    y = layer_norm(x, cfg.eps) * (1 + sc) + sh
+    y = ln_modulate(x, sh, sc, cfg.eps)
     h = _dense(p["to_qkv_mlp"], y)
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
     q, k, v = jnp.split(_heads(qkv, 3 * n), 3, axis=2)
@@ -241,7 +242,7 @@ def flux2_dit_forward(
     # AdaLayerNormContinuous(elementwise_affine=False, bias=False, eps=1e-6)
     emb = _dense(params["norm_out"], jax.nn.silu(temb))[:, None, :]
     scale, shift = jnp.split(emb, 2, axis=-1)
-    x = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    x = ln_modulate(x, shift, scale, cfg.eps)
     return _dense(params["proj_out"], x)
 
 

@@ -30,6 +30,7 @@ import numpy as np
 from ...ops.attention import attention
 from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import layer_norm, rms_norm
+from ...ops.fused_norms import ln_modulate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,7 +166,8 @@ def _modulate(x, mod, eps, index=None):
         scale = jnp.where(sel, scale[bh:, None], scale[:bh, None])
         gate = jnp.where(sel, gate[bh:, None], gate[:bh, None])
     else:
-        shift, scale, gate = (shift[:, None], scale[:, None], gate[:, None])
+        return (ln_modulate(x, shift[:, None], scale[:, None], eps),
+                gate[:, None])
     return layer_norm(x, eps) * (1 + scale) + shift, gate
 
 
@@ -322,7 +324,7 @@ def qwen_image_dit_forward(
     final_cond = cond[:1] if zero_cond_t else cond
     emb = _dense(params["norm_out"], jax.nn.silu(final_cond))
     scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
-    x = layer_norm(x, cfg.eps) * (1 + scale) + shift
+    x = ln_modulate(x, shift, scale, cfg.eps)
     x = _dense(params["proj_out"], x)
     x = x[:, :n_img]
     if layered:

@@ -111,6 +111,25 @@ def _ln_mod_bwd(seg, eps, res, g):
 layer_norm_modulate.defvjp(_ln_mod_fwd, _ln_mod_bwd)
 
 
+def ln_modulate(x, shift, scale, eps: float = 1e-6):
+    """Uniform AdaLN: ``layer_norm(x) * (1 + scale) + shift`` with
+    shift/scale of shape (B, 1, D) / (B, D) (one modulation row per
+    sample — the FLUX/Qwen/FLUX.2 adaLN form, reference
+    flux_dit.py:108-148).  On TPU this routes through the fused Pallas
+    kernel (one HBM pass); elsewhere it is exactly the legacy XLA
+    expression (bit-identical to the pre-fusion code path)."""
+    if _on_tpu() and x.shape[-1] % 128 == 0 and x.shape[1] >= 256:
+        b, d = x.shape[0], x.shape[-1]
+        sh = jnp.broadcast_to(shift.reshape(shift.shape[0], 1, d), (b, 2, d))
+        sc = jnp.broadcast_to(scale.reshape(scale.shape[0], 1, d), (b, 2, d))
+        return layer_norm_modulate(x, sh, sc, 0, eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return y * (1 + scale) + shift
+
+
 def affine_rows(weight, bias, batch: int):
     """Affine LayerNorm (y*w + b) as modulation rows: scale = w - 1,
     shift = b, duplicated so both segments match."""

@@ -75,6 +75,36 @@ def test_grad_matches_plain_formula():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+def test_ln_modulate_uniform_wrapper():
+    """ln_modulate (the FLUX/Qwen/FLUX.2 adaLN form) == legacy expression,
+    on both the XLA fallback and the kernel path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fairygen_tpu.ops import fused_norms
+    from fairygen_tpu.ops.norms import layer_norm
+
+    ks = jax.random.split(jax.random.key(4), 3)
+    x = jax.random.normal(ks[0], (2, 300, 128), jnp.float32)
+    sh = jax.random.normal(ks[1], (2, 1, 128), jnp.float32)
+    sc = jax.random.normal(ks[2], (2, 1, 128), jnp.float32)
+    legacy = layer_norm(x, 1e-6) * (1 + sc) + sh
+
+    out_cpu = fused_norms.ln_modulate(x, sh, sc, 1e-6)
+    np.testing.assert_array_equal(np.asarray(out_cpu), np.asarray(legacy))
+
+    with pltpu.force_tpu_interpret_mode():
+        rows_sh = jnp.broadcast_to(sh, (2, 2, 128))
+        rows_sc = jnp.broadcast_to(sc, (2, 2, 128))
+        out_kernel = fused_norms._ln_mod_pallas(x, rows_sh, rows_sc, 0, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_kernel), np.asarray(legacy), atol=2e-5, rtol=1e-4)
+
+    # modulation-batch-1 broadcast against a larger x batch
+    out_b = fused_norms.ln_modulate(x, sh[:1], sc[:1], 1e-6)
+    legacy_b = layer_norm(x, 1e-6) * (1 + sc[:1]) + sh[:1]
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(legacy_b))
+
+
 def test_affine_rows_is_affine_layernorm():
     """affine_rows turns (w, b) into rows so the fused op == LN(x)*w + b."""
     ks = jax.random.split(jax.random.key(3), 3)
