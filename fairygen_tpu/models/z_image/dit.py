@@ -30,6 +30,7 @@ import numpy as np
 from ...ops.attention import attention
 from ...ops.rope import apply_interleaved_rope
 from ...ops.norms import rms_norm
+from ...ops.fused_norms import rms_modulate
 
 SEQ_MULTI_OF = 32
 ADALN_EMBED_DIM = 256
@@ -133,14 +134,17 @@ def z_block(p, x, cos, sin, cfg: ZImageDiTConfig, adaln=None):
     else:
         sc_msa = sc_mlp = g_msa = g_mlp = 1.0
 
-    a = _attention(p["attn"], rms_norm(x, p["norm1"], cfg.eps) * sc_msa,
+    mod = adaln is not None
+    a = _attention(p["attn"],
+                   rms_modulate(x, p["norm1"], sc_msa if mod else None,
+                                cfg.eps),
                    cos, sin, cfg)
-    x = x + g_msa * rms_norm(a, p["norm2"], cfg.eps)
-    h = rms_norm(x, p["ffn_norm1"], cfg.eps) * sc_mlp
+    x = x + g_msa * rms_modulate(a, p["norm2"], None, cfg.eps)
+    h = rms_modulate(x, p["ffn_norm1"], sc_mlp if mod else None, cfg.eps)
     ff = _dense(p["ffn"]["w2"],
                 jax.nn.silu(_dense(p["ffn"]["w1"], h))
                 * _dense(p["ffn"]["w3"], h))
-    return x + g_mlp * rms_norm(ff, p["ffn_norm2"], cfg.eps)
+    return x + g_mlp * rms_modulate(ff, p["ffn_norm2"], None, cfg.eps)
 
 
 def z_image_dit_forward(

@@ -396,8 +396,11 @@ def flash_attention_with_lse(q, k, v, scale=None, prescaled=False,
 
 
 def _flash_fwd_impl(q, k, v, scale=None, prescaled=False, kv_len=None,
-                    bounded_logits=False):
-    """q (B,Sq,N,D), k/v (B,Sk,N,D) -> (B,Sq,N,D)."""
+                    bounded_logits=False, bq=None, bk=None):
+    """q (B,Sq,N,D), k/v (B,Sk,N,D) -> (B,Sq,N,D).
+
+    bq/bk override the tile sizes (tools/bench_attention_sweep.py tunes
+    them on hardware; production uses the measured defaults below)."""
     b, sq, n, d = q.shape
     sk = k.shape[1]
     scale_val = float(d**-0.5) if scale is None else float(scale)
@@ -406,8 +409,8 @@ def _flash_fwd_impl(q, k, v, scale=None, prescaled=False, kv_len=None,
     # taller q tile fits VMEM and amortizes k/v streaming better
     # (measured 6.6 -> 5.9 ms at S=8192 with bq=2048 on v5e)
     bq_default = 2048 if bounded_logits else DEFAULT_BQ
-    bq = min(bq_default, max(128, sq))
-    bk = min(DEFAULT_BK, max(128, sk))
+    bq = min(bq_default if bq is None else bq, max(128, sq))
+    bk = min((DEFAULT_BK if bk is None else bk), max(128, sk))
 
     # head-major layout: blocks must keep (seq, d) as the trailing dims
     if not prescaled:

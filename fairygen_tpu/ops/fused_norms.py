@@ -130,6 +130,84 @@ def ln_modulate(x, shift, scale, eps: float = 1e-6):
     return y * (1 + scale) + shift
 
 
+def _rms_mod_reference(x, weight, scale, eps: float):
+    """Bit-identical to ``rms_norm(x, weight, eps) * scale`` (ops/norms)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    out = y.astype(x.dtype) * weight
+    return out if scale is None else out * scale
+
+
+def _rms_mod_kernel(x_ref, w_ref, sc_ref, o_ref, *, eps, has_scale):
+    import jax.lax as lax
+
+    x = x_ref[0].astype(jnp.float32)
+    y = x * lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    out = y.astype(o_ref.dtype) * w_ref[0, 0][None, :]
+    if has_scale:
+        out = out * sc_ref[0, 0][None, :]
+    o_ref[0] = out
+
+
+def _rms_mod_pallas(x, weight, scale, eps: float, bq: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, d = x.shape
+    pad = (-s) % bq
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    sp = xp.shape[1]
+    w = jnp.broadcast_to(weight.astype(x.dtype)[None, None], (b, 1, d))
+    sc = (jnp.broadcast_to(scale.reshape(scale.shape[0], 1, d), (b, 1, d))
+          .astype(x.dtype) if scale is not None
+          else jnp.zeros((b, 1, d), x.dtype))
+    out = pl.pallas_call(
+        functools.partial(_rms_mod_kernel, eps=eps,
+                          has_scale=scale is not None),
+        grid=(b, sp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((1, 1, d), lambda bb, i: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda bb, i: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(xp, w, sc)
+    return out[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _rms_modulate_tpu(x, weight, scale, eps: float):
+    return _rms_mod_pallas(x, weight, scale, eps)
+
+
+def _rms_mod_fwd(x, weight, scale, eps):
+    return _rms_modulate_tpu(x, weight, scale, eps), (x, weight, scale)
+
+
+def _rms_mod_bwd(eps, res, g):
+    x, weight, scale = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, sc_: _rms_mod_reference(x_, w_, sc_, eps),
+        x, weight, scale)
+    return vjp(g)
+
+
+_rms_modulate_tpu.defvjp(_rms_mod_fwd, _rms_mod_bwd)
+
+
+def rms_modulate(x, weight, scale=None, eps: float = 1e-5):
+    """Fused ``rms_norm(x, weight, eps) * scale`` (the Z-Image sandwich-norm
+    form, z_image_dit.py:139-218): one HBM pass on TPU, bit-identical XLA
+    fallback elsewhere.  scale (B, 1, D)/(B, D) or None."""
+    if _on_tpu() and x.shape[-1] % 128 == 0 and x.shape[1] >= 256:
+        return _rms_modulate_tpu(x, weight, scale, eps)
+    return _rms_mod_reference(x, weight, scale, eps)
+
+
 def affine_rows(weight, bias, batch: int):
     """Affine LayerNorm (y*w + b) as modulation rows: scale = w - 1,
     shift = b, duplicated so both segments match."""

@@ -105,6 +105,54 @@ def test_ln_modulate_uniform_wrapper():
     np.testing.assert_array_equal(np.asarray(out_b), np.asarray(legacy_b))
 
 
+@pytest.mark.parametrize("with_scale", [True, False])
+def test_rms_modulate(with_scale):
+    """rms_modulate (Z-Image sandwich form) == rms_norm(x, w) * scale, on
+    the XLA fallback (bit-exact) and the kernel path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fairygen_tpu.ops import fused_norms
+    from fairygen_tpu.ops.norms import rms_norm
+
+    ks = jax.random.split(jax.random.key(5), 3)
+    x = jax.random.normal(ks[0], (2, 300, 128), jnp.float32)
+    w = jax.random.normal(ks[1], (128,), jnp.float32)
+    sc = (jax.random.normal(ks[2], (2, 1, 128), jnp.float32)
+          if with_scale else None)
+    legacy = rms_norm(x, w, 1e-5)
+    if sc is not None:
+        legacy = legacy * sc
+
+    out_cpu = fused_norms.rms_modulate(x, w, sc, 1e-5)
+    np.testing.assert_array_equal(np.asarray(out_cpu), np.asarray(legacy))
+
+    with pltpu.force_tpu_interpret_mode():
+        out_kernel = fused_norms._rms_mod_pallas(x, w, sc, 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_kernel), np.asarray(legacy), atol=2e-5, rtol=1e-4)
+
+
+def test_rms_modulate_grad_matches_plain():
+    from fairygen_tpu.ops import fused_norms
+
+    ks = jax.random.split(jax.random.key(6), 3)
+    x = jax.random.normal(ks[0], (1, 96, 128), jnp.float32)
+    w = jax.random.normal(ks[1], (128,), jnp.float32)
+    sc = jax.random.normal(ks[2], (1, 1, 128), jnp.float32)
+
+    def loss_fused(x, w, sc):
+        return jnp.sum(fused_norms.rms_modulate(x, w, sc, 1e-5) ** 2)
+
+    def loss_ref(x, w, sc):
+        return jnp.sum(fused_norms._rms_mod_reference(x, w, sc, 1e-5) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, sc)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, sc)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_affine_rows_is_affine_layernorm():
     """affine_rows turns (w, b) into rows so the fused op == LN(x)*w + b."""
     ks = jax.random.split(jax.random.key(3), 3)
