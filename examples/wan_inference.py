@@ -49,6 +49,8 @@ def main():
     # acceleration / memory (reference wan_video.py:233-253)
     p.add_argument("--tiled", action="store_true",
                    help="spatially tiled VAE (the reference flagship default)")
+    p.add_argument("--vae_frames_per_chunk", type=int, default=1,
+                   help="batch N latent frames per streamed VAE decode dispatch (faster on TPU; same causal math)")
     p.add_argument("--sliding_window_size", type=int, default=None)
     p.add_argument("--sliding_window_stride", type=int, default=None)
     p.add_argument("--tea_cache_l1_thresh", type=float, default=None)
@@ -144,6 +146,7 @@ def main():
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         cfg_scale=args.cfg_scale, seed=args.seed, streaming_vae=True,
+        vae_frames_per_chunk=args.vae_frames_per_chunk,
         tiled=args.tiled,
         sliding_window_size=args.sliding_window_size,
         sliding_window_stride=args.sliding_window_stride,

@@ -213,15 +213,24 @@ def _silu(x):
     return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
 
 
+def _norm_silu(p_gamma, x):
+    """vae_rms_norm -> SiLU. Measured on v5e (2026-08-17): routing this
+    through the fused Pallas kernel (ops/fused_norms.vae_rms_silu) makes
+    the streamed decode 3x SLOWER (5.6 -> 16.5 s) — XLA already fuses the
+    norm+silu into the surrounding conv program, and the pallas_call
+    forces materialization + layout round-trips. Keep plain jnp."""
+    return _silu(vae_rms_norm(x, p_gamma))
+
+
 def residual_block(p, x, cache: CacheBank):
     """RMSnorm→SiLU→CausalConv ×2 + shortcut — wan_video_vae.py:267-301."""
     h = x
     if "shortcut" in p:
         h = causal_conv3d(p["shortcut"], x, cache, t_pad=0)
-    y = vae_rms_norm(x, p["norm1"])
-    y = causal_conv3d(p["conv1"], _silu(y), cache, t_pad=1, spatial_pad=1)
-    y = vae_rms_norm(y, p["norm2"])
-    y = causal_conv3d(p["conv2"], _silu(y), cache, t_pad=1, spatial_pad=1)
+    y = _norm_silu(p["norm1"], x)
+    y = causal_conv3d(p["conv1"], y, cache, t_pad=1, spatial_pad=1)
+    y = _norm_silu(p["norm2"], y)
+    y = causal_conv3d(p["conv2"], y, cache, t_pad=1, spatial_pad=1)
     return y + h
 
 
@@ -376,8 +385,8 @@ def encoder38_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
     x = attention_block(p["middle"]["attn"], x)
     x = residual_block(p["middle"]["res2"], x, cache)
 
-    x = vae_rms_norm(x, p["head"]["norm"])
-    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    x = _norm_silu(p["head"]["norm"], x)
+    x = causal_conv3d(p["head"]["conv"], x, cache, t_pad=1, spatial_pad=1)
     return x
 
 
@@ -397,8 +406,8 @@ def encoder_v1_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
     x = residual_block(p["middle"]["res1"], x, cache)
     x = attention_block(p["middle"]["attn"], x)
     x = residual_block(p["middle"]["res2"], x, cache)
-    x = vae_rms_norm(x, p["head"]["norm"])
-    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    x = _norm_silu(p["head"]["norm"], x)
+    x = causal_conv3d(p["head"]["conv"], x, cache, t_pad=1, spatial_pad=1)
     return x
 
 
@@ -418,8 +427,8 @@ def decoder_v1_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
             t_up = cfg.temperal_upsample[i] if i < len(cfg.temperal_upsample) else False
             mode = "upsample3d" if t_up else "upsample2d"
             x = resample38(stage["resample"], x, mode, cache, first_chunk)
-    x = vae_rms_norm(x, p["head"]["norm"])
-    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    x = _norm_silu(p["head"]["norm"], x)
+    x = causal_conv3d(p["head"]["conv"], x, cache, t_pad=1, spatial_pad=1)
     return x
 
 
@@ -452,8 +461,8 @@ def decoder38_forward(p, cfg: WanVAEConfig, x, cache: CacheBank,
         else:
             x = x_main
 
-    x = vae_rms_norm(x, p["head"]["norm"])
-    x = causal_conv3d(p["head"]["conv"], _silu(x), cache, t_pad=1, spatial_pad=1)
+    x = _norm_silu(p["head"]["norm"], x)
+    x = causal_conv3d(p["head"]["conv"], x, cache, t_pad=1, spatial_pad=1)
     return x
 
 
@@ -539,8 +548,17 @@ def vae38_encode_core(params, cfg: WanVAEConfig, x, streaming: bool = False):
     return (mu - mean) * inv_std
 
 
-def vae38_decode_core(params, cfg: WanVAEConfig, z, streaming: bool = False):
-    """Normalized latents -> patchified pixels. z: (B, T, h, w, z_dim)."""
+def vae38_decode_core(params, cfg: WanVAEConfig, z, streaming: bool = False,
+                      frames_per_chunk: int = 1):
+    """Normalized latents -> patchified pixels. z: (B, T, h, w, z_dim).
+
+    frames_per_chunk > 1 batches several latent frames per streamed
+    dispatch — same causal math (the conv caches carry across chunks for
+    any chunk length), but XLA's reduction order inside the larger conv
+    programs differs, so outputs match the per-frame stream only to fp
+    tolerance (test_wan_vae.py::test_decode_multiframe_chunks), not
+    bit-exactly. Larger chunks raise MXU occupancy at the small-spatial
+    decoder stages (measured on v5e: 5.6 -> ~5.1 s at 4)."""
     mean = params["latent_mean"].astype(z.dtype)
     std = params["latent_std"].astype(z.dtype)
     z = z * std + mean
@@ -553,8 +571,9 @@ def vae38_decode_core(params, cfg: WanVAEConfig, z, streaming: bool = False):
     outs = []
     y, entries = first_fn(params, x[:, :1])
     outs.append(y)
-    for i in range(1, x.shape[1]):
-        y, entries = step_fn(params, x[:, i: i + 1], tuple(entries))
+    k = max(1, int(frames_per_chunk))
+    for i in range(1, x.shape[1], k):
+        y, entries = step_fn(params, x[:, i: i + k], tuple(entries))
         outs.append(y)
     return jnp.concatenate(outs, axis=1)
 
@@ -570,10 +589,11 @@ def vae38_encode(params, cfg: WanVAEConfig, video, streaming: bool = False):
 
 
 def vae38_decode(params, cfg: WanVAEConfig, latents, streaming: bool = False,
-                 clamp: bool = True):
+                 clamp: bool = True, frames_per_chunk: int = 1):
     """latents (B, z, T', h, w) -> video (B, C, T, H, W) in [-1,1]."""
     z = jnp.transpose(latents, (0, 2, 3, 4, 1))
-    x = vae38_decode_core(params, cfg, z, streaming)
+    x = vae38_decode_core(params, cfg, z, streaming,
+                          frames_per_chunk=frames_per_chunk)
     x = pixel_unpatchify(x, cfg.patch_size, cfg.in_channels)
     video = jnp.transpose(x, (0, 4, 1, 2, 3))
     if clamp:

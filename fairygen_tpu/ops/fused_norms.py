@@ -208,6 +208,86 @@ def rms_modulate(x, weight, scale=None, eps: float = 1e-5):
     return _rms_mod_reference(x, weight, scale, eps)
 
 
+def _vae_rms_silu_reference(x, gamma, silu: bool):
+    """Bit-identical to models/wan/vae.py vae_rms_norm (F.normalize over
+    channels · sqrt(C) · gamma) optionally followed by _silu."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    y = xf / jnp.maximum(n, 1e-12) * (x.shape[-1] ** 0.5)
+    out = (y * gamma.astype(jnp.float32)).astype(dtype)
+    if silu:
+        out = jax.nn.silu(out.astype(jnp.float32)).astype(dtype)
+    return out
+
+
+def _vae_rms_silu_kernel(x_ref, g_ref, o_ref, *, silu, scale):
+    import jax.lax as lax
+
+    x = x_ref[...].astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    y = x / jnp.maximum(n, 1e-12) * scale
+    out = (y * g_ref[0][None, :].astype(jnp.float32)).astype(o_ref.dtype)
+    if silu:
+        out = jax.nn.silu(out.astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[...] = out
+
+
+def _vae_rms_silu_pallas(x2, gamma, silu: bool, bq: int = 512):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, c = x2.shape
+    pad = (-rows) % bq
+    xp = jnp.pad(x2, ((0, pad), (0, 0))) if pad else x2
+    out = pl.pallas_call(
+        functools.partial(_vae_rms_silu_kernel, silu=silu, scale=c ** 0.5),
+        grid=(xp.shape[0] // bq,),
+        in_specs=[
+            pl.BlockSpec((bq, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bq, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(xp, gamma.astype(x2.dtype)[None, :])
+    return out[:rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _vae_rms_silu_tpu(x, gamma, silu: bool):
+    shape = x.shape
+    out = _vae_rms_silu_pallas(x.reshape(-1, shape[-1]), gamma, silu)
+    return out.reshape(shape)
+
+
+def _vae_rms_silu_fwd(x, gamma, silu):
+    return _vae_rms_silu_tpu(x, gamma, silu), (x, gamma)
+
+
+def _vae_rms_silu_bwd(silu, res, g):
+    x, gamma = res
+    _, vjp = jax.vjp(
+        lambda x_, g_: _vae_rms_silu_reference(x_, g_, silu), x, gamma)
+    return vjp(g)
+
+
+_vae_rms_silu_tpu.defvjp(_vae_rms_silu_fwd, _vae_rms_silu_bwd)
+
+
+def vae_rms_silu(x, gamma, silu: bool = True):
+    """Fused channel-RMS norm (F.normalize·sqrt(C)·gamma, the Wan VAE form,
+    wan_video_vae.py:55-70) + optional SiLU in one HBM pass.  x (..., C);
+    bit-identical XLA fallback off-TPU."""
+    c = x.shape[-1]
+    rows = x.size // c
+    if _on_tpu() and c % 128 == 0 and rows >= 512:
+        return _vae_rms_silu_tpu(x, gamma, silu)
+    return _vae_rms_silu_reference(x, gamma, silu)
+
+
 def affine_rows(weight, bias, batch: int):
     """Affine LayerNorm (y*w + b) as modulation rows: scale = w - 1,
     shift = b, duplicated so both segments match."""

@@ -645,10 +645,14 @@ class WanVideoPipeline:
         tea_cache_l1_thresh: Optional[float] = None,
         tea_cache_model_id: str = "Wan2.1-T2V-1.3B",
         streaming_vae: bool = False,
+        vae_frames_per_chunk: int = 1,  # >1: batch latent frames per streamed
+        # decode dispatch (same causal math, fp-reassociation drift only;
+        # models/wan/vae.py vae38_decode_core)
         output_type: str = "quantized",
         torch_compat_noise: bool = False,
         progress_callback=None,  # callable(steps_done, total_steps)
     ):
+        self._vae_fpc = int(vae_frames_per_chunk)
         f = self.vae_cfg.upsampling_factor if self.vae_cfg else 16
         height, width, num_frames = check_resize_height_width(
             height, width, num_frames,
@@ -892,7 +896,9 @@ class WanVideoPipeline:
             )
         else:
             video = vae38_decode(self.vae_params, self.vae_cfg,
-                                 latents.astype(self.dtype), streaming=streaming_vae)
+                                 latents.astype(self.dtype),
+                                 streaming=streaming_vae,
+                                 frames_per_chunk=getattr(self, "_vae_fpc", 1))
         if output_type == "floatpoint":
             return video
         return postprocess_video(np.asarray(video.astype(jnp.float32)))
@@ -974,7 +980,8 @@ class WanVideoPipeline:
         if self.vae_params is None or output_type == "latents":
             return latents
         video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype), streaming=streaming_vae)
+                             latents.astype(self.dtype), streaming=streaming_vae,
+                             frames_per_chunk=getattr(self, "_vae_fpc", 1))
         if output_type == "floatpoint":
             return video
         return postprocess_video(np.asarray(video.astype(jnp.float32)))
@@ -1026,8 +1033,8 @@ class WanVideoPipeline:
         if self.vae_params is None or output_type == "latents":
             return latents
         video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype),
-                             streaming=streaming_vae)
+                             latents.astype(self.dtype), streaming=streaming_vae,
+                             frames_per_chunk=getattr(self, "_vae_fpc", 1))
         if output_type == "floatpoint":
             return video
         return postprocess_video(np.asarray(video.astype(jnp.float32)))
@@ -1122,7 +1129,8 @@ class WanVideoPipeline:
         if self.vae_params is None or output_type == "latents":
             return latents
         video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype), streaming=streaming_vae)
+                             latents.astype(self.dtype), streaming=streaming_vae,
+                             frames_per_chunk=getattr(self, "_vae_fpc", 1))
         if output_type == "floatpoint":
             return video
         return postprocess_video(np.asarray(video.astype(jnp.float32)))

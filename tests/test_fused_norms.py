@@ -153,6 +153,53 @@ def test_rms_modulate_grad_matches_plain():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("silu", [True, False])
+def test_vae_rms_silu(silu):
+    """Fused VAE channel-norm(+SiLU) == vae_rms_norm -> _silu, on the XLA
+    fallback (bit-exact) and the kernel path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fairygen_tpu.models.wan.vae import _silu as vae_silu
+    from fairygen_tpu.models.wan.vae import vae_rms_norm
+    from fairygen_tpu.ops import fused_norms
+
+    ks = jax.random.split(jax.random.key(7), 2)
+    x = jax.random.normal(ks[0], (1, 2, 8, 40, 128), jnp.float32)
+    g = jax.random.normal(ks[1], (128,), jnp.float32)
+    legacy = vae_rms_norm(x, g)
+    if silu:
+        legacy = vae_silu(legacy)
+
+    out_cpu = fused_norms.vae_rms_silu(x, g, silu)
+    np.testing.assert_array_equal(np.asarray(out_cpu), np.asarray(legacy))
+
+    with pltpu.force_tpu_interpret_mode():
+        out_kernel = fused_norms._vae_rms_silu_pallas(
+            x.reshape(-1, 128), g, silu).reshape(x.shape)
+    np.testing.assert_allclose(
+        np.asarray(out_kernel), np.asarray(legacy), atol=2e-5, rtol=1e-4)
+
+
+def test_vae_rms_silu_grad_matches_plain():
+    from fairygen_tpu.ops import fused_norms
+
+    ks = jax.random.split(jax.random.key(8), 2)
+    x = jax.random.normal(ks[0], (64, 128), jnp.float32)
+    g = jax.random.normal(ks[1], (128,), jnp.float32)
+
+    def loss_fused(x, g):
+        return jnp.sum(fused_norms.vae_rms_silu(x, g, True) ** 2)
+
+    def loss_ref(x, g):
+        return jnp.sum(fused_norms._vae_rms_silu_reference(x, g, True) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, g)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, g)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_affine_rows_is_affine_layernorm():
     """affine_rows turns (w, b) into rows so the fused op == LN(x)*w + b."""
     ks = jax.random.split(jax.random.key(3), 3)

@@ -58,3 +58,19 @@ def test_streaming_matches_full(goldens):
     d_full = vae38_decode(params, CFG, jnp.asarray(g["z2"]), streaming=False, clamp=False)
     d_str = vae38_decode(params, CFG, jnp.asarray(g["z2"]), streaming=True, clamp=False)
     np.testing.assert_allclose(np.asarray(d_str), np.asarray(d_full), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_decode_multiframe_chunks(goldens):
+    """frames_per_chunk batches the streamed decode — same causal math,
+    fp-reassociation-only drift vs the per-frame stream (and vs full-seq)."""
+    g = goldens("wan_vae")
+    params = _params(g)
+    z = jnp.asarray(g["z2"])
+    d_full = vae38_decode(params, CFG, z, streaming=False, clamp=False)
+    for k in (2, 3, 4):
+        d_k = vae38_decode(params, CFG, z, streaming=True, clamp=False,
+                           frames_per_chunk=k)
+        assert d_k.shape == d_full.shape
+        np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_full),
+                                   atol=1e-5)
