@@ -46,6 +46,28 @@ def test_ti2v_end_to_end(goldens):
     np.testing.assert_allclose(np.asarray(video), g["video"], atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
+def test_vae_frames_per_chunk_end_to_end(goldens):
+    """vae_frames_per_chunk only changes decode batching, not the output
+    (same causal math; fp-reassociation drift only)."""
+    g = goldens("wan_pipeline")
+    pipe = _pipe(g)
+    kwargs = dict(
+        context=jnp.asarray(g["ctx_p"]),
+        negative_context=jnp.asarray(g["ctx_n"]),
+        input_image=g["img_uint8"],
+        seed=42, height=32, width=32, num_frames=9,
+        cfg_scale=5.0, cfg_merge=False,
+        num_inference_steps=2, sigma_shift=5.0,
+        output_type="floatpoint", torch_compat_noise=True,
+        streaming_vae=True,
+    )
+    base = pipe(**kwargs)
+    chunked = pipe(vae_frames_per_chunk=2, **kwargs)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(base),
+                               atol=1e-5)
+
+
 def test_cfg_merge_matches_separate(goldens):
     g = goldens("wan_pipeline")
     pipe = _pipe(g)
