@@ -26,6 +26,13 @@ import os
 import sys
 import time
 
+# Persistent XLA compilation cache: the tunneled backend's remote compile
+# is the wall-clock bottleneck for cold runs (the first VAE chunk program
+# alone is ~10 min); the cache makes repeat benches start in seconds.
+# Timing sections are post-warm-up, so the metric is unaffected.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fairygen_jax"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

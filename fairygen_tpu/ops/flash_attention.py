@@ -82,14 +82,23 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, sk_actual, 
 
 
 def _fa_kernel_bounded(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
-                       sk_actual, bk, masked):
+                       sk_actual, bk, masked, pad_correct=0):
     """Streaming kernel WITHOUT max tracking, for provably bounded logits.
 
     When q and k are rms-normed (every Wan/FLUX attention: norm_q/norm_k),
     |q·k·scale·log2e| <= sqrt(d)·log2e ~= 16.3 << 127, so exp2 can never
     overflow and the softmax shift is unnecessary: softmax(s) ==
     exp2(s)/sum(exp2(s)) exactly.  Drops the per-tile max pass and the
-    rescale of the accumulator (measured ~9%% on the S=8192 self-attn)."""
+    rescale of the accumulator (measured ~9%% on the S=8192 self-attn).
+
+    pad_correct > 0: the only masked-out columns are the trailing
+    `pad_correct` zero rows _pad_to appended to k/v.  Those columns carry
+    s = q·0 = 0 exactly, so they add exactly exp2(0)·pad = pad to every
+    row's denominator (and nothing to acc — the v rows are zero).
+    Subtracting `pad` from l at the end is EXACT and saves the
+    iota+compare+select VPU pass over every logits tile (bounded range
+    keeps all real exp2(s) in [2^-17, 2^17], so l - pad never cancels to
+    zero)."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -103,7 +112,7 @@ def _fa_kernel_bounded(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if masked:
+    if masked and not pad_correct:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
         s = jnp.where(col < sk_actual, s, _NEG_INF)
     p = jnp.exp2(s)  # bounded: no shift needed, exp2(-1e30) == 0 masks
@@ -115,23 +124,29 @@ def _fa_kernel_bounded(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
 
     @pl.when(j == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        l = l_ref[:, :1]
+        if pad_correct:
+            l = l - jnp.float32(pad_correct)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 def _fa_small_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, sk_actual, masked,
-                        bounded=False):
+                        bounded=False, pad_correct=0):
     """Single-k-tile fast path (cross-attention: kv length <= one block).
 
     The whole key range sits in VMEM, so no online-softmax state machine is
     needed: one max, one exp2, one sum, one p·v — about half the VPU passes
     of the streaming kernel.  Measured 2.13 -> ~1.2 ms for the DiT
-    cross-attention (S=8190, L=512, 24 heads) on v5e."""
+    cross-attention (S=8190, L=512, 24 heads) on v5e.
+
+    pad_correct: see _fa_kernel_bounded — exact l correction for trailing
+    zero-padding, skipping the mask pass (bounded path only)."""
     q = q_ref[0]  # (bq, d), pre-scaled by scale·log2e
     k = k_ref[0]  # (bk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if masked:
+    if masked and not (bounded and pad_correct):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < sk_actual, s, _NEG_INF)
     if bounded:
@@ -140,6 +155,8 @@ def _fa_small_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, sk_actual, masked,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if bounded and masked and pad_correct:
+        l = l - jnp.float32(pad_correct)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -421,12 +438,16 @@ def _flash_fwd_impl(q, k, v, scale=None, prescaled=False, kv_len=None,
     sq_p, sk_p = qh.shape[1], kh.shape[1]
     sk_act = sk if kv_len is None else int(kv_len)
     masked = sk_act != sk_p
+    # trailing _pad_to zeros (no caller raggedness): the bounded kernels
+    # replace the per-tile mask pass with an exact l -= pad correction
+    pad_correct = (sk_p - sk) if (kv_len is None and bounded_logits) else 0
 
     if sk_p == bk:
         # kv fits one block -> stateless single-pass kernel
         out = pl.pallas_call(
             functools.partial(_fa_small_kv_kernel, sk_actual=sk_act,
-                              masked=masked, bounded=bounded_logits),
+                              masked=masked, bounded=bounded_logits,
+                              pad_correct=pad_correct),
             grid=(b * n, sq_p // bq),
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda h, i: (h, i, 0)),
@@ -445,7 +466,7 @@ def _flash_fwd_impl(q, k, v, scale=None, prescaled=False, kv_len=None,
     if bounded_logits:
         out = pl.pallas_call(
             functools.partial(_fa_kernel_bounded, sk_actual=sk_act, bk=bk,
-                              masked=masked),
+                              masked=masked, pad_correct=pad_correct),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),

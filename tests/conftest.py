@@ -7,6 +7,9 @@ is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: cuts repeat full-suite wall time substantially
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fairygen_jax"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
