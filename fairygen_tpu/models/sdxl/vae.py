@@ -134,8 +134,12 @@ def vae_decode(params, cfg: AutoencoderKLConfig, latents):
         for r in stage["resnets"]:
             x = _resnet(r, x, g)
         if "upsamplers" in stage:
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            x = _conv(stage["upsamplers"], x)
+            # conv3x3 on the nearest-2x upsample, computed as 4 sub-pixel
+            # 2x2 convs (exact; see wan.vae._upsample2x_conv3x3_subpixel)
+            from ..wan.vae import _upsample2x_conv3x3_subpixel
+
+            x = _upsample2x_conv3x3_subpixel(
+                x, stage["upsamplers"]["w"], stage["upsamplers"]["b"])
     x = group_norm(x, p["conv_norm_out"], g)
     x = _conv(p["conv_out"], _silu(x))
     return jnp.transpose(x, (0, 3, 1, 2))

@@ -248,13 +248,44 @@ def attention_block(p, x):
     return (y + o).reshape(b, t, h, w, c)
 
 
+def _upsample2x_conv3x3_subpixel(x, w, b):
+    """conv3x3(nearest-2x-upsample(x)) computed WITHOUT the upsample.
+
+    Each output pixel of the upsampled conv sees only a 2×2 neighbourhood
+    of the ORIGINAL grid (duplicated pixels share taps), so the op equals
+    a stride-2 transposed conv whose 4×4 kernel carries the duplicated-tap
+    sums [k0, k0+k1, k1+k2, k2] per axis (derivation below).
+
+    Same math as repeat+conv to fp-reassociation (the tap sums move into
+    the weights; test_subpixel_upsample_matches_repeat_conv gates 1e-5 in
+    fp32); 16/9 fewer effective MACs and the 4×-sized nearest-upsampled
+    intermediate never materializes."""
+    # Single lhs-dilated (transposed) conv — no interleave op for XLA to
+    # lay out badly (an explicit 4-subconv + stack/reshape interleave made
+    # layout assignment pick the size-2 dim minormost and the (8,128) tile
+    # padded it 64x: a 52 GB allocation for an 818 MB logical array).
+    # Derivation: with zero-stuffed input S (S[2i] = X[i]) and pad 2,
+    # even outputs take taps (k0 on X[i-1], k1+k2 on X[i]) at stuffed
+    # offsets 0/2 and odd outputs (k0+k1 on X[i], k2 on X[i+1]) at 1/3,
+    # giving the 4-tap kernel [k0, k0+k1, k1+k2, k2] per axis.
+    rows = jnp.stack([w[0], w[0] + w[1], w[1] + w[2], w[2]])        # (4,3,ci,co)
+    k4 = jnp.stack([rows[:, 0], rows[:, 0] + rows[:, 1],
+                    rows[:, 1] + rows[:, 2], rows[:, 2]], axis=1)   # (4,4,ci,co)
+    o = lax.conv_general_dilated(
+        x, k4.astype(x.dtype), window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return o + b.astype(o.dtype)
+
+
 def _spatial_resample(p, x, mode):
     """The 2D half of Resample38 — wan_video_vae.py:242-265."""
     b, t, h, w, c = x.shape
     y = x.reshape(b * t, h, w, c)
     if mode.startswith("upsample"):
-        y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)  # nearest-exact 2x
-        y = _conv2d(y, p["conv"]["w"], p["conv"]["b"], padding=((1, 1), (1, 1)))
+        y = _upsample2x_conv3x3_subpixel(y, p["conv"]["w"], p["conv"]["b"])
     elif mode.startswith("downsample"):
         # ZeroPad2d (left 0, right 1, top 0, bottom 1) + stride-2 conv
         y = _conv2d(y, p["conv"]["w"], p["conv"]["b"], strides=(2, 2),

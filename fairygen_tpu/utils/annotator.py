@@ -15,7 +15,13 @@ Native coverage:
     resolution rounded to /64) is reproduced.
   * ``tile`` / ``none`` / ``inpaint`` — passthrough (the reference runs no
     processor for these either).
-  * model-based detectors (``depth``/``softedge``/``lineart``/
+  * ``depth`` — native Depth-Anything port (``models/depth_anything.py``,
+    DINOv2 + DPT, golden-tested vs transformers): pass ``model_path`` to a
+    local transformers-format checkpoint
+    (e.g. depth-anything-small ``model.safetensors``) and depth maps are
+    produced in-repo; without a checkpoint it falls back to the
+    precomputed-input contract below.
+  * remaining model-based detectors (``softedge``/``lineart``/
     ``lineart_anime``/``openpose``/``normal``) — external-model contract:
     like InfiniteYou's precomputed-arcface contract, these take a
     PREcomputed control image (pass it as ``ControlNetInput.image`` with
@@ -138,10 +144,17 @@ class Annotator:
                  skip_processor: bool = False):
         if processor_id not in PROCESSOR_IDS:
             raise ValueError(f"Unsupported processor_id: {processor_id}")
-        if (processor_id in _EXTERNAL) and not skip_processor:
+        self._depth = None
+        if processor_id == "depth" and model_path and not skip_processor:
+            self._depth = self._load_depth(model_path)
+        elif (processor_id in _EXTERNAL) and not skip_processor:
             raise NotImplementedError(
                 f"'{processor_id}' needs an external detector model that is "
-                "not bundled; precompute the control image (e.g. with "
+                "not bundled"
+                + (" (for 'depth', pass model_path= to a local "
+                   "Depth-Anything transformers checkpoint to run the "
+                   "native port)" if processor_id == "depth" else "")
+                + "; precompute the control image (e.g. with "
                 "controlnet_aux on any host) and pass it directly as "
                 "ControlNetInput.image, or construct "
                 f"Annotator('{processor_id}', skip_processor=True) to treat "
@@ -149,6 +162,51 @@ class Annotator:
         self.processor_id = processor_id
         self.detect_resolution = detect_resolution
         self.skip_processor = skip_processor or processor_id in _PASSTHROUGH
+
+    @staticmethod
+    def _load_depth(model_path):
+        from ..core.io import load_state_dict
+        from ..models.depth_anything import (
+            DepthAnythingConfig, convert_depth_anything_state_dict,
+        )
+
+        sd = load_state_dict(model_path)
+        hidden = sd["backbone.embeddings.cls_token"].shape[-1]
+        n_layers = max(
+            int(k.split(".")[3]) for k in sd
+            if k.startswith("backbone.encoder.layer.")) + 1
+        patch = sd["backbone.embeddings.patch_embeddings.projection.weight"].shape[-1]
+        native = int(round((sd["backbone.embeddings.position_embeddings"].shape[1] - 1) ** 0.5))
+        if hidden == 384 and n_layers == 12:
+            cfg = DepthAnythingConfig.small()
+        else:
+            fusion = sd["head.conv1.weight"].shape[1]
+            neck = tuple(
+                sd[f"neck.reassemble_stage.layers.{i}.projection.weight"].shape[0]
+                for i in range(4))
+            cfg = DepthAnythingConfig(
+                hidden_size=hidden, num_layers=n_layers,
+                num_heads=max(1, hidden // 64),
+                mlp_dim=sd["backbone.encoder.layer.0.mlp.fc1.weight"].shape[0],
+                patch_size=patch, image_size=native * patch,
+                neck_hidden_sizes=neck, fusion_hidden_size=fusion,
+                head_hidden_size=sd["head.conv2.weight"].shape[0],
+                out_indices=tuple(range(n_layers - 3, n_layers + 1)))
+        return cfg, convert_depth_anything_state_dict(sd, cfg)
+
+    def _depth_map(self, arr: np.ndarray, image_resolution: int) -> np.ndarray:
+        import jax
+
+        from ..models.depth_anything import (
+            depth_anything_forward, depth_to_image, preprocess_depth_anything,
+        )
+
+        cfg, params = self._depth
+        x = preprocess_depth_anything(arr, cfg, self.detect_resolution)
+        depth = jax.jit(
+            depth_anything_forward, static_argnums=(1,))(params, cfg, x)[0]
+        return _round64_resize(depth_to_image(np.asarray(depth)),
+                               image_resolution)
 
     def _canny(self, arr: np.ndarray, detect_resolution: int,
                image_resolution: int) -> np.ndarray:
@@ -171,6 +229,9 @@ class Annotator:
         if self.skip_processor:
             return image.resize((width, height))
         arr = np.asarray(image.convert("RGB"))
-        detect = self.detect_resolution or min(width, height)
-        out = self._canny(arr, detect, min(width, height))
+        if self._depth is not None:
+            out = self._depth_map(arr, min(width, height))
+        else:
+            detect = self.detect_resolution or min(width, height)
+            out = self._canny(arr, detect, min(width, height))
         return Image.fromarray(out).resize((width, height))

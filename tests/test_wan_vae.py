@@ -74,3 +74,26 @@ def test_decode_multiframe_chunks(goldens):
         assert d_k.shape == d_full.shape
         np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_full),
                                    atol=1e-5)
+
+
+def test_subpixel_upsample_matches_repeat_conv():
+    """The sub-pixel decomposition of conv3x3(nearest-2x(x)) must match the
+    materialized repeat+conv form to fp tolerance (weight-tap sums move
+    into the kernel — reassociation-level drift only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairygen_tpu.models.wan.vae import (
+        _conv2d, _upsample2x_conv3x3_subpixel,
+    )
+
+    ks = jax.random.split(jax.random.key(3), 3)
+    x = jax.random.normal(ks[0], (2, 5, 7, 16), jnp.float32)
+    w = jax.random.normal(ks[1], (3, 3, 16, 8), jnp.float32) * 0.2
+    b = jax.random.normal(ks[2], (8,), jnp.float32)
+
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = _conv2d(up, w, b, padding=((1, 1), (1, 1)))
+    out = _upsample2x_conv3x3_subpixel(x, w, b)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
