@@ -55,6 +55,9 @@ class ControlNetInput:
     image: Any = None
     inpaint_mask: Any = None
     processor_id: Optional[str] = None
+    # local checkpoint for model-based annotators (e.g. Depth-Anything for
+    # processor_id="depth"); canny/tile/none/inpaint need none
+    annotator_model_path: str = ""
 
 
 def _tile_tasks(H: int, W: int, tile_size: int, tile_stride: int):
@@ -426,10 +429,13 @@ class FluxImagePipeline:
         image = ci.image
         if getattr(ci, "processor_id", None):
             # reference Annotator front end (utils/controlnet/annotator.py):
-            # canny runs natively; tile/none/inpaint pass through
+            # canny + depth (Depth-Anything) run natively; tile/none/inpaint
+            # pass through
             from ..utils.annotator import Annotator
 
-            image = Annotator(ci.processor_id)(image)
+            image = Annotator(
+                ci.processor_id,
+                model_path=getattr(ci, "annotator_model_path", ""))(image)
         image = image.convert("RGB").resize((width, height))
         arr = preprocess_image(image)[None]  # (1, C, H, W) in [-1, 1]
         if ci.inpaint_mask is not None:

@@ -364,10 +364,13 @@ class QwenImagePipeline:
         image = ci.image
         if getattr(ci, "processor_id", None):
             # reference Annotator front end (utils/controlnet/annotator.py):
-            # canny runs natively; tile/none/inpaint pass through
+            # canny + depth (Depth-Anything) run natively; tile/none/inpaint
+            # pass through
             from ..utils.annotator import Annotator
 
-            image = Annotator(ci.processor_id)(image)
+            image = Annotator(
+                ci.processor_id,
+                model_path=getattr(ci, "annotator_model_path", ""))(image)
         image = image.convert("RGB").resize((width, height))
         arr = preprocess_image(image)
         if ci.inpaint_mask is not None:
