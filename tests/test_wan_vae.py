@@ -97,3 +97,43 @@ def test_subpixel_upsample_matches_repeat_conv():
     out = _upsample2x_conv3x3_subpixel(x, w, b)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_layout_safe_interleaves_match_reference_reshape_forms():
+    """_double_frames / dup_up3d / pixel_unpatchify were rewritten as
+    strided-slice + interior-pad placements (the reshape/transpose forms
+    trip a TPU layout pathology at batch>1 — docs/NOTES.md round-3).
+    Pin them against the reference einops semantics elementwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairygen_tpu.models.wan.vae import (
+        _double_frames, dup_up3d, pixel_unpatchify,
+    )
+
+    rng = np.random.default_rng(5)
+
+    # _double_frames: channel halves -> frame pairs (wan_video_vae 153-156)
+    y = jnp.asarray(rng.standard_normal((2, 3, 4, 5, 8)), jnp.float32)
+    ref = y.reshape(2, 3, 4, 5, 2, 4).transpose(0, 1, 4, 2, 3, 5)
+    ref = ref.reshape(2, 6, 4, 5, 4)
+    np.testing.assert_array_equal(np.asarray(_double_frames(y)),
+                                  np.asarray(ref))
+
+    # dup_up3d: repeat channels, (co, ft, fs, fs) interleave (398-439)
+    for (c, co, ft, fs) in [(16, 8, 2, 2), (16, 8, 1, 2), (8, 8, 2, 2)]:
+        x = jnp.asarray(rng.standard_normal((1, 3, 4, 5, c)), jnp.float32)
+        repeats = co * ft * fs * fs // c
+        r = jnp.repeat(x, repeats, axis=-1)
+        r = r.reshape(1, 3, 4, 5, co, ft, fs, fs)
+        r = r.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+        ref = r.reshape(1, 3 * ft, 4 * fs, 5 * fs, co)[:, ft - 1:]
+        out = dup_up3d(x, co, ft, fs, first_chunk=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # pixel_unpatchify: channel groups (c, r, q) -> 2x2 pixel blocks
+    x = jnp.asarray(rng.standard_normal((1, 2, 3, 4, 12)), jnp.float32)
+    r = x.reshape(1, 2, 3, 4, 3, 2, 2).transpose(0, 1, 2, 6, 3, 5, 4)
+    ref = r.reshape(1, 2, 6, 8, 3)
+    np.testing.assert_array_equal(np.asarray(pixel_unpatchify(x, 2)),
+                                  np.asarray(ref))
