@@ -276,7 +276,8 @@ def _gelu_tanh(x):
 _LOG2E = 1.4426950408889634
 
 
-def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None):
+def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None,
+                    freqs_full=None):
     b, s, d = x.shape
     hd = d // num_heads
     # fold the softmax scale + base-2 conversion into the q rms-norm gamma —
@@ -284,9 +285,20 @@ def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None):
     # pass inside the flash kernel (measured +12% on v5e at S=8192)
     c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
     gamma_q = (p["norm_q"].astype(jnp.float32) * c).astype(p["norm_q"].dtype)
-    q = rms_norm(_apply_dense(p["q"], x), gamma_q, eps)
-    k = rms_norm(_apply_dense(p["k"], x), p["norm_k"], eps)
+    xq = _apply_dense(p["q"], x)
+    xk = _apply_dense(p["k"], x)
     v = _apply_dense(p["v"], x).reshape(b, s, num_heads, hd)
+    if attn_fn is None and freqs_full is not None and hd == 128:
+        # fused rms-norm -> RoPE -> head-major prep in one HBM pass per
+        # tensor (ops/fused_qk; legacy chain costs ~3 extra passes over the
+        # 50 MB q/k activations per block at flagship shapes)
+        from ...ops.fused_qk import fused_qk_attention
+
+        o = fused_qk_attention(xq, xk, v, gamma_q, p["norm_k"], freqs,
+                               freqs_full, num_heads, eps).reshape(b, s, d)
+        return _apply_dense(p["o"], o)
+    q = rms_norm(xq, gamma_q, eps)
+    k = rms_norm(xk, p["norm_k"], eps)
     from ...ops.rope import rope_apply
 
     q = rope_apply(q.reshape(b, s, num_heads, hd), freqs)
@@ -300,7 +312,8 @@ def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None):
     return _apply_dense(p["o"], o)
 
 
-def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
+def _cross_attention(p, x, ctx, num_heads, eps, has_image_input,
+                     fused_q=False):
     b, s, d = x.shape
     hd = d // num_heads
     if has_image_input:
@@ -309,23 +322,39 @@ def _cross_attention(p, x, ctx, num_heads, eps, has_image_input):
         txt = ctx
     c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
     gamma_q = (p["norm_q"].astype(jnp.float32) * c).astype(p["norm_q"].dtype)
-    q = rms_norm(_apply_dense(p["q"], x), gamma_q, eps).reshape(b, s, num_heads, hd)
+    xq = _apply_dense(p["q"], x)
     k = rms_norm(_apply_dense(p["k"], txt), p["norm_k"], eps)
     v = _apply_dense(p["v"], txt)
     lk = txt.shape[1]
-    o = attention(q, k.reshape(b, lk, num_heads, hd),
-                  v.reshape(b, lk, num_heads, hd), prescaled=True,
-                  bounded_logits=True)
-    o = o.reshape(b, s, d)
+    k = k.reshape(b, lk, num_heads, hd)
+    v = v.reshape(b, lk, num_heads, hd)
+    if fused_q and hd == 128:
+        # fused rms-apply + head-major relayout for the (large) q side —
+        # one HBM pass instead of rms + the transpose inside the flash
+        # entry (ops/fused_qk; k/v are text-length, relayout is cheap)
+        from ...ops.fused_qk import fused_q_attention
+
+        o = fused_q_attention(xq, k, v, gamma_q, num_heads, eps)
+        o = o.reshape(b, s, d)
+        q = None
+    else:
+        q = rms_norm(xq, gamma_q, eps).reshape(b, s, num_heads, hd)
+        o = attention(q, k, v, prescaled=True,
+                      bounded_logits=True).reshape(b, s, d)
     if has_image_input:
         k_img = rms_norm(_apply_dense(p["k_img"], img), p["norm_k_img"], eps)
         v_img = _apply_dense(p["v_img"], img)
         li = img.shape[1]
-        o_img = attention(
-            q, k_img.reshape(b, li, num_heads, hd),
-            v_img.reshape(b, li, num_heads, hd), prescaled=True,
-            bounded_logits=True,
-        ).reshape(b, s, d)
+        k_img = k_img.reshape(b, li, num_heads, hd)
+        v_img = v_img.reshape(b, li, num_heads, hd)
+        if fused_q and hd == 128:
+            from ...ops.fused_qk import fused_q_attention
+
+            o_img = fused_q_attention(xq, k_img, v_img, gamma_q, num_heads,
+                                      eps).reshape(b, s, d)
+        else:
+            o_img = attention(q, k_img, v_img, prescaled=True,
+                              bounded_logits=True).reshape(b, s, d)
         o = o + o_img
     return _apply_dense(p["o"], o)
 
@@ -341,7 +370,7 @@ def _expand_segments(m, seg: int, s: int):
 
 
 def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None,
-              fused_norms=True):
+              fused_norms=True, freqs_full=None):
     """One DiT block — reference wan_video_dit.py:213-229.
 
     t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep), or
@@ -368,11 +397,13 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
         y = layer_norm_modulate(x, rows[:, :, 0], rows[:, :, 1], seg_val,
                                 cfg.eps)
         x = x + g_msa * _self_attention(p["self_attn"], y, freqs,
-                                        cfg.num_heads, cfg.eps, attn_fn)
+                                        cfg.num_heads, cfg.eps, attn_fn,
+                                        freqs_full=freqs_full)
         sh3, sc3 = affine_rows(p["norm3"]["w"], p["norm3"]["b"], x.shape[0])
         y = layer_norm_modulate(x, sh3, sc3, 0, cfg.eps)
         x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads,
-                                 cfg.eps, cfg.has_image_input)
+                                 cfg.eps, cfg.has_image_input,
+                                 fused_q=freqs_full is not None)
         y = layer_norm_modulate(x, rows[:, :, 3], rows[:, :, 4], seg_val,
                                 cfg.eps)
         ff = _apply_dense(p["ffn"]["fc2"],
@@ -387,7 +418,8 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
         s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = [mod[:, :, i] for i in range(6)]
 
     y = modulate(layer_norm(x, cfg.eps), s_msa, sc_msa)
-    x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads, cfg.eps, attn_fn)
+    x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads,
+                                    cfg.eps, attn_fn, freqs_full=freqs_full)
     y = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
     x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads, cfg.eps, cfg.has_image_input)
     y = modulate(layer_norm(x, cfg.eps), s_mlp, sc_mlp)
@@ -399,7 +431,7 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
 def blocks_forward(
     stacked, x, ctx, t_mod, freqs, cfg: WanDiTConfig, remat: bool = False,
     hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0, attn_fn=None,
-    seg=None, fused_norms=True,
+    seg=None, fused_norms=True, freqs_full=None,
 ):
     """lax.scan over the stacked block params (optionally rematerialized).
 
@@ -413,7 +445,7 @@ def blocks_forward(
         else:
             p = layer
         y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn, seg=seg,
-                      fused_norms=fused_norms)
+                      fused_norms=fused_norms, freqs_full=freqs_full)
         if hints is not None:
             y = y + hint * hint_scale
         return y, None
@@ -628,6 +660,14 @@ def wan_dit_forward(
 
     attn_fn = None
     s_orig = x.shape[1]
+    # full-width RoPE tables for the fused q/k prep kernel (ops/fused_qk) —
+    # built ONCE outside the block scan; single-device path only (Ulysses
+    # routes through attn_fn, TP shards the head dim)
+    freqs_full = None
+    if mesh is None and cfg.head_dim == 128:
+        from ...ops.fused_qk import build_freqs_full
+
+        freqs_full = build_freqs_full(freqs)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ...core.meshes import AXES
@@ -664,7 +704,8 @@ def wan_dit_forward(
         for i in range(cfg.num_layers):
             blk = jax.tree.map(lambda a: a[i], params["blocks"])
             x = dit_block(blk, x, ctx, t_mod, freqs, cfg, attn_fn,
-                          seg=seg_boundary, fused_norms=mesh is None)
+                          seg=seg_boundary, fused_norms=mesh is None,
+                          freqs_full=freqs_full)
             if vace_hints is not None:
                 x = x + vace_hints[i] * vace_scale
             x = animate_after_transformer_block(
@@ -679,6 +720,7 @@ def wan_dit_forward(
                 params["blocks"], xx, ctx, t_mod, freqs, cfg, remat=remat,
                 hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
                 seg=seg_boundary, fused_norms=mesh is None,
+                freqs_full=freqs_full,
             ),
             **tea_cache_opts,
         )
@@ -688,6 +730,7 @@ def wan_dit_forward(
             params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
             hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
             seg=seg_boundary, fused_norms=mesh is None,
+            freqs_full=freqs_full,
         )
     x = head_forward(params["head"], x, t, cfg, seg=seg_boundary)
     if x.shape[1] != s_orig:

@@ -511,6 +511,61 @@ def _heads_major(x, b, n, s, d, bs):
     return _pad_to(x.transpose(0, 2, 1, 3).reshape(b * n, s, d), 1, bs)
 
 
+def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
+                                bq=2048, bk=1024):
+    """Forward-only bounded-logits attention on PRE-FORMATTED head-major
+    q/k (from ops/fused_qk.rms_rope_heads_major): qh (B*N, S_pad, d)
+    prescaled + rotated, kh (B*N, S_pad, d) with rows >= sk_actual exactly
+    zero (the pad_correct contract), v (B, S, N, d) natural layout.
+    Returns (B, sq, N, d).  Skips the q/k transpose+pad passes the generic
+    entry pays; only v is relayouted here."""
+    d = qh.shape[-1]
+    sq_p, sk_p = qh.shape[1], kh.shape[1]
+    assert sq_p % bq == 0 and sk_p % bk == 0, (sq_p, sk_p, bq, bk)
+    vh = _heads_major(v, b, n, v.shape[1], d, bk)
+    pad_correct = sk_p - sk_actual
+    masked = pad_correct > 0
+
+    if sk_p == bk:
+        out = pl.pallas_call(
+            functools.partial(_fa_small_kv_kernel, sk_actual=sk_actual,
+                              masked=masked, bounded=True,
+                              pad_correct=pad_correct),
+            grid=(b * n, sq_p // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda h, i: (h, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda h, i: (h, 0, 0)),
+                pl.BlockSpec((1, bk, d), lambda h, i: (h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda h, i: (h, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), qh.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(qh, kh, vh)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_fa_kernel_bounded, sk_actual=sk_actual,
+                              bk=bk, masked=masked, pad_correct=pad_correct),
+            grid=(b * n, sq_p // bq, sk_p // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), qh.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bq, d), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(qh, kh, vh)
+    return out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
+
+
 def _flash_fwd(q, k, v, scale, prescaled=False, kv_len=None,
                bounded_logits=False):
     # bounded_logits only affects the inference fast path; the vjp forward

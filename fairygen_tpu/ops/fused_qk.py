@@ -1,0 +1,264 @@
+"""Fused rms-norm -> RoPE -> head-major relayout for the Wan DiT attention.
+
+The legacy q/k preparation chain (``ops/norms.rms_norm`` ->
+``ops/rope.rope_apply`` -> the head-major transpose + pad inside
+``ops/flash_attention``) costs ~3 extra HBM round trips over the 50 MB
+q and k activations per block at flagship shapes (S=8190, D=3072): XLA
+cannot fuse across the rms reduction, the RoPE pair shuffle, and the
+layout change.  This kernel does norm-apply + rotate + relayout in ONE
+HBM pass per tensor; only a cheap stat pass (read-only rsqrt(mean(x^2)))
+stays in XLA.
+
+The RoPE pair rotation (reference ``wan_video_dit.py:91-96``: adjacent
+(2i, 2i+1) complex pairs along the head dim) is expressed without any
+gather/interleave: with full-width tables
+
+  cos_full[s, j]  =  cos[s, j // 2]
+  sin_sign[s, j]  = -sin[s, j // 2]  if j even else  +sin[s, j // 2]
+
+the rotation is ``y * cos_full + swap_adjacent(y) * sin_sign`` where
+``swap_adjacent`` (x[2i] <-> x[2i+1]) is two lane rolls and a select --
+cheap VPU ops on the (8, 128) vreg layout, unlike the strided pair
+access which forces a relayout.  The rotation computes the same two
+products and one add as the reference formula; the norm part is
+bit-identical to rms_norm, the rotation agrees to 1 bf16 ulp (the two
+graphs make different FMA-contraction choices, both valid roundings of
+the same fp32 expression — verified elementwise in tests/test_fused_qk).
+
+Differentiable via custom_vjp: the backward recomputes through the
+reference XLA chain (rms_norm -> rope_apply -> flash_attention's vjp),
+so training/remat paths are numerically unchanged.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _on_tpu
+from .norms import rms_norm
+from .rope import rope_apply
+
+
+def build_freqs_full(freqs: jnp.ndarray) -> jnp.ndarray:
+    """(2, S, hd/2) (cos, sin) pair tables -> (2, S, hd) full-width
+    (cos_full, sin_sign) tables for the fused kernel.  Computed once per
+    forward OUTSIDE the block scan (a few MB, S x hd fp32)."""
+    cos, sin = freqs[0], freqs[1]
+    cos_full = jnp.repeat(cos, 2, axis=-1)
+    sin_full = jnp.repeat(sin, 2, axis=-1)
+    sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), cos.shape[-1])
+    return jnp.stack([cos_full, sin_full * sign])
+
+
+def _prep_kernel(x_ref, rs_ref, g_ref, cos_ref, sin_ref, o_ref, *,
+                 rope, bq, s_actual):
+    """One (head, s-tile) instance: y = rms-apply(x) * gamma, rotate, store.
+
+    x   (1, bq, hd) bf16   natural-layout tile of the projection output
+    rs  (1, bq, 128) fp32  rsqrt(mean(x_row^2) + eps), lane-broadcast
+    g   (1, hd)            per-head gamma slice (q: pre-scaled by
+                           scale*log2e -- the flash prescale fold)
+    cos/sin (bq, hd) fp32  full-width rotation tables
+    o   (1, bq, hd)        head-major output tile, rows >= s_actual zeroed
+    """
+    i = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)                      # (bq, hd)
+    rs = rs_ref[0][:, : x.shape[-1]]                      # (bq, hd<=128)
+    # identical op order to ops/norms.rms_norm: fp32 scale, bf16 cast,
+    # bf16 gamma multiply
+    y = (x * rs).astype(o_ref.dtype) * g_ref[0][None, :]
+    if rope:
+        yf = y.astype(jnp.float32)
+        hd = yf.shape[-1]
+        nxt = pltpu.roll(yf, hd - 1, 1)                   # lane j -> x[j+1]
+        prv = pltpu.roll(yf, 1, 1)                        # lane j -> x[j-1]
+        even = (lax.broadcasted_iota(jnp.int32, yf.shape, 1) % 2) == 0
+        swp = jnp.where(even, nxt, prv)                   # adjacent-pair swap
+        y = (yf * cos_ref[...] + swp * sin_ref[...]).astype(o_ref.dtype)
+    # zero the padded tail rows EXACTLY (k-side pad_correct in the bounded
+    # flash kernels relies on padded k rows being exact zeros); also kills
+    # any garbage read past the input's last (non-tile-aligned) row
+    row = lax.broadcasted_iota(jnp.int32, y.shape, 0) + i * bq
+    o_ref[0] = jnp.where(row < s_actual, y, jnp.zeros_like(y))
+
+
+def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
+                         s_pad: int, *, rope: bool = True, bq: int = 512):
+    """(B, S, N*hd) bf16 -> (B*N, s_pad, hd) head-major, normalized (+RoPE).
+
+    rowscale: (B, S) fp32 = rsqrt(mean(x^2, -1) + eps) -- the rms stat,
+    computed by the caller in XLA (one read-only pass; everything else is
+    one read + one write here).
+    """
+    b, s, d = x.shape
+    hd = d // n_heads
+    assert hd <= 128 and 128 % hd == 0, hd
+    bq = min(bq, s_pad)
+    assert s_pad % bq == 0, (s_pad, bq)
+    n_tiles = s_pad // bq
+
+    rs_b = jnp.broadcast_to(rowscale[..., None], (b, s, 128))
+    gam = gamma.reshape(n_heads, hd)
+    if rope:
+        ff = freqs_full
+    else:
+        ff = jnp.zeros((2, s_pad, hd), jnp.float32)
+    n = n_heads
+    return pl.pallas_call(
+        functools.partial(_prep_kernel, rope=rope, bq=bq, s_actual=s),
+        grid=(b * n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda hc, i: (hc // n, i, hc % n)),
+            pl.BlockSpec((1, bq, 128), lambda hc, i: (hc // n, i, 0)),
+            pl.BlockSpec((1, hd), lambda hc, i: (hc % n, 0)),
+            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda hc, i: (hc, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, rs_b, gam, ff[0], ff[1])
+
+
+def _rowscale(x, eps: float):
+    xf = x.astype(jnp.float32)
+    return lax.rsqrt(jnp.mean(xf * xf, axis=-1) + eps)
+
+
+_PREP_BQ = 512
+
+
+def _pad_for_flash(s: int):
+    """(s_pad, bq, bk) so the prep output plugs straight into the bounded
+    flash kernels.  s_pad is the next _PREP_BQ multiple (so the prep
+    grid's last block is at most PARTIALLY out of bounds — fully-OOB
+    blocks are invalid); flash tiles are the largest measured-good
+    divisors of s_pad (q 2048 / k 1024 at flagship shapes)."""
+    s_pad = -(-s // _PREP_BQ) * _PREP_BQ
+    m = s_pad // _PREP_BQ
+    bq = 2048 if m % 4 == 0 else (1024 if m % 2 == 0 else 512)
+    bk = 1024 if m % 2 == 0 else 512
+    return s_pad, bq, bk
+
+
+def _fused_fwd(xq, xk, v, gamma_q, gamma_k, freqs_full, n_heads: int,
+               eps: float):
+    from .flash_attention import flash_attention_heads_major
+
+    b, s, d = xq.shape
+    s_pad, bq, bk = _pad_for_flash(s)
+    prep_bq = min(_PREP_BQ, s_pad)
+    qh = rms_rope_heads_major(xq, gamma_q, _rowscale(xq, eps), freqs_full,
+                              n_heads, s_pad, bq=prep_bq)
+    kh = rms_rope_heads_major(xk, gamma_k, _rowscale(xk, eps), freqs_full,
+                              n_heads, s_pad, bq=prep_bq)
+    return flash_attention_heads_major(qh, kh, v, b=b, n=n_heads, sq=s,
+                                       sk_actual=s, bq=bq, bk=bk)
+
+
+def _reference_chain(xq, xk, v, gamma_q, gamma_k, freqs, n_heads, eps):
+    """The legacy path -- the backward rule and the non-TPU fallback.
+    gamma_q arrives pre-scaled by scale*log2e (the caller's prescale
+    fold), hence prescaled=True."""
+    from .attention import attention
+
+    b, s, d = xq.shape
+    hd = d // n_heads
+    q = rms_norm(xq, gamma_q, eps)
+    k = rms_norm(xk, gamma_k, eps)
+    q = rope_apply(q.reshape(b, s, n_heads, hd), freqs)
+    k = rope_apply(k.reshape(b, s, n_heads, hd), freqs)
+    return attention(q, k, v, prescaled=True, bounded_logits=True)
+
+
+def _cross_reference_chain(xq, k, v, gamma_q, n_heads, eps):
+    from .attention import attention
+
+    b, s, d = xq.shape
+    hd = d // n_heads
+    q = rms_norm(xq, gamma_q, eps).reshape(b, s, n_heads, hd)
+    return attention(q, k, v, prescaled=True, bounded_logits=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_q_attention(xq, k, v, gamma_q, n_heads: int, eps: float):
+    """Cross-attention with fused q-side prep: rms-apply + head-major
+    relayout in one pass (no RoPE on the Wan cross-attention).  k/v are
+    already per-head (B, Lk, N, hd) — small (text tokens), relayouted in
+    XLA.  gamma_q pre-scaled by scale*log2e.  Returns (B, S, N, hd)."""
+    hd = xq.shape[-1] // n_heads
+    if not (_on_tpu() and hd == 128 and k.shape[1] <= 1024):
+        return _cross_reference_chain(xq, k, v, gamma_q, n_heads, eps)
+    from .flash_attention import flash_attention_heads_major
+
+    b, s, d = xq.shape
+    lk = k.shape[1]
+    s_pad, bq, _ = _pad_for_flash(s)
+    qh = rms_rope_heads_major(xq, gamma_q, _rowscale(xq, eps), None,
+                              n_heads, s_pad, rope=False,
+                              bq=min(_PREP_BQ, s_pad))
+    bk = max(128, -(-lk // 128) * 128)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * n_heads, lk, hd)
+    kh = jnp.pad(kh, ((0, 0), (0, bk - lk), (0, 0))) if bk != lk else kh
+    return flash_attention_heads_major(qh, kh, v, b=b, n=n_heads, sq=s,
+                                       sk_actual=lk, bq=bq, bk=bk)
+
+
+def _fused_q_vjp_fwd(xq, k, v, gamma_q, n_heads, eps):
+    out = fused_q_attention(xq, k, v, gamma_q, n_heads, eps)
+    return out, (xq, k, v, gamma_q)
+
+
+def _fused_q_vjp_bwd(n_heads, eps, res, g):
+    xq, k, v, gamma_q = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c, gq: _cross_reference_chain(a, b_, c, gq, n_heads,
+                                                    eps),
+        xq, k, v, gamma_q)
+    return vjp(g)
+
+
+fused_q_attention.defvjp(_fused_q_vjp_fwd, _fused_q_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_qk_attention(xq, xk, v, gamma_q, gamma_k, freqs, freqs_full,
+                       n_heads: int, eps: float):
+    """Self-attention from raw q/k projections: fused prep + bounded flash.
+
+    xq/xk (B, S, D) projection outputs, v (B, S, N, hd); gamma_q MUST be
+    pre-scaled by scale*log2e (see dit._self_attention).  Returns
+    (B, S, N, hd).  Forward is bit-compatible with the legacy chain; the
+    backward differentiates the legacy chain (gradients for xq, xk, v and
+    both gammas)."""
+    if _on_tpu() and (xq.shape[-1] // n_heads) == 128:
+        return _fused_fwd(xq, xk, v, gamma_q, gamma_k, freqs_full,
+                          n_heads, eps)
+    return _reference_chain(xq, xk, v, gamma_q, gamma_k, freqs, n_heads, eps)
+
+
+def _fused_vjp_fwd(xq, xk, v, gamma_q, gamma_k, freqs, freqs_full,
+                   n_heads, eps):
+    out = fused_qk_attention(xq, xk, v, gamma_q, gamma_k, freqs, freqs_full,
+                             n_heads, eps)
+    return out, (xq, xk, v, gamma_q, gamma_k, freqs, freqs_full)
+
+
+def _fused_vjp_bwd(n_heads, eps, res, g):
+    xq, xk, v, gamma_q, gamma_k, freqs, freqs_full = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c, gq, gk, fr: _reference_chain(
+            a, b_, c, gq, gk, fr, n_heads, eps),
+        xq, xk, v, gamma_q, gamma_k, freqs)
+    dxq, dxk, dv, dgq, dgk, dfr = vjp(g)
+    return dxq, dxk, dv, dgq, dgk, dfr, jnp.zeros_like(freqs_full)
+
+
+fused_qk_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

@@ -1,0 +1,206 @@
+"""Fused rms-norm -> RoPE -> head-major prep kernel (ops/fused_qk) vs the
+legacy chain (rms_norm -> rope_apply -> flash head-major relayout).
+
+Kernel semantics run in interpreter mode on CPU; the compiled path is
+exercised on real TPU by the bench and the real-weights tests.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fairygen_tpu.ops.fused_qk import (
+    _fused_fwd,
+    _pad_for_flash,
+    _reference_chain,
+    _rowscale,
+    build_freqs_full,
+    fused_qk_attention,
+    rms_rope_heads_major,
+)
+from fairygen_tpu.ops.norms import rms_norm
+from fairygen_tpu.ops.rope import build_freqs_grid, precompute_freqs_3d, rope_apply
+
+
+def _inputs(b, s, n, hd, grid, seed=0, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(seed)
+    d = n * hd
+    xq = jnp.asarray(rng.standard_normal((b, s, d)), dtype)
+    xk = jnp.asarray(rng.standard_normal((b, s, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, s, n, hd)), dtype)
+    gq = jnp.asarray(rng.standard_normal((d,)) * (hd**-0.5) * 1.4427, dtype)
+    gk = jnp.asarray(rng.standard_normal((d,)), dtype)
+    freqs = build_freqs_grid(precompute_freqs_3d(hd, 128), *grid)
+    assert freqs.shape[1] == s
+    return xq, xk, v, gq, gk, freqs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("s,grid", [(300, (5, 6, 10)), (777, (7, 111, 1))])
+def test_prep_kernel_matches_legacy_chain(s, grid):
+    """The prep kernel == rms_norm + rope_apply + head-major transpose to
+    ~1 bf16 ulp (FMA association differs between the two graphs; the norm
+    part alone is bit-identical — asserted below), padded tail rows are
+    exact zeros (the bounded flash pad_correct contract)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, hd = 1, 2, 128
+    xq, _, _, gq, _, freqs = _inputs(b, s, n, hd, grid)
+    ff = build_freqs_full(freqs)
+    eps = 1e-6
+
+    ref = rms_norm(xq, gq, eps)
+    ref = rope_apply(ref.reshape(b, s, n, hd), freqs)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b * n, s, hd)
+
+    s_pad, _, _ = _pad_for_flash(s)
+    with pltpu.force_tpu_interpret_mode():
+        out = rms_rope_heads_major(xq, gq, _rowscale(xq, eps), ff, n, s_pad)
+        out_norm_only = rms_rope_heads_major(
+            xq, gq, _rowscale(xq, eps), None, n, s_pad, rope=False)
+
+    a = np.asarray(out[:, :s].astype(jnp.float32))
+    r = np.asarray(ref.astype(jnp.float32))
+    np.testing.assert_allclose(a, r, atol=2e-2)  # ~1 ulp at bf16 scale
+    assert float(jnp.abs(out[:, s:]).max()) == 0.0
+
+    ref_n = rms_norm(xq, gq, eps).reshape(b, s, n, hd)
+    ref_n = ref_n.transpose(0, 2, 1, 3).reshape(b * n, s, hd)
+    np.testing.assert_array_equal(
+        np.asarray(out_norm_only[:, :s].astype(jnp.float32)),
+        np.asarray(ref_n.astype(jnp.float32)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "b,s,n,grid",
+    [(1, 300, 2, (5, 6, 10)), (1, 2500, 3, (25, 10, 10)),
+     (2, 777, 2, (7, 111, 1))],
+)
+def test_fused_attention_matches_reference(b, s, n, grid):
+    from jax.experimental.pallas import tpu as pltpu
+
+    hd = 128
+    xq, xk, v, gq, gk, freqs = _inputs(b, s, n, hd, grid, seed=1)
+    ff = build_freqs_full(freqs)
+    ref = _reference_chain(xq, xk, v, gq, gk, freqs, n, 1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        out = _fused_fwd(xq, xk, v, gq, gk, ff, n, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)), atol=2.5e-2)
+
+
+def test_fused_attention_gradients_match_reference():
+    """The custom_vjp backward routes through the legacy XLA chain, so
+    gradients are EXACTLY the legacy gradients (fp32, CPU fallback)."""
+    b, s, n, hd = 1, 300, 2, 128
+    xq, xk, v, gq, gk, freqs = _inputs(b, s, n, hd, (5, 6, 10), seed=2,
+                                       dtype=jnp.float32)
+    ff = build_freqs_full(freqs)
+
+    def loss_fused(*args):
+        return jnp.sum(fused_qk_attention(*args, freqs, ff, n, 1e-6) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_reference_chain(*args, freqs, n, 1e-6) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(xq, xk, v, gq, gk)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(xq, xk, v, gq, gk)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+@pytest.mark.slow
+def test_fused_q_cross_attention_matches_reference():
+    """q-side-only prep (rms + relayout, no RoPE) for cross-attention."""
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(4)
+    b, s, n, hd, lk = 1, 777, 2, 128, 512
+    d = n * hd
+    xq = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, lk, n, hd)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, lk, n, hd)), jnp.bfloat16)
+    gq = jnp.asarray(rng.standard_normal((d,)) * (hd**-0.5) * 1.4427,
+                     jnp.bfloat16)
+    ref = fq._cross_reference_chain(xq, k, v, gq, n, 1e-6)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(fq, "_on_tpu", lambda: True):
+        out = fq.fused_q_attention(xq, k, v, gq, n, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)), atol=2.5e-2)
+
+
+def test_fused_q_cross_gradients_match_reference():
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(5)
+    b, s, n, hd, lk = 1, 300, 2, 128, 77
+    d = n * hd
+    xq = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, n, hd)), jnp.float32)
+    gq = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+
+    def loss_fused(*args):
+        return jnp.sum(fq.fused_q_attention(*args, n, 1e-6) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(fq._cross_reference_chain(*args, n, 1e-6) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xq, k, v, gq)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xq, k, v, gq)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_dit_cross_attention_cpu_fallback_unchanged():
+    from fairygen_tpu.models.wan.dit import _cross_attention
+
+    rng = np.random.default_rng(6)
+    b, s, n, hd, lk = 1, 60, 2, 128, 33
+    d = n * hd
+    p = {
+        "q": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "k": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "v": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "o": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "norm_q": jnp.ones((d,), jnp.float32),
+        "norm_k": jnp.ones((d,), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, lk, d)), jnp.float32)
+    legacy = _cross_attention(p, x, ctx, n, 1e-6, False)
+    fused = _cross_attention(p, x, ctx, n, 1e-6, False, fused_q=True)
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
+
+
+def test_dit_self_attention_cpu_fallback_unchanged():
+    """On CPU (no TPU), _self_attention with freqs_full routes through the
+    reference chain — outputs must equal the legacy freqs_full=None path
+    exactly (golden-test invariance)."""
+    from fairygen_tpu.models.wan.dit import _self_attention
+
+    rng = np.random.default_rng(3)
+    b, s, n, hd = 1, 60, 2, 128
+    d = n * hd
+    p = {
+        "q": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "k": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "v": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "o": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "norm_q": jnp.ones((d,), jnp.float32),
+        "norm_k": jnp.ones((d,), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    freqs = build_freqs_grid(precompute_freqs_3d(hd, 128), 5, 6, 2)
+    ff = build_freqs_full(freqs)
+    legacy = _self_attention(p, x, freqs, n, 1e-6)
+    fused = _self_attention(p, x, freqs, n, 1e-6, freqs_full=ff)
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
