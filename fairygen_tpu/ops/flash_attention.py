@@ -127,7 +127,7 @@ def _fa_kernel_bounded(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
         l = l_ref[:, :1]
         if pad_correct:
             l = l - jnp.float32(pad_correct)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype).reshape(o_ref[0].shape)
 
 
 def _fa_small_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, sk_actual, masked,
@@ -161,7 +161,7 @@ def _fa_small_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, sk_actual, masked,
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (pv / l).astype(o_ref.dtype)
+    o_ref[0] = (pv / l).astype(o_ref.dtype).reshape(o_ref[0].shape)
 
 
 def _fa_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, acc_ref, m_ref,
@@ -512,19 +512,32 @@ def _heads_major(x, b, n, s, d, bs):
 
 
 def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
-                                bq=2048, bk=1024):
+                                bq=2048, bk=1024, natural_out=False):
     """Forward-only bounded-logits attention on PRE-FORMATTED head-major
     q/k (from ops/fused_qk.rms_rope_heads_major): qh (B*N, S_pad, d)
     prescaled + rotated, kh (B*N, S_pad, d) with rows >= sk_actual exactly
     zero (the pad_correct contract), v (B, S, N, d) natural layout.
     Returns (B, sq, N, d).  Skips the q/k transpose+pad passes the generic
-    entry pays; only v is relayouted here."""
+    entry pays; only v is relayouted here.
+
+    natural_out=True writes the output blocks straight into a
+    (B, S_pad, N, d) array (strided DMA stores), skipping the XLA
+    transpose-back pass — A/B this on hardware (docs/NOTES.md)."""
     d = qh.shape[-1]
     sq_p, sk_p = qh.shape[1], kh.shape[1]
     assert sq_p % bq == 0 and sk_p % bk == 0, (sq_p, sk_p, bq, bk)
     vh = _heads_major(v, b, n, v.shape[1], d, bk)
     pad_correct = sk_p - sk_actual
     masked = pad_correct > 0
+
+    if natural_out:
+        out_spec2 = pl.BlockSpec((1, bq, 1, d), lambda h, i: (h // n, i, h % n, 0))
+        out_spec3 = pl.BlockSpec((1, bq, 1, d), lambda h, i, j: (h // n, i, h % n, 0))
+        out_shape = jax.ShapeDtypeStruct((b, sq_p, n, d), qh.dtype)
+    else:
+        out_spec2 = pl.BlockSpec((1, bq, d), lambda h, i: (h, i, 0))
+        out_spec3 = pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0))
+        out_shape = jax.ShapeDtypeStruct((b * n, sq_p, d), qh.dtype)
 
     if sk_p == bk:
         out = pl.pallas_call(
@@ -537,8 +550,8 @@ def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
                 pl.BlockSpec((1, bk, d), lambda h, i: (h, 0, 0)),
                 pl.BlockSpec((1, bk, d), lambda h, i: (h, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda h, i: (h, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), qh.dtype),
+            out_specs=out_spec2,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
@@ -553,8 +566,8 @@ def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
                 pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
                 pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * n, sq_p, d), qh.dtype),
+            out_specs=out_spec3,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((bq, d), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
@@ -563,6 +576,8 @@ def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
         )(qh, kh, vh)
+    if natural_out:
+        return out[:, :sq]
     return out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 

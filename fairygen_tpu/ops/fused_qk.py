@@ -43,6 +43,13 @@ from .attention import _on_tpu
 from .norms import rms_norm
 from .rope import rope_apply
 
+import os
+
+# A/B switch: write attention outputs straight into the natural
+# (B, S, N, d) layout from the kernel (strided stores) instead of the XLA
+# transpose-back pass.  Default from hardware measurement (docs/NOTES.md).
+_NATURAL_OUT = os.environ.get("FAIRYGEN_FLASH_NATURAL_OUT", "0") == "1"
+
 
 def build_freqs_full(freqs: jnp.ndarray) -> jnp.ndarray:
     """(2, S, hd/2) (cos, sin) pair tables -> (2, S, hd) full-width
@@ -160,7 +167,8 @@ def _fused_fwd(xq, xk, v, gamma_q, gamma_k, freqs_full, n_heads: int,
     kh = rms_rope_heads_major(xk, gamma_k, _rowscale(xk, eps), freqs_full,
                               n_heads, s_pad, bq=prep_bq)
     return flash_attention_heads_major(qh, kh, v, b=b, n=n_heads, sq=s,
-                                       sk_actual=s, bq=bq, bk=bk)
+                                       sk_actual=s, bq=bq, bk=bk,
+                                       natural_out=_NATURAL_OUT)
 
 
 def _reference_chain(xq, xk, v, gamma_q, gamma_k, freqs, n_heads, eps):
@@ -208,7 +216,8 @@ def fused_q_attention(xq, k, v, gamma_q, n_heads: int, eps: float):
     kh = k.transpose(0, 2, 1, 3).reshape(b * n_heads, lk, hd)
     kh = jnp.pad(kh, ((0, 0), (0, bk - lk), (0, 0))) if bk != lk else kh
     return flash_attention_heads_major(qh, kh, v, b=b, n=n_heads, sq=s,
-                                       sk_actual=lk, bq=bq, bk=bk)
+                                       sk_actual=lk, bq=bq, bk=bk,
+                                       natural_out=_NATURAL_OUT)
 
 
 def _fused_q_vjp_fwd(xq, k, v, gamma_q, n_heads, eps):

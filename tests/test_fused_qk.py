@@ -112,6 +112,36 @@ def test_fused_attention_gradients_match_reference():
 
 
 @pytest.mark.slow
+def test_natural_out_matches_head_major_out():
+    """flash_attention_heads_major(natural_out=True) writes blocks straight
+    into the (B, S, N, d) layout — identical values to the transpose-back
+    path, for both the streaming and the small-kv kernels."""
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fairygen_tpu.ops.fused_qk as fq
+
+    b, s, n = 1, 2500, 2
+    xq, xk, v, gq, gk, freqs = _inputs(b, s, n, 128, (25, 10, 10), seed=7)
+    ff = build_freqs_full(freqs)
+    with pltpu.force_tpu_interpret_mode():
+        base = fq._fused_fwd(xq, xk, v, gq, gk, ff, n, 1e-6)
+        with mock.patch.object(fq, "_NATURAL_OUT", True):
+            nat = fq._fused_fwd(xq, xk, v, gq, gk, ff, n, 1e-6)
+    np.testing.assert_array_equal(np.asarray(nat), np.asarray(base))
+
+    k = jnp.asarray(np.asarray(xk[:, :512]).reshape(b, 512, n, 128))
+    vv = jnp.asarray(np.asarray(v[:, :512]))
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(fq, "_on_tpu", lambda: True):
+        base = fq.fused_q_attention(xq, k, vv, gq, n, 1e-6)
+        with mock.patch.object(fq, "_NATURAL_OUT", True):
+            nat = fq.fused_q_attention(xq, k, vv, gq, n, 1e-6)
+    np.testing.assert_array_equal(np.asarray(nat), np.asarray(base))
+
+
+@pytest.mark.slow
 def test_fused_q_cross_attention_matches_reference():
     """q-side-only prep (rms + relayout, no RoPE) for cross-attention."""
     from unittest import mock
