@@ -109,14 +109,26 @@ def _rope_tables(ids: np.ndarray, axes_dims, theta: float):
 _apply_rope = apply_interleaved_rope
 
 
+import os as _os
+
+
 def _attention(p, x, cos, sin, cfg: ZImageDiTConfig):
     b, l, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
-    q = _dense(p["to_q"], x).reshape(b, l, n, hd)
-    k = _dense(p["to_k"], x).reshape(b, l, n, hd)
+    xq = _dense(p["to_q"], x)
+    xk = _dense(p["to_k"], x)
     v = _dense(p["to_v"], x).reshape(b, l, n, hd)
-    q = rms_norm(q, p["norm_q"], 1e-5)
-    k = rms_norm(k, p["norm_k"], 1e-5)
+    if hd == 128 and _os.environ.get("FAIRYGEN_FUSED_QK", "1") == "1":
+        # fused per-head rms -> rope -> head-major prep (ops/fused_qk):
+        # one HBM pass per tensor instead of ~3 (falls back to the exact
+        # legacy chain off-TPU)
+        from ...ops.fused_qk import fused_qk_attention_per_head
+
+        o = fused_qk_attention_per_head(
+            xq, xk, v, p["norm_q"], p["norm_k"], cos, sin, n, 1e-5)
+        return _dense(p["to_out"], o.reshape(b, l, n * hd))
+    q = rms_norm(xq.reshape(b, l, n, hd), p["norm_q"], 1e-5)
+    k = rms_norm(xk.reshape(b, l, n, hd), p["norm_k"], 1e-5)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
     o = attention(q, k, v, bounded_logits=True).reshape(b, l, n * hd)

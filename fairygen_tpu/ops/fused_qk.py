@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .attention import _on_tpu
 from .norms import rms_norm
-from .rope import rope_apply
+from .rope import apply_interleaved_rope, rope_apply
 
 import os
 
@@ -51,15 +51,20 @@ import os
 _NATURAL_OUT = os.environ.get("FAIRYGEN_FLASH_NATURAL_OUT", "0") == "1"
 
 
-def build_freqs_full(freqs: jnp.ndarray) -> jnp.ndarray:
-    """(2, S, hd/2) (cos, sin) pair tables -> (2, S, hd) full-width
-    (cos_full, sin_sign) tables for the fused kernel.  Computed once per
-    forward OUTSIDE the block scan (a few MB, S x hd fp32)."""
-    cos, sin = freqs[0], freqs[1]
+def build_freqs_full_pairs(cos, sin) -> jnp.ndarray:
+    """(L, hd/2) interleaved-pair tables -> (2, L, hd) full-width
+    (cos_full, sin_sign) tables for the fused kernel."""
     cos_full = jnp.repeat(cos, 2, axis=-1)
     sin_full = jnp.repeat(sin, 2, axis=-1)
     sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), cos.shape[-1])
     return jnp.stack([cos_full, sin_full * sign])
+
+
+def build_freqs_full(freqs: jnp.ndarray) -> jnp.ndarray:
+    """(2, S, hd/2) (cos, sin) pair tables -> (2, S, hd) full-width
+    (cos_full, sin_sign) tables for the fused kernel.  Computed once per
+    forward OUTSIDE the block scan (a few MB, S x hd fp32)."""
+    return build_freqs_full_pairs(freqs[0], freqs[1])
 
 
 def _prep_kernel(x_ref, rs_ref, g_ref, cos_ref, sin_ref, o_ref, *,
@@ -79,6 +84,11 @@ def _prep_kernel(x_ref, rs_ref, g_ref, cos_ref, sin_ref, o_ref, *,
     # identical op order to ops/norms.rms_norm: fp32 scale, bf16 cast,
     # bf16 gamma multiply
     y = (x * rs).astype(o_ref.dtype) * g_ref[0][None, :]
+    _rotate_mask_store(y, cos_ref, sin_ref, o_ref, rope=rope, bq=bq,
+                       s_actual=s_actual, i=i)
+
+
+def _rotate_mask_store(y, cos_ref, sin_ref, o_ref, *, rope, bq, s_actual, i):
     if rope:
         yf = y.astype(jnp.float32)
         hd = yf.shape[-1]
@@ -92,6 +102,19 @@ def _prep_kernel(x_ref, rs_ref, g_ref, cos_ref, sin_ref, o_ref, *,
     # any garbage read past the input's last (non-tile-aligned) row
     row = lax.broadcasted_iota(jnp.int32, y.shape, 0) + i * bq
     o_ref[0] = jnp.where(row < s_actual, y, jnp.zeros_like(y))
+
+
+def _prep_kernel_per_head(x_ref, g_ref, cos_ref, sin_ref, o_ref, *,
+                          rope, bq, s_actual, eps):
+    """Per-head rms variant (FLUX/Qwen/Z-Image qk-norm: weight (hd,)):
+    the reduction runs over the head's own 128 lanes, so no XLA stat
+    pass is needed at all — the kernel is fully self-contained."""
+    i = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)                      # (bq, hd)
+    rs = lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    y = (x * rs).astype(o_ref.dtype) * g_ref[0][None, :]
+    _rotate_mask_store(y, cos_ref, sin_ref, o_ref, rope=rope, bq=bq,
+                       s_actual=s_actual, i=i)
 
 
 def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
@@ -132,6 +155,40 @@ def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
             dimension_semantics=("parallel", "parallel"),
         ),
     )(x, rs_b, gam, ff[0], ff[1])
+
+
+def rms_rope_heads_major_per_head(x, gamma, freqs_full, n_heads: int,
+                                  s_pad: int, *, eps: float,
+                                  rope: bool = True, bq: int = 512):
+    """Per-head-rms variant: x (B, S, N*hd), gamma (hd,) shared across
+    heads (the FLUX/Qwen/Z-Image qk-norm shape) -> (B*N, s_pad, hd)."""
+    b, s, d = x.shape
+    hd = d // n_heads
+    assert hd <= 128 and 128 % hd == 0, hd
+    bq = min(bq, s_pad)
+    assert s_pad % bq == 0, (s_pad, bq)
+    gam = gamma.reshape(1, hd)
+    if rope:
+        ff = freqs_full
+    else:
+        ff = jnp.zeros((2, s_pad, hd), jnp.float32)
+    n = n_heads
+    return pl.pallas_call(
+        functools.partial(_prep_kernel_per_head, rope=rope, bq=bq,
+                          s_actual=s, eps=eps),
+        grid=(b * n, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda hc, i: (hc // n, i, hc % n)),
+            pl.BlockSpec((1, hd), lambda hc, i: (0, 0)),
+            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda hc, i: (hc, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, gam, ff[0], ff[1])
 
 
 def _rowscale(x, eps: float):
@@ -271,3 +328,71 @@ def _fused_vjp_bwd(n_heads, eps, res, g):
 
 
 fused_qk_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _reference_chain_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
+                              n_heads, eps):
+    """The legacy per-head path (exactly ops-for-ops what the Z-Image /
+    image-DiT attentions do: reshape -> per-head rms -> interleaved rope
+    -> bounded flash with internal prescale)."""
+    from .attention import attention
+
+    b, s, d = xq.shape
+    hd = d // n_heads
+    q = rms_norm(xq.reshape(b, s, n_heads, hd), gamma_q, eps)
+    k = rms_norm(xk.reshape(b, s, n_heads, hd), gamma_k, eps)
+    q = apply_interleaved_rope(q, cos, sin)
+    k = apply_interleaved_rope(k, cos, sin)
+    return attention(q, k, v, bounded_logits=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_qk_attention_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
+                                n_heads: int, eps: float):
+    """Self-attention from raw q/k projections for the per-head-rms +
+    interleaved-rope image DiTs (Z-Image; FLUX/Qwen shapes are the same).
+
+    xq/xk (B, S, D), v (B, S, N, hd), gamma_q/k (hd,) UNscaled (the
+    softmax scale*log2e fold happens here), cos/sin (S, hd/2) pair
+    tables.  Returns (B, S, N, hd).  Backward routes through the legacy
+    chain."""
+    hd = xq.shape[-1] // n_heads
+    if not (_on_tpu() and hd == 128):
+        return _reference_chain_per_head(xq, xk, v, gamma_q, gamma_k, cos,
+                                         sin, n_heads, eps)
+    from .flash_attention import flash_attention_heads_major
+
+    b, s, d = xq.shape
+    ff = build_freqs_full_pairs(cos, sin)  # tiny vs the q/k traffic saved
+    c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
+    gq = (gamma_q.astype(jnp.float32) * c).astype(gamma_q.dtype)
+    s_pad, bq, bk = _pad_for_flash(s)
+    prep_bq = min(_PREP_BQ, s_pad)
+    qh = rms_rope_heads_major_per_head(xq, gq, ff, n_heads, s_pad, eps=eps,
+                                       bq=prep_bq)
+    kh = rms_rope_heads_major_per_head(xk, gamma_k, ff, n_heads, s_pad,
+                                       eps=eps, bq=prep_bq)
+    return flash_attention_heads_major(qh, kh, v, b=b, n=n_heads, sq=s,
+                                       sk_actual=s, bq=bq, bk=bk,
+                                       natural_out=_NATURAL_OUT)
+
+
+def _fused_ph_vjp_fwd(xq, xk, v, gamma_q, gamma_k, cos, sin, n_heads, eps):
+    out = fused_qk_attention_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
+                                      n_heads, eps)
+    return out, (xq, xk, v, gamma_q, gamma_k, cos, sin)
+
+
+def _fused_ph_vjp_bwd(n_heads, eps, res, g):
+    xq, xk, v, gamma_q, gamma_k, cos, sin = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c_, gq, gk, co, si: _reference_chain_per_head(
+            a, b_, c_, gq, gk, co, si, n_heads, eps),
+        xq, xk, v, gamma_q, gamma_k, cos, sin)
+    return vjp(g)
+
+
+fused_qk_attention_per_head.defvjp(_fused_ph_vjp_fwd, _fused_ph_vjp_bwd)

@@ -211,6 +211,95 @@ def test_dit_cross_attention_cpu_fallback_unchanged():
     np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
 
 
+@pytest.mark.slow
+def test_fused_per_head_matches_reference():
+    """Per-head-rms + interleaved-rope variant (Z-Image / image DiTs)."""
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(8)
+    b, s, n, hd = 1, 777, 3, 128
+    d = n * hd
+    xq = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    xk = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, n, hd)), jnp.bfloat16)
+    gq = jnp.asarray(rng.standard_normal((hd,)), jnp.bfloat16)
+    gk = jnp.asarray(rng.standard_normal((hd,)), jnp.bfloat16)
+    ang = rng.uniform(0, 6.28, (s, hd // 2)).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+    ref = fq._reference_chain_per_head(xq, xk, v, gq, gk, cos, sin, n, 1e-5)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(fq, "_on_tpu", lambda: True):
+        out = fq.fused_qk_attention_per_head(xq, xk, v, gq, gk, cos, sin,
+                                             n, 1e-5)
+    # the fused path folds scale*log2e into gamma (one FEWER bf16
+    # rounding than the legacy post-rope prescale) -> ~2 ulp divergence
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)), atol=3.5e-2)
+
+
+def test_fused_per_head_gradients_match_reference():
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(9)
+    b, s, n, hd = 1, 300, 2, 128
+    d = n * hd
+    xq = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    xk = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, n, hd)), jnp.float32)
+    gq = jnp.asarray(rng.standard_normal((hd,)) * 0.1, jnp.float32)
+    gk = jnp.asarray(rng.standard_normal((hd,)), jnp.float32)
+    ang = rng.uniform(0, 6.28, (s, hd // 2)).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+
+    def loss_fused(*args):
+        return jnp.sum(
+            fq.fused_qk_attention_per_head(*args, cos, sin, n, 1e-5) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(
+            fq._reference_chain_per_head(*args, cos, sin, n, 1e-5) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(xq, xk, v, gq, gk)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(xq, xk, v, gq, gk)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_z_image_attention_cpu_fallback_unchanged():
+    """On CPU the Z-Image fused gate routes through the reference chain —
+    must equal the legacy branch exactly (golden invariance)."""
+    from unittest import mock
+
+    import fairygen_tpu.models.z_image.dit as zd
+
+    cfg = zd.ZImageDiTConfig(dim=256, num_heads=2, num_layers=1,
+                             num_refiner_layers=1, axes_dims=(32, 48, 48),
+                             cap_feat_dim=32)
+    assert cfg.head_dim == 128
+    rng = np.random.default_rng(10)
+    d = cfg.dim
+    p = {
+        "to_q": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "to_k": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "to_v": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "to_out": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)},
+        "norm_q": jnp.ones((cfg.head_dim,), jnp.float32),
+        "norm_k": jnp.ones((cfg.head_dim,), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((1, 64, d)), jnp.float32)
+    ang = rng.uniform(0, 6.28, (64, 64)).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+    fused = zd._attention(p, x, cos, sin, cfg)
+    with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "0"}):
+        legacy = zd._attention(p, x, cos, sin, cfg)
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
+
+
 def test_dit_self_attention_cpu_fallback_unchanged():
     """On CPU (no TPU), _self_attention with freqs_full routes through the
     reference chain — outputs must equal the legacy freqs_full=None path
