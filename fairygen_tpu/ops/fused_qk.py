@@ -28,6 +28,14 @@ the same fp32 expression — verified elementwise in tests/test_fused_qk).
 Differentiable via custom_vjp: the backward recomputes through the
 reference XLA chain (rms_norm -> rope_apply -> flash_attention's vjp),
 so training/remat paths are numerically unchanged.
+
+Consumers: the Wan DiT (full-row rms + 3D rope; XLA stat pass feeds the
+kernel a rowscale) and Z-Image (per-head rms + interleaved rope; fully
+self-contained kernel).  Qwen-Image / FLUX have the same per-head shape
+but run JOINT txt+img attention with per-stream projections — fusing
+them would require mid-sequence gap masking in the head-major layout
+(the txt segment is shorter than a prep tile), judged not worth the
+~2-3% for their block shapes.
 """
 from __future__ import annotations
 
