@@ -663,12 +663,12 @@ def wan_dit_forward(
     # full-width RoPE tables for the fused q/k prep kernel (ops/fused_qk) —
     # built ONCE outside the block scan; single-device path only (Ulysses
     # routes through attn_fn, TP shards the head dim).
-    # FAIRYGEN_FUSED_QK=0 disables (falls back to the legacy chain).
+    # default OFF until validated on hardware: FAIRYGEN_FUSED_QK=1 enables.
     import os as _os
 
     freqs_full = None
     if (mesh is None and cfg.head_dim == 128
-            and _os.environ.get("FAIRYGEN_FUSED_QK", "1") == "1"):
+            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
         from ...ops.fused_qk import build_freqs_full
 
         freqs_full = build_freqs_full(freqs)

@@ -118,7 +118,7 @@ def _attention(p, x, cos, sin, cfg: ZImageDiTConfig):
     xq = _dense(p["to_q"], x)
     xk = _dense(p["to_k"], x)
     v = _dense(p["to_v"], x).reshape(b, l, n, hd)
-    if hd == 128 and _os.environ.get("FAIRYGEN_FUSED_QK", "1") == "1":
+    if hd == 128 and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1":
         # fused per-head rms -> rope -> head-major prep (ops/fused_qk):
         # one HBM pass per tensor instead of ~3 (falls back to the exact
         # legacy chain off-TPU)

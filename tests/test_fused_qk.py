@@ -294,7 +294,8 @@ def test_z_image_attention_cpu_fallback_unchanged():
     x = jnp.asarray(rng.standard_normal((1, 64, d)), jnp.float32)
     ang = rng.uniform(0, 6.28, (64, 64)).astype(np.float32)
     cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
-    fused = zd._attention(p, x, cos, sin, cfg)
+    with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "1"}):
+        fused = zd._attention(p, x, cos, sin, cfg)
     with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "0"}):
         legacy = zd._attention(p, x, cos, sin, cfg)
     np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
