@@ -247,17 +247,32 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
     y = ln_modulate(x, shift, scale, cfg.eps)
     h = _hdense(p["to_qkv_mlp"], y, hot.get("to_qkv_mlp"))
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
-    q, k, v = jnp.split(_split_heads(qkv, 3 * n), 3, axis=2)
-    q = rms_norm(q, p["norm_q"], cfg.eps)
-    k = rms_norm(k, p["norm_k"], cfg.eps)
-    q = _apply_rope(q, cos, sin)
-    k = _apply_rope(k, cos, sin)
-    att = _merge_heads(attention(q, k, v, prescaled=prescaled,
-                                 bias=attn_bias, bounded_logits=True))
-    if ip is not None:
-        # single blocks query with the POST-rope q over ALL tokens (text
-        # included) — flux_dit.py:240-241
-        att = att + _ip_attention(ip, q, n, prescaled)
+    import os as _os
+
+    if (ip is None and attn_bias is None and cfg.head_dim == 128
+            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
+        # fused per-head rms -> rope -> head-major prep (ops/fused_qk);
+        # the IP-adapter / EliGen-bias paths need the post-rope q in
+        # natural layout, so they keep the legacy chain
+        from ...ops.fused_qk import fused_qk_attention_per_head
+
+        v = _split_heads(qkv[..., 2 * d:], n)
+        att = fused_qk_attention_per_head(
+            qkv[..., :d], qkv[..., d:2 * d], v, p["norm_q"], p["norm_k"],
+            cos, sin, n, cfg.eps, not prescaled)
+        att = _merge_heads(att)
+    else:
+        q, k, v = jnp.split(_split_heads(qkv, 3 * n), 3, axis=2)
+        q = rms_norm(q, p["norm_q"], cfg.eps)
+        k = rms_norm(k, p["norm_k"], cfg.eps)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        att = _merge_heads(attention(q, k, v, prescaled=prescaled,
+                                     bias=attn_bias, bounded_logits=True))
+        if ip is not None:
+            # single blocks query with the POST-rope q over ALL tokens (text
+            # included) — flux_dit.py:240-241
+            att = att + _ip_attention(ip, q, n, prescaled)
     h = jnp.concatenate([att, jax.nn.gelu(mlp)], axis=-1)
     return x + gate * _hdense(p["proj_out"], h, hot.get("proj_out"))
 

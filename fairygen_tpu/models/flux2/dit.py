@@ -156,14 +156,28 @@ def flux2_single_block(p, x, mod, cos, sin, cfg: Flux2DiTConfig):
     y = ln_modulate(x, sh, sc, cfg.eps)
     h = _dense(p["to_qkv_mlp"], y)
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
-    q, k, v = jnp.split(_heads(qkv, 3 * n), 3, axis=2)
-    q = rms_norm(q, p["norm_q"], 1e-5)
-    k = rms_norm(k, p["norm_k"], 1e-5)
-    q = _apply_rope(q, cos, sin)
-    k = _apply_rope(k, cos, sin)
-    att = attention(q, k, v, bounded_logits=True)
-    b, l, _, _ = att.shape
-    att = att.reshape(b, l, d)
+    import os as _os
+
+    if (cfg.head_dim == 128
+            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
+        # fused per-head rms -> rope -> head-major prep (ops/fused_qk)
+        from ...ops.fused_qk import fused_qk_attention_per_head
+
+        v = _heads(qkv[..., 2 * d:], n)
+        att = fused_qk_attention_per_head(
+            qkv[..., :d], qkv[..., d:2 * d], v, p["norm_q"], p["norm_k"],
+            cos, sin, n, 1e-5)
+        b, l, _, _ = att.shape
+        att = att.reshape(b, l, d)
+    else:
+        q, k, v = jnp.split(_heads(qkv, 3 * n), 3, axis=2)
+        q = rms_norm(q, p["norm_q"], 1e-5)
+        k = rms_norm(k, p["norm_k"], 1e-5)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        att = attention(q, k, v, bounded_logits=True)
+        b, l, _, _ = att.shape
+        att = att.reshape(b, l, d)
     x1, x2 = jnp.split(mlp, 2, axis=-1)
     mlp = jax.nn.silu(x1) * x2
     assert mlp.shape[-1] == mlp_hidden

@@ -342,10 +342,12 @@ _LOG2E = 1.4426950408889634
 
 
 def _reference_chain_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
-                              n_heads, eps):
+                              n_heads, eps, fold_scale=True):
     """The legacy per-head path (exactly ops-for-ops what the Z-Image /
-    image-DiT attentions do: reshape -> per-head rms -> interleaved rope
-    -> bounded flash with internal prescale)."""
+    FLUX-single attentions do: reshape -> per-head rms -> interleaved
+    rope -> bounded flash).  fold_scale=False means the caller already
+    folded scale*log2e into gamma_q at convert time (FLUX), i.e. the
+    legacy call passes prescaled=True."""
     from .attention import attention
 
     b, s, d = xq.shape
@@ -354,29 +356,33 @@ def _reference_chain_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
     k = rms_norm(xk.reshape(b, s, n_heads, hd), gamma_k, eps)
     q = apply_interleaved_rope(q, cos, sin)
     k = apply_interleaved_rope(k, cos, sin)
-    return attention(q, k, v, bounded_logits=True)
+    return attention(q, k, v, prescaled=not fold_scale, bounded_logits=True)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_qk_attention_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
-                                n_heads: int, eps: float):
+                                n_heads: int, eps: float,
+                                fold_scale: bool = True):
     """Self-attention from raw q/k projections for the per-head-rms +
-    interleaved-rope image DiTs (Z-Image; FLUX/Qwen shapes are the same).
+    interleaved-rope image DiTs (Z-Image, FLUX single blocks).
 
-    xq/xk (B, S, D), v (B, S, N, hd), gamma_q/k (hd,) UNscaled (the
-    softmax scale*log2e fold happens here), cos/sin (S, hd/2) pair
-    tables.  Returns (B, S, N, hd).  Backward routes through the legacy
-    chain."""
+    xq/xk (B, S, D), v (B, S, N, hd), gamma_q/k (hd,); cos/sin (S, hd/2)
+    pair tables.  fold_scale=True: gamma_q is raw, fold scale*log2e here
+    (Z-Image); False: already folded at convert time (FLUX).  Returns
+    (B, S, N, hd).  Backward routes through the legacy chain."""
     hd = xq.shape[-1] // n_heads
     if not (_on_tpu() and hd == 128):
         return _reference_chain_per_head(xq, xk, v, gamma_q, gamma_k, cos,
-                                         sin, n_heads, eps)
+                                         sin, n_heads, eps, fold_scale)
     from .flash_attention import flash_attention_heads_major
 
     b, s, d = xq.shape
     ff = build_freqs_full_pairs(cos, sin)  # tiny vs the q/k traffic saved
-    c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
-    gq = (gamma_q.astype(jnp.float32) * c).astype(gamma_q.dtype)
+    if fold_scale:
+        c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
+        gq = (gamma_q.astype(jnp.float32) * c).astype(gamma_q.dtype)
+    else:
+        gq = gamma_q
     s_pad, bq, bk = _pad_for_flash(s)
     prep_bq = min(_PREP_BQ, s_pad)
     qh = rms_rope_heads_major_per_head(xq, gq, ff, n_heads, s_pad, eps=eps,
@@ -388,17 +394,18 @@ def fused_qk_attention_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
                                        natural_out=_NATURAL_OUT)
 
 
-def _fused_ph_vjp_fwd(xq, xk, v, gamma_q, gamma_k, cos, sin, n_heads, eps):
+def _fused_ph_vjp_fwd(xq, xk, v, gamma_q, gamma_k, cos, sin, n_heads, eps,
+                      fold_scale):
     out = fused_qk_attention_per_head(xq, xk, v, gamma_q, gamma_k, cos, sin,
-                                      n_heads, eps)
+                                      n_heads, eps, fold_scale)
     return out, (xq, xk, v, gamma_q, gamma_k, cos, sin)
 
 
-def _fused_ph_vjp_bwd(n_heads, eps, res, g):
+def _fused_ph_vjp_bwd(n_heads, eps, fold_scale, res, g):
     xq, xk, v, gamma_q, gamma_k, cos, sin = res
     _, vjp = jax.vjp(
         lambda a, b_, c_, gq, gk, co, si: _reference_chain_per_head(
-            a, b_, c_, gq, gk, co, si, n_heads, eps),
+            a, b_, c_, gq, gk, co, si, n_heads, eps, fold_scale),
         xq, xk, v, gamma_q, gamma_k, cos, sin)
     return vjp(g)
 

@@ -301,6 +301,77 @@ def test_z_image_attention_cpu_fallback_unchanged():
     np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
 
 
+def test_flux_single_blocks_cpu_fallback_unchanged():
+    """FLUX.1 / FLUX.2 single blocks with the fused gate on vs off — on
+    CPU both route through the reference chain, outputs must be equal."""
+    from unittest import mock
+
+    import fairygen_tpu.models.flux.dit as fd
+    import fairygen_tpu.models.flux2.dit as f2
+
+    rng = np.random.default_rng(11)
+
+    cfg = fd.FluxDiTConfig.tiny(dim=256, num_heads=2, axes_dim=(4, 30, 30))
+    params = fd.init_flux_dit_params(jax.random.key(0), cfg, jnp.float32)
+    blk = jax.tree.map(lambda a: a[0], params["single_blocks"])
+    x = jnp.asarray(rng.standard_normal((1, 96, cfg.dim)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, cfg.dim)), jnp.float32)
+    ang = rng.uniform(0, 6.28, (96, cfg.head_dim // 2)).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+    with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "1"}):
+        a = fd.flux_single_block(blk, x, cond, cos, sin, cfg)
+    with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "0"}):
+        b_ = fd.flux_single_block(blk, x, cond, cos, sin, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    cfg2 = f2.Flux2DiTConfig.tiny(num_heads=2, head_dim=128,
+                                  axes_dim=(32, 32, 32, 32))
+    params2 = f2.init_flux2_dit_params(jax.random.key(1), cfg2, jnp.float32)
+    blk2 = jax.tree.map(lambda a: a[0], params2["single_blocks"])
+    x = jnp.asarray(rng.standard_normal((1, 96, cfg2.dim)), jnp.float32)
+    mod = (jnp.zeros((1, cfg2.dim)), jnp.zeros((1, cfg2.dim)),
+           jnp.ones((1, cfg2.dim)))
+    ang = rng.uniform(0, 6.28, (96, cfg2.head_dim // 2)).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+    with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "1"}):
+        a = f2.flux2_single_block(blk2, x, mod, cos, sin, cfg2)
+    with mock.patch.dict("os.environ", {"FAIRYGEN_FUSED_QK": "0"}):
+        b_ = f2.flux2_single_block(blk2, x, mod, cos, sin, cfg2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+@pytest.mark.slow
+def test_fused_per_head_prescaled_matches_reference():
+    """fold_scale=False (FLUX convert-time prescale): the fused path must
+    match the legacy prescaled=True chain."""
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(12)
+    b, s, n, hd = 1, 300, 2, 128
+    d = n * hd
+    xq = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    xk = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, n, hd)), jnp.bfloat16)
+    gq = jnp.asarray(rng.standard_normal((hd,)) * (hd**-0.5) * 1.4427,
+                     jnp.bfloat16)
+    gk = jnp.asarray(rng.standard_normal((hd,)), jnp.bfloat16)
+    ang = rng.uniform(0, 6.28, (s, hd // 2)).astype(np.float32)
+    cos, sin = jnp.cos(jnp.asarray(ang)), jnp.sin(jnp.asarray(ang))
+    ref = fq._reference_chain_per_head(xq, xk, v, gq, gk, cos, sin, n,
+                                       1e-5, fold_scale=False)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(fq, "_on_tpu", lambda: True):
+        out = fq.fused_qk_attention_per_head(xq, xk, v, gq, gk, cos, sin,
+                                             n, 1e-5, False)
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)), atol=3.5e-2)
+
+
 def test_dit_self_attention_cpu_fallback_unchanged():
     """On CPU (no TPU), _self_attention with freqs_full routes through the
     reference chain — outputs must equal the legacy freqs_full=None path
