@@ -72,5 +72,76 @@ def main():
     print(f"max |legacy - fused| on random x (zero params): {diff:.3e}")
 
 
+def z_image_block():
+    """A/B one Z-Image unified block at the 1024px shape (L=4736)."""
+    import os
+
+    import numpy as np
+
+    import fairygen_tpu.models.z_image.dit as zd
+
+    dtype = jnp.bfloat16
+    cfg = zd.ZImageDiTConfig.z_image()
+    shapes = jax.eval_shape(
+        lambda: zd.init_z_image_dit_params(jax.random.key(0), cfg, dtype=dtype))
+    blk_shapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape[1:], s.dtype),
+        shapes["layers"])
+    blk = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), blk_shapes))()
+    import os as _o
+    L = int(_o.environ.get('FAIRYGEN_BENCH_L', 4608 + 128))  # img + caption
+    x = jnp.zeros((1, L, cfg.dim), dtype)
+    t_emb = jnp.zeros((1, cfg.adaln_dim), dtype)
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(0, 6.28, (L, cfg.head_dim // 2)).astype(np.float32)
+    cos, sin = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+    for flag, name in [("0", "legacy"), ("1", "fused ")]:
+        os.environ["FAIRYGEN_FUSED_QK"] = flag
+        f = jax.jit(lambda p, xx: zd.z_block(p, xx, cos, sin, cfg,
+                                             adaln=t_emb))
+        dt = _time(f, blk, x)
+        print(f"z-image {name} block: {dt*1e3:8.3f} ms")
+    del os.environ["FAIRYGEN_FUSED_QK"]
+
+
+def flux_single():
+    """A/B one FLUX.1 single block at the 1024px shape (L=4608)."""
+    import os
+
+    import numpy as np
+
+    import fairygen_tpu.models.flux.dit as fd
+
+    dtype = jnp.bfloat16
+    cfg = fd.FluxDiTConfig.flux1_dev()
+    shapes = jax.eval_shape(
+        lambda: fd.init_flux_dit_params(jax.random.key(0), cfg, dtype=dtype))
+    blk_shapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape[1:], s.dtype),
+        shapes["single_blocks"])
+    blk = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), blk_shapes))()
+    import os as _o
+    L = int(_o.environ.get('FAIRYGEN_BENCH_L', 4096 + 512))
+    x = jnp.zeros((1, L, cfg.dim), dtype)
+    cond = jnp.zeros((1, cfg.dim), dtype)
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(0, 6.28, (L, cfg.head_dim // 2)).astype(np.float32)
+    cos, sin = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+    for flag, name in [("0", "legacy"), ("1", "fused ")]:
+        os.environ["FAIRYGEN_FUSED_QK"] = flag
+        f = jax.jit(lambda p, xx: fd.flux_single_block(
+            p, xx, cond, cos, sin, cfg, prescaled=True))
+        dt = _time(f, blk, x)
+        print(f"flux single {name} block: {dt*1e3:8.3f} ms")
+    del os.environ["FAIRYGEN_FUSED_QK"]
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "wan"
+    {"wan": main, "z": z_image_block, "flux": flux_single}[which]()
