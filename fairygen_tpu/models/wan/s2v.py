@@ -256,12 +256,30 @@ def s2v_dit_block(p, x, ctx, t_mod2, seq_len_x, freqs, cfg: S2VConfig):
     a = p["self_attn"]
     b, s, d = y.shape
     n, hd = cfg.num_heads, cfg.head_dim
-    q = rms_norm(_apply_dense(a["q"], y), a["norm_q"], cfg.eps).reshape(b, s, n, hd)
-    k = rms_norm(_apply_dense(a["k"], y), a["norm_k"], cfg.eps).reshape(b, s, n, hd)
-    v = _apply_dense(a["v"], y).reshape(b, s, n, hd)
-    q = rope_apply(q, freqs)
-    k = rope_apply(k, freqs)
-    o = attention(q, k, v, bounded_logits=True).reshape(b, s, d)
+    import os as _os
+
+    from ...ops.attention import _on_tpu
+
+    if (_on_tpu() and hd == 128
+            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
+        # fused rms->rope->head-major prep (ops/fused_qk); scale*log2e
+        # folds into the q gamma (the flash prescale fold) — TPU only so
+        # the CPU golden path below stays bit-identical to the reference
+        from ...ops.fused_qk import build_freqs_full, fused_qk_attention
+
+        c = jnp.asarray(hd**-0.5 * 1.4426950408889634, jnp.float32)
+        gq = (a["norm_q"].astype(jnp.float32) * c).astype(a["norm_q"].dtype)
+        o = fused_qk_attention(
+            _apply_dense(a["q"], y), _apply_dense(a["k"], y),
+            _apply_dense(a["v"], y).reshape(b, s, n, hd), gq, a["norm_k"],
+            freqs, build_freqs_full(freqs), n, cfg.eps).reshape(b, s, d)
+    else:
+        q = rms_norm(_apply_dense(a["q"], y), a["norm_q"], cfg.eps).reshape(b, s, n, hd)
+        k = rms_norm(_apply_dense(a["k"], y), a["norm_k"], cfg.eps).reshape(b, s, n, hd)
+        v = _apply_dense(a["v"], y).reshape(b, s, n, hd)
+        q = rope_apply(q, freqs)
+        k = rope_apply(k, freqs)
+        o = attention(q, k, v, bounded_logits=True).reshape(b, s, d)
     x = x + g_msa * _apply_dense(a["o"], o)
     y = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
     x = x + _cross_attention(p["cross_attn"], y, ctx, n, cfg.eps, False)
