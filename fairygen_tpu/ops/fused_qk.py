@@ -85,8 +85,13 @@ def _prep_kernel(x_ref, rs_ref, g_ref, cos_ref, sin_ref, o_ref, *,
                            scale*log2e -- the flash prescale fold)
     cos/sin (bq, hd) fp32  full-width rotation tables
     o   (1, bq, hd)        head-major output tile, rows >= s_actual zeroed
+
+    Grid order is (s-tile, head) with the HEAD index innermost: the
+    cos/sin/rs block indices are then unchanged across consecutive
+    iterations, so Pallas keeps them resident instead of re-streaming
+    the fp32 tables once per head (24x the intended table traffic).
     """
-    i = pl.program_id(1)
+    i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)                      # (bq, hd)
     rs = rs_ref[0][:, : x.shape[-1]]                      # (bq, hd<=128)
     # identical op order to ops/norms.rms_norm: fp32 scale, bf16 cast,
@@ -117,7 +122,7 @@ def _prep_kernel_per_head(x_ref, g_ref, cos_ref, sin_ref, o_ref, *,
     """Per-head rms variant (FLUX/Qwen/Z-Image qk-norm: weight (hd,)):
     the reduction runs over the head's own 128 lanes, so no XLA stat
     pass is needed at all — the kernel is fully self-contained."""
-    i = pl.program_id(1)
+    i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)                      # (bq, hd)
     rs = lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
     y = (x * rs).astype(o_ref.dtype) * g_ref[0][None, :]
@@ -149,15 +154,15 @@ def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
     n = n_heads
     return pl.pallas_call(
         functools.partial(_prep_kernel, rope=rope, bq=bq, s_actual=s),
-        grid=(b * n, n_tiles),
+        grid=(n_tiles, b * n),  # head innermost: table blocks stay resident
         in_specs=[
-            pl.BlockSpec((1, bq, hd), lambda hc, i: (hc // n, i, hc % n)),
-            pl.BlockSpec((1, bq, 128), lambda hc, i: (hc // n, i, 0)),
-            pl.BlockSpec((1, hd), lambda hc, i: (hc % n, 0)),
-            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
-            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
+            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, i, hc % n)),
+            pl.BlockSpec((1, bq, 128), lambda i, hc: (hc // n, i, 0)),
+            pl.BlockSpec((1, hd), lambda i, hc: (hc % n, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, hd), lambda hc, i: (hc, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, hd), lambda i, hc: (hc, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -184,14 +189,14 @@ def rms_rope_heads_major_per_head(x, gamma, freqs_full, n_heads: int,
     return pl.pallas_call(
         functools.partial(_prep_kernel_per_head, rope=rope, bq=bq,
                           s_actual=s, eps=eps),
-        grid=(b * n, s_pad // bq),
+        grid=(s_pad // bq, b * n),  # head innermost (see _prep_kernel)
         in_specs=[
-            pl.BlockSpec((1, bq, hd), lambda hc, i: (hc // n, i, hc % n)),
-            pl.BlockSpec((1, hd), lambda hc, i: (0, 0)),
-            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
-            pl.BlockSpec((bq, hd), lambda hc, i: (i, 0)),
+            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, i, hc % n)),
+            pl.BlockSpec((1, hd), lambda i, hc: (0, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, hd), lambda hc, i: (hc, i, 0)),
+        out_specs=pl.BlockSpec((1, bq, hd), lambda i, hc: (hc, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
