@@ -247,10 +247,10 @@ def flux_single_block(p, x, cond, cos, sin, cfg: FluxDiTConfig,
     y = ln_modulate(x, shift, scale, cfg.eps)
     h = _hdense(p["to_qkv_mlp"], y, hot.get("to_qkv_mlp"))
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
-    import os as _os
+    from ...ops.fused_qk import fused_qk_enabled
 
     if (ip is None and attn_bias is None and cfg.head_dim == 128
-            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
+            and fused_qk_enabled()):
         # fused per-head rms -> rope -> head-major prep (ops/fused_qk);
         # the IP-adapter / EliGen-bias paths need the post-rope q in
         # natural layout, so they keep the legacy chain

@@ -156,10 +156,9 @@ def flux2_single_block(p, x, mod, cos, sin, cfg: Flux2DiTConfig):
     y = ln_modulate(x, sh, sc, cfg.eps)
     h = _dense(p["to_qkv_mlp"], y)
     qkv, mlp = h[..., : 3 * d], h[..., 3 * d:]
-    import os as _os
+    from ...ops.fused_qk import fused_qk_enabled
 
-    if (cfg.head_dim == 128
-            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
+    if cfg.head_dim == 128 and fused_qk_enabled():
         # fused per-head rms -> rope -> head-major prep (ops/fused_qk)
         from ...ops.fused_qk import fused_qk_attention_per_head
 

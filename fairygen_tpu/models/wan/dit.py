@@ -662,15 +662,12 @@ def wan_dit_forward(
     s_orig = x.shape[1]
     # full-width RoPE tables for the fused q/k prep kernel (ops/fused_qk) —
     # built ONCE outside the block scan; single-device path only (Ulysses
-    # routes through attn_fn, TP shards the head dim).
-    # default OFF until validated on hardware: FAIRYGEN_FUSED_QK=1 enables.
-    import os as _os
+    # routes through attn_fn, TP shards the head dim).  Gate + default live
+    # in ops/fused_qk.fused_qk_enabled (FAIRYGEN_FUSED_QK).
+    from ...ops.fused_qk import build_freqs_full, fused_qk_enabled
 
     freqs_full = None
-    if (mesh is None and cfg.head_dim == 128
-            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
-        from ...ops.fused_qk import build_freqs_full
-
+    if mesh is None and cfg.head_dim == 128 and fused_qk_enabled():
         freqs_full = build_freqs_full(freqs)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -235,9 +235,11 @@ def frame_packer_forward(params, cfg: S2VConfig, motion_latents,
 
 
 # ------------------------------------------------------------------- blocks
-def s2v_dit_block(p, x, ctx, t_mod2, seq_len_x, freqs, cfg: S2VConfig):
+def s2v_dit_block(p, x, ctx, t_mod2, seq_len_x, freqs, cfg: S2VConfig,
+                  freqs_full=None):
     """WanS2VDiTBlock — s2v.py:341-356. t_mod2: (2, 6, D) (denoise t, zero t);
-    first seq_len_x tokens use row 0, the rest row 1."""
+    first seq_len_x tokens use row 0, the rest row 1.  freqs_full: optional
+    full-width rope tables for the fused q/k prep (built once per forward)."""
     s_total = x.shape[1]
     mod = p["modulation"].astype(jnp.float32)[None, :, None, None] + \
         t_mod2.astype(jnp.float32).reshape(2, 1, 6, 1, cfg.dim).transpose(1, 2, 0, 3, 4)
@@ -256,23 +258,18 @@ def s2v_dit_block(p, x, ctx, t_mod2, seq_len_x, freqs, cfg: S2VConfig):
     a = p["self_attn"]
     b, s, d = y.shape
     n, hd = cfg.num_heads, cfg.head_dim
-    import os as _os
-
-    from ...ops.attention import _on_tpu
-
-    if (_on_tpu() and hd == 128
-            and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1"):
+    if freqs_full is not None and hd == 128:
         # fused rms->rope->head-major prep (ops/fused_qk); scale*log2e
-        # folds into the q gamma (the flash prescale fold) — TPU only so
-        # the CPU golden path below stays bit-identical to the reference
-        from ...ops.fused_qk import build_freqs_full, fused_qk_attention
+        # folds into the q gamma (the flash prescale fold); off-TPU the
+        # entry falls back to the legacy reference chain
+        from ...ops.fused_qk import fused_qk_attention
 
         c = jnp.asarray(hd**-0.5 * 1.4426950408889634, jnp.float32)
         gq = (a["norm_q"].astype(jnp.float32) * c).astype(a["norm_q"].dtype)
         o = fused_qk_attention(
             _apply_dense(a["q"], y), _apply_dense(a["k"], y),
             _apply_dense(a["v"], y).reshape(b, s, n, hd), gq, a["norm_k"],
-            freqs, build_freqs_full(freqs), n, cfg.eps).reshape(b, s, d)
+            freqs, freqs_full, n, cfg.eps).reshape(b, s, d)
     else:
         q = rms_norm(_apply_dense(a["q"], y), a["norm_q"], cfg.eps).reshape(b, s, n, hd)
         k = rms_norm(_apply_dense(a["k"], y), a["norm_k"], cfg.eps).reshape(b, s, n, hd)
@@ -382,8 +379,19 @@ def wan_s2v_forward(params, cfg: S2VConfig, latents, timestep, context,
     tp = jax.nn.silu(t.astype(jnp.float32)).astype(t.dtype)
     t_mod2 = _apply_dense(params["time_proj"], tp).reshape(2, 6, cfg.dim)
 
+    # fused-prep tables: built ONCE per forward (gate + default live in
+    # ops/fused_qk.fused_qk_enabled); TPU-only so the CPU golden path
+    # stays bit-identical to the reference
+    from ...ops.attention import _on_tpu
+    from ...ops.fused_qk import build_freqs_full, fused_qk_enabled
+
+    freqs_full = None
+    if _on_tpu() and cfg.head_dim == 128 and fused_qk_enabled():
+        freqs_full = build_freqs_full(freqs)
+
     for i, blk in enumerate(params["blocks"]):
-        x = s2v_dit_block(blk, x, ctx, t_mod2, seq_len_x, freqs, cfg)
+        x = s2v_dit_block(blk, x, ctx, t_mod2, seq_len_x, freqs, cfg,
+                          freqs_full=freqs_full)
         x = _audio_inject(params["audio_injector"], cfg, i, x,
                           audio_emb_global, merged_audio_emb, seq_len_x)
 

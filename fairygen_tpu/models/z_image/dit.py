@@ -109,16 +109,15 @@ def _rope_tables(ids: np.ndarray, axes_dims, theta: float):
 _apply_rope = apply_interleaved_rope
 
 
-import os as _os
-
-
 def _attention(p, x, cos, sin, cfg: ZImageDiTConfig):
     b, l, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     xq = _dense(p["to_q"], x)
     xk = _dense(p["to_k"], x)
     v = _dense(p["to_v"], x).reshape(b, l, n, hd)
-    if hd == 128 and _os.environ.get("FAIRYGEN_FUSED_QK", "0") == "1":
+    from ...ops.fused_qk import fused_qk_enabled
+
+    if hd == 128 and fused_qk_enabled():
         # fused per-head rms -> rope -> head-major prep (ops/fused_qk):
         # one HBM pass per tensor instead of ~3 (falls back to the exact
         # legacy chain off-TPU)

@@ -58,6 +58,15 @@ import os
 # transpose-back pass.  Default from hardware measurement (docs/NOTES.md).
 _NATURAL_OUT = os.environ.get("FAIRYGEN_FLASH_NATURAL_OUT", "0") == "1"
 
+# Single source of truth for the fused-prep gate: every consumer (Wan DiT,
+# Z-Image, FLUX.1/FLUX.2 single blocks, S2V) calls this, so flipping the
+# hardware-validated default is a one-line change HERE.
+_DEFAULT_ENABLED = "0"  # flip to "1" after the tools/bench_fused_qk.py A/B
+
+
+def fused_qk_enabled() -> bool:
+    return os.environ.get("FAIRYGEN_FUSED_QK", _DEFAULT_ENABLED) == "1"
+
 
 def build_freqs_full_pairs(cos, sin) -> jnp.ndarray:
     """(L, hd/2) interleaved-pair tables -> (2, L, hd) full-width

@@ -372,6 +372,64 @@ def test_fused_per_head_prescaled_matches_reference():
         np.asarray(ref.astype(jnp.float32)), atol=3.5e-2)
 
 
+@pytest.mark.slow
+def test_s2v_block_fused_matches_legacy():
+    """s2v_dit_block with freqs_full routed through the fused prep
+    (interpret mode, mocked on-TPU) vs the legacy branch."""
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fairygen_tpu.ops.fused_qk as fq
+    from fairygen_tpu.models.wan.s2v import S2VConfig, s2v_dit_block
+    from fairygen_tpu.ops.rope import build_freqs_grid, precompute_freqs_3d
+
+    cfg = S2VConfig(dim=256, num_heads=2, num_layers=1, ffn_dim=512,
+                    text_dim=64)
+    assert cfg.head_dim == 128
+    rng = np.random.default_rng(13)
+    d = cfg.dim
+
+    def dense():
+        return {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.05,
+                                 jnp.float32),
+                "b": jnp.zeros((d,), jnp.float32)}
+
+    blk = {
+        "self_attn": {"q": dense(), "k": dense(), "v": dense(), "o": dense(),
+                      "norm_q": jnp.ones((d,), jnp.float32),
+                      "norm_k": jnp.ones((d,), jnp.float32)},
+        "cross_attn": {"q": dense(), "k": dense(), "v": dense(),
+                       "o": dense(),
+                       "norm_q": jnp.ones((d,), jnp.float32),
+                       "norm_k": jnp.ones((d,), jnp.float32)},
+        "norm3": {"w": jnp.ones((d,), jnp.float32),
+                  "b": jnp.zeros((d,), jnp.float32)},
+        "ffn": {"fc1": {"w": jnp.asarray(
+                    rng.standard_normal((d, cfg.ffn_dim)) * 0.05,
+                    jnp.float32), "b": jnp.zeros((cfg.ffn_dim,))},
+                "fc2": {"w": jnp.asarray(
+                    rng.standard_normal((cfg.ffn_dim, d)) * 0.05,
+                    jnp.float32), "b": jnp.zeros((d,))}},
+        "modulation": jnp.asarray(rng.standard_normal((6, d)) * 0.02,
+                                  jnp.float32),
+    }
+    s = 300
+    x = jnp.asarray(rng.standard_normal((1, s, d)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 33, d)), jnp.float32)
+    t_mod2 = jnp.asarray(rng.standard_normal((2, 6, d)) * 0.02, jnp.float32)
+    freqs = build_freqs_grid(precompute_freqs_3d(128, 128), 5, 6, 10)
+    ff = fq.build_freqs_full(freqs)
+
+    legacy = s2v_dit_block(blk, x, ctx, t_mod2, 260, freqs, cfg)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(fq, "_on_tpu", lambda: True):
+        fused = s2v_dit_block(blk, x, ctx, t_mod2, 260, freqs, cfg,
+                              freqs_full=ff)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(legacy),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_dit_self_attention_cpu_fallback_unchanged():
     """On CPU (no TPU), _self_attention with freqs_full routes through the
     reference chain — outputs must equal the legacy freqs_full=None path

@@ -89,8 +89,7 @@ def z_image_block():
         shapes["layers"])
     blk = jax.jit(lambda: jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype), blk_shapes))()
-    import os as _o
-    L = int(_o.environ.get('FAIRYGEN_BENCH_L', 4608 + 128))  # img + caption
+    L = int(os.environ.get('FAIRYGEN_BENCH_L', 4608 + 128))  # img + caption
     x = jnp.zeros((1, L, cfg.dim), dtype)
     t_emb = jnp.zeros((1, cfg.adaln_dim), dtype)
     rng = np.random.default_rng(0)
@@ -123,8 +122,7 @@ def flux_single():
         shapes["single_blocks"])
     blk = jax.jit(lambda: jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype), blk_shapes))()
-    import os as _o
-    L = int(_o.environ.get('FAIRYGEN_BENCH_L', 4096 + 512))
+    L = int(os.environ.get('FAIRYGEN_BENCH_L', 4096 + 512))
     x = jnp.zeros((1, L, cfg.dim), dtype)
     cond = jnp.zeros((1, cfg.dim), dtype)
     rng = np.random.default_rng(0)
