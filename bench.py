@@ -279,5 +279,34 @@ def _make_zero_vae_params(cfg, dtype):
     }
 
 
+def _backend_ready(timeout_s=60):
+    """Probe backend init in a SUBPROCESS (a failed in-process init is
+    cached by jax and poisons every later attempt)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s + 30, capture_output=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0
+
+
 if __name__ == "__main__":
+    # The axon tunnel can be transiently down (observed a multi-hour
+    # outage 2026-08-17).  Wait for the backend in subprocess probes
+    # BEFORE touching jax here, instead of failing the whole bench on
+    # one refused init.  FAIRYGEN_BENCH_WAIT_S caps the wait (0 = off).
+    wait_budget = float(os.environ.get("FAIRYGEN_BENCH_WAIT_S", "900"))
+    t0 = time.time()
+    while wait_budget > 0 and not _backend_ready():
+        remaining = wait_budget - (time.time() - t0)
+        if remaining <= 0:
+            print("bench: backend never became ready "
+                  f"(waited {wait_budget:.0f}s)", file=sys.stderr)
+            break
+        print(f"bench: backend unavailable, retrying "
+              f"({remaining:.0f}s left)", file=sys.stderr)
+        time.sleep(min(60, max(1, remaining)))
     main()
