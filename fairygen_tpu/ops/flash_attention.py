@@ -531,9 +531,13 @@ def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
     masked = pad_correct > 0
 
     if natural_out:
-        out_spec2 = pl.BlockSpec((1, bq, 1, d), lambda h, i: (h // n, i, h % n, 0))
-        out_spec3 = pl.BlockSpec((1, bq, 1, d), lambda h, i, j: (h // n, i, h % n, 0))
-        out_shape = jax.ShapeDtypeStruct((b, sq_p, n, d), qh.dtype)
+        # (B, S_pad, N*d) view of the natural (B, S, N, d) layout: Mosaic
+        # rejects a (1, bq, 1, d) block (sublane dim 1 on an N-sized axis),
+        # but blocking the fused N*d axis into per-head d-slices is legal
+        # and byte-identical; the reshape back below is free.
+        out_spec2 = pl.BlockSpec((1, bq, d), lambda h, i: (h // n, i, h % n))
+        out_spec3 = pl.BlockSpec((1, bq, d), lambda h, i, j: (h // n, i, h % n))
+        out_shape = jax.ShapeDtypeStruct((b, sq_p, n * d), qh.dtype)
     else:
         out_spec2 = pl.BlockSpec((1, bq, d), lambda h, i: (h, i, 0))
         out_spec3 = pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0))
@@ -577,7 +581,7 @@ def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
             ),
         )(qh, kh, vh)
     if natural_out:
-        return out[:, :sq]
+        return out[:, :sq].reshape(b, sq, n, d)
     return out[:, :sq].reshape(b, n, sq, d).transpose(0, 2, 1, 3)
 
 

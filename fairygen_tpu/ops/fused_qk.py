@@ -56,12 +56,16 @@ import os
 # A/B switch: write attention outputs straight into the natural
 # (B, S, N, d) layout from the kernel (strided stores) instead of the XLA
 # transpose-back pass.  Default from hardware measurement (docs/NOTES.md).
-_NATURAL_OUT = os.environ.get("FAIRYGEN_FLASH_NATURAL_OUT", "0") == "1"
+_NATURAL_OUT = os.environ.get("FAIRYGEN_FLASH_NATURAL_OUT", "1") == "1"
 
 # Single source of truth for the fused-prep gate: every consumer (Wan DiT,
 # Z-Image, FLUX.1/FLUX.2 single blocks, S2V) calls this, so flipping the
 # hardware-validated default is a one-line change HERE.
-_DEFAULT_ENABLED = "0"  # flip to "1" after the tools/bench_fused_qk.py A/B
+# Hardware-validated 2026-08-18 (tools/bench_fused_qk.py on v5e):
+# Wan 30-block 21.12 -> 19.80 ms/block (fused+natural_out), Z-Image block
+# 18.34 -> 16.29 ms, FLUX single block 13.83 -> 11.94 ms; numerics agree
+# to 1 bf16 ulp per block (docs/NOTES.md).
+_DEFAULT_ENABLED = "1"
 
 
 def fused_qk_enabled() -> bool:
@@ -105,7 +109,7 @@ def _prep_kernel(x_ref, rs_ref, g_ref, cos_ref, sin_ref, o_ref, *,
     rs = rs_ref[0][:, : x.shape[-1]]                      # (bq, hd<=128)
     # identical op order to ops/norms.rms_norm: fp32 scale, bf16 cast,
     # bf16 gamma multiply
-    y = (x * rs).astype(o_ref.dtype) * g_ref[0][None, :]
+    y = (x * rs).astype(o_ref.dtype) * g_ref[0, 0][None, :]
     _rotate_mask_store(y, cos_ref, sin_ref, o_ref, rope=rope, bq=bq,
                        s_actual=s_actual, i=i)
 
@@ -155,7 +159,10 @@ def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
     n_tiles = s_pad // bq
 
     rs_b = jnp.broadcast_to(rowscale[..., None], (b, s, 128))
-    gam = gamma.reshape(n_heads, hd)
+    # (n, 1, hd) so the per-head block's last two dims (1, hd) EQUAL the
+    # array's — Mosaic rejects a (1, hd) block on an (n, hd) array (the
+    # sublane dim must be 8-divisible or full).
+    gam = gamma.reshape(n_heads, 1, hd)
     if rope:
         ff = freqs_full
     else:
@@ -167,7 +174,7 @@ def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
         in_specs=[
             pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, i, hc % n)),
             pl.BlockSpec((1, bq, 128), lambda i, hc: (hc // n, i, 0)),
-            pl.BlockSpec((1, hd), lambda i, hc: (hc % n, 0)),
+            pl.BlockSpec((1, 1, hd), lambda i, hc: (hc % n, 0, 0)),
             pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
             pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
         ],

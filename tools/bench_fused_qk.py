@@ -35,8 +35,13 @@ def main():
     cfg = WanDiTConfig.ti2v_5b()
     shapes = jax.eval_shape(
         lambda: init_dit_params(jax.random.key(0), cfg, dtype=dtype))
-    params = jax.jit(
-        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    # random params (NOT zeros: the numeric check below needs nonzero q/k
+    # projections; timing is data-independent)
+    leaves, treedef = jax.tree.flatten(shapes)
+    ks = jax.random.split(jax.random.key(1), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        jax.random.normal(k, s.shape, s.dtype) * 0.02
+        for k, s in zip(ks, leaves)])
 
     s = 21 * 15 * 26  # 8190 tokens
     x = jnp.zeros((1, s, cfg.dim), dtype)
@@ -63,13 +68,15 @@ def main():
     print(f"fused+natural_out:    {dt_n*1e3:8.2f} ms ({dt_n/30*1e3:6.3f} ms/block)")
     fq._NATURAL_OUT = False
 
-    # numeric sanity on-chip: fused vs legacy on random data
-    key = jax.random.key(1)
-    xr = jax.random.normal(key, x.shape, dtype)
+    # numeric sanity on-chip: fused vs legacy with the random params above
+    # (zero params would zero the q/k projections and hide any kernel bug)
+    xr = jax.random.normal(jax.random.key(2), x.shape, dtype)
     a = legacy(params, xr)
     b = fused(params, xr)
     diff = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
-    print(f"max |legacy - fused| on random x (zero params): {diff:.3e}")
+    scale = float(jnp.abs(a.astype(jnp.float32)).max())
+    print(f"max |legacy - fused| on random x/params: {diff:.3e} "
+          f"(|legacy| max {scale:.3e})")
 
 
 def z_image_block():
