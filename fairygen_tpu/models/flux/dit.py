@@ -186,6 +186,25 @@ def _joint_attention(p, xa, xb, cos, sin, cfg: FluxDiTConfig, prescaled,
     n = cfg.num_heads
     qkv_a = _hdense(p["a_qkv"], xa, hot.get("attn.a_to_qkv"))
     qkv_b = _hdense(p["b_qkv"], xb, hot.get("attn.b_to_qkv"))
+    from ...ops.fused_qk import fused_qk_attention_joint, fused_qk_enabled
+
+    if (ip is None and attn_bias is None and cfg.head_dim == 128
+            and fused_qk_enabled()):
+        # fused two-stream prep + bounded flash (ops/fused_qk joint path);
+        # the IP-adapter path needs the pre-rope normed q_a in natural
+        # layout and EliGen needs a bias -> both keep the legacy chain
+        d = cfg.dim
+        lb = xb.shape[1]
+        o_b, o_a = fused_qk_attention_joint(
+            qkv_b[..., :d], qkv_b[..., d:2 * d],
+            _split_heads(qkv_b[..., 2 * d:], n),
+            qkv_a[..., :d], qkv_a[..., d:2 * d],
+            _split_heads(qkv_a[..., 2 * d:], n),
+            p["norm_q_b"], p["norm_k_b"], p["norm_q_a"], p["norm_k_a"],
+            cos[:lb], sin[:lb], cos[lb:], sin[lb:],
+            n, cfg.eps, not prescaled)
+        return (_hdense(p["a_out"], _merge_heads(o_a), hot.get("attn.a_to_out")),
+                _hdense(p["b_out"], _merge_heads(o_b), hot.get("attn.b_to_out")))
     q_a, k_a, v_a = jnp.split(_split_heads(qkv_a, 3 * n), 3, axis=2)
     q_b, k_b, v_b = jnp.split(_split_heads(qkv_b, 3 * n), 3, axis=2)
     q_a = rms_norm(q_a, p["norm_q_a"], cfg.eps)

@@ -125,21 +125,36 @@ def flux2_double_block(p, img, txt, mod_img, mod_txt, cos, sin,
     yt = ln_modulate(txt, csh, csc, cfg.eps)
 
     a = p["attn"]
-    qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], 1e-5)
-    ki = rms_norm(_heads(_dense(a["to_k"], yi), n), a["norm_k"], 1e-5)
-    vi = _heads(_dense(a["to_v"], yi), n)
-    qt = rms_norm(_heads(_dense(a["add_q"], yt), n), a["norm_added_q"], 1e-5)
-    kt = rms_norm(_heads(_dense(a["add_k"], yt), n), a["norm_added_k"], 1e-5)
-    vt = _heads(_dense(a["add_v"], yt), n)
-    q = _apply_rope(jnp.concatenate([qt, qi], 1), cos, sin)
-    k = _apply_rope(jnp.concatenate([kt, ki], 1), cos, sin)
-    v = jnp.concatenate([vt, vi], 1)
-    o = attention(q, k, v, bounded_logits=True)
-    b, l, _, _ = o.shape
-    o = o.reshape(b, l, n * cfg.head_dim)
-    lt = txt.shape[1]
-    txt = txt + cg * _dense(a["to_add_out"], o[:, :lt])
-    img = img + g * _dense(a["to_out"], o[:, lt:])
+    from ...ops.fused_qk import fused_qk_attention_joint, fused_qk_enabled
+
+    b, lt = txt.shape[:2]
+    if cfg.head_dim == 128 and fused_qk_enabled():
+        # fused two-stream prep + bounded flash (ops/fused_qk joint path);
+        # rms eps is the hardcoded 1e-5 (flux2_dit.py), not cfg.eps
+        o_t, o_i = fused_qk_attention_joint(
+            _dense(a["add_q"], yt), _dense(a["add_k"], yt),
+            _heads(_dense(a["add_v"], yt), n),
+            _dense(a["to_q"], yi), _dense(a["to_k"], yi),
+            _heads(_dense(a["to_v"], yi), n),
+            a["norm_added_q"], a["norm_added_k"], a["norm_q"], a["norm_k"],
+            cos[:lt], sin[:lt], cos[lt:], sin[lt:], n, 1e-5, True)
+        o_t = o_t.reshape(b, lt, n * cfg.head_dim)
+        o_i = o_i.reshape(b, img.shape[1], n * cfg.head_dim)
+    else:
+        qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], 1e-5)
+        ki = rms_norm(_heads(_dense(a["to_k"], yi), n), a["norm_k"], 1e-5)
+        vi = _heads(_dense(a["to_v"], yi), n)
+        qt = rms_norm(_heads(_dense(a["add_q"], yt), n), a["norm_added_q"], 1e-5)
+        kt = rms_norm(_heads(_dense(a["add_k"], yt), n), a["norm_added_k"], 1e-5)
+        vt = _heads(_dense(a["add_v"], yt), n)
+        q = _apply_rope(jnp.concatenate([qt, qi], 1), cos, sin)
+        k = _apply_rope(jnp.concatenate([kt, ki], 1), cos, sin)
+        v = jnp.concatenate([vt, vi], 1)
+        o = attention(q, k, v, bounded_logits=True)
+        o = o.reshape(b, o.shape[1], n * cfg.head_dim)
+        o_t, o_i = o[:, :lt], o[:, lt:]
+    txt = txt + cg * _dense(a["to_add_out"], o_t)
+    img = img + g * _dense(a["to_out"], o_i)
 
     yi = ln_modulate(img, sh2, sc2, cfg.eps)
     img = img + g2 * _swiglu_ff(p["ff"], yi)

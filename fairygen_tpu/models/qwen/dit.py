@@ -185,24 +185,39 @@ def qwen_block(p, img, txt, cond, rope, cfg: QwenImageDiTConfig,
     a = p["attn"]
     yi, gate_i = _modulate(img, im_attn, cfg.eps, modulate_index)
     yt, gate_t = _modulate(txt, tx_attn, cfg.eps)
-    qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], cfg.eps)
-    ki = rms_norm(_heads(_dense(a["to_k"], yi), n), a["norm_k"], cfg.eps)
-    vi = _heads(_dense(a["to_v"], yi), n)
-    qt = rms_norm(_heads(_dense(a["add_q"], yt), n), a["norm_added_q"], cfg.eps)
-    kt = rms_norm(_heads(_dense(a["add_k"], yt), n), a["norm_added_k"], cfg.eps)
-    vt = _heads(_dense(a["add_v"], yt), n)
-    qi, ki = _apply_rope(qi, img_cos, img_sin), _apply_rope(ki, img_cos, img_sin)
-    qt, kt = _apply_rope(qt, txt_cos, txt_sin), _apply_rope(kt, txt_cos, txt_sin)
-    q = jnp.concatenate([qt, qi], axis=1)
-    k = jnp.concatenate([kt, ki], axis=1)
-    v = jnp.concatenate([vt, vi], axis=1)
-    # q/k rms-normed -> bounded logits (max-free pallas softmax)
-    o = attention(q, k, v, bias=attn_bias, bounded_logits=True)
-    b, l, _, _ = o.shape
-    o = o.reshape(b, l, n * cfg.head_dim)
-    lt = txt.shape[1]
-    txt = txt + gate_t * _dense(a["to_add_out"], o[:, :lt])
-    img = img + gate_i * _dense(a["to_out"], o[:, lt:])
+    from ...ops.fused_qk import fused_qk_attention_joint, fused_qk_enabled
+
+    b, lt = txt.shape[:2]
+    if attn_bias is None and cfg.head_dim == 128 and fused_qk_enabled():
+        # fused two-stream per-head rms -> rope -> head-major prep
+        # (ops/fused_qk joint path); EliGen-style bias keeps legacy
+        o_t, o_i = fused_qk_attention_joint(
+            _dense(a["add_q"], yt), _dense(a["add_k"], yt),
+            _heads(_dense(a["add_v"], yt), n),
+            _dense(a["to_q"], yi), _dense(a["to_k"], yi),
+            _heads(_dense(a["to_v"], yi), n),
+            a["norm_added_q"], a["norm_added_k"], a["norm_q"], a["norm_k"],
+            txt_cos, txt_sin, img_cos, img_sin, n, cfg.eps, True)
+        o_t = o_t.reshape(b, lt, n * cfg.head_dim)
+        o_i = o_i.reshape(b, img.shape[1], n * cfg.head_dim)
+    else:
+        qi = rms_norm(_heads(_dense(a["to_q"], yi), n), a["norm_q"], cfg.eps)
+        ki = rms_norm(_heads(_dense(a["to_k"], yi), n), a["norm_k"], cfg.eps)
+        vi = _heads(_dense(a["to_v"], yi), n)
+        qt = rms_norm(_heads(_dense(a["add_q"], yt), n), a["norm_added_q"], cfg.eps)
+        kt = rms_norm(_heads(_dense(a["add_k"], yt), n), a["norm_added_k"], cfg.eps)
+        vt = _heads(_dense(a["add_v"], yt), n)
+        qi, ki = _apply_rope(qi, img_cos, img_sin), _apply_rope(ki, img_cos, img_sin)
+        qt, kt = _apply_rope(qt, txt_cos, txt_sin), _apply_rope(kt, txt_cos, txt_sin)
+        q = jnp.concatenate([qt, qi], axis=1)
+        k = jnp.concatenate([kt, ki], axis=1)
+        v = jnp.concatenate([vt, vi], axis=1)
+        # q/k rms-normed -> bounded logits (max-free pallas softmax)
+        o = attention(q, k, v, bias=attn_bias, bounded_logits=True)
+        o = o.reshape(b, o.shape[1], n * cfg.head_dim)
+        o_t, o_i = o[:, :lt], o[:, lt:]
+    txt = txt + gate_t * _dense(a["to_add_out"], o_t)
+    img = img + gate_i * _dense(a["to_out"], o_i)
 
     yi, gate_i = _modulate(img, im_mlp, cfg.eps, modulate_index)
     yt, gate_t = _modulate(txt, tx_mlp, cfg.eps)

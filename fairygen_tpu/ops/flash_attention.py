@@ -512,7 +512,8 @@ def _heads_major(x, b, n, s, d, bs):
 
 
 def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
-                                bq=2048, bk=1024, natural_out=False):
+                                bq=2048, bk=1024, natural_out=False,
+                                vh=None):
     """Forward-only bounded-logits attention on PRE-FORMATTED head-major
     q/k (from ops/fused_qk.rms_rope_heads_major): qh (B*N, S_pad, d)
     prescaled + rotated, kh (B*N, S_pad, d) with rows >= sk_actual exactly
@@ -526,7 +527,12 @@ def flash_attention_heads_major(qh, kh, v, *, b, n, sq, sk_actual,
     d = qh.shape[-1]
     sq_p, sk_p = qh.shape[1], kh.shape[1]
     assert sq_p % bq == 0 and sk_p % bk == 0, (sq_p, sk_p, bq, bk)
-    vh = _heads_major(v, b, n, v.shape[1], d, bk)
+    if vh is None:
+        vh = _heads_major(v, b, n, v.shape[1], d, bk)
+    # vh may be pre-assembled by the caller (the joint txt+img path, with
+    # an interior zero gap); pad_correct is a pure zero-row COUNT, so the
+    # correction is exact wherever the zeros sit.
+    assert vh.shape[1] == sk_p, (vh.shape, sk_p)
     pad_correct = sk_p - sk_actual
     masked = pad_correct > 0
 

@@ -168,15 +168,22 @@ def rms_rope_heads_major(x, gamma, rowscale, freqs_full, n_heads: int,
     else:
         ff = jnp.zeros((2, s_pad, hd), jnp.float32)
     n = n_heads
+    # s_pad may overshoot the input by more than one tile (flash wants
+    # round tile counts); a fully-OOB input block is invalid in Mosaic
+    # (crashes the device), so clamp the s-block index to the last block
+    # holding valid rows — re-read rows are zeroed by the s_actual row
+    # mask in the kernel.
+    i_last = (s - 1) // bq
+    cl = functools.partial(jnp.minimum, i_last)
     return pl.pallas_call(
         functools.partial(_prep_kernel, rope=rope, bq=bq, s_actual=s),
         grid=(n_tiles, b * n),  # head innermost: table blocks stay resident
         in_specs=[
-            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, i, hc % n)),
-            pl.BlockSpec((1, bq, 128), lambda i, hc: (hc // n, i, 0)),
+            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, cl(i), hc % n)),
+            pl.BlockSpec((1, bq, 128), lambda i, hc: (hc // n, cl(i), 0)),
             pl.BlockSpec((1, 1, hd), lambda i, hc: (hc % n, 0, 0)),
-            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
-            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (cl(i), 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (cl(i), 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, hd), lambda i, hc: (hc, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x.dtype),
@@ -202,15 +209,17 @@ def rms_rope_heads_major_per_head(x, gamma, freqs_full, n_heads: int,
     else:
         ff = jnp.zeros((2, s_pad, hd), jnp.float32)
     n = n_heads
+    i_last = (s - 1) // bq  # clamp: see rms_rope_heads_major
+    cl = functools.partial(jnp.minimum, i_last)
     return pl.pallas_call(
         functools.partial(_prep_kernel_per_head, rope=rope, bq=bq,
                           s_actual=s, eps=eps),
         grid=(s_pad // bq, b * n),  # head innermost (see _prep_kernel)
         in_specs=[
-            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, i, hc % n)),
+            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, cl(i), hc % n)),
             pl.BlockSpec((1, hd), lambda i, hc: (0, 0)),
-            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
-            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (cl(i), 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (cl(i), 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, hd), lambda i, hc: (hc, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x.dtype),
@@ -218,6 +227,90 @@ def rms_rope_heads_major_per_head(x, gamma, freqs_full, n_heads: int,
             dimension_semantics=("parallel", "parallel"),
         ),
     )(x, gam, ff[0], ff[1])
+
+
+def _prep_kernel_joint(xi_ref, xt_ref, gi_ref, gt_ref, cos_ref, sin_ref,
+                       o_ref, *, rope, bq, img_tiles, s_img, s_txt, eps):
+    """Two-stream per-head-rms prep for JOINT txt+img attention (Qwen,
+    FLUX.1/FLUX.2 double blocks): grid tiles < img_tiles pull from the img
+    stream (rows [0, s_img) of the output), the rest from txt (rows
+    [img_tiles*bq, ...)), sharing one output buffer and one joint rope
+    table indexed by OUTPUT row.  Gap rows (img tail-of-region, txt
+    tail) are stored as exact zeros — the bounded flash kernels' l -= pad
+    correction only depends on the zero-row COUNT, not position, so an
+    interior gap is exactly as legal as the usual tail pad."""
+    i = pl.program_id(0)
+
+    @pl.when(i < img_tiles)
+    def _():
+        x = xi_ref[0].astype(jnp.float32)
+        rs = lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        y = (x * rs).astype(o_ref.dtype) * gi_ref[0][None, :]
+        _rotate_mask_store(y, cos_ref, sin_ref, o_ref, rope=rope, bq=bq,
+                           s_actual=s_img, i=i)
+
+    @pl.when(i >= img_tiles)
+    def _():
+        x = xt_ref[0].astype(jnp.float32)
+        rs = lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        y = (x * rs).astype(o_ref.dtype) * gt_ref[0][None, :]
+        _rotate_mask_store(y, cos_ref, sin_ref, o_ref, rope=rope, bq=bq,
+                           s_actual=s_txt, i=i - img_tiles)
+
+
+def rms_rope_heads_major_joint(x_img, x_txt, g_img, g_txt, ff_joint,
+                               n_heads: int, i_pad: int, s_pad: int, *,
+                               eps: float, bq: int = 512):
+    """Joint two-stream variant of rms_rope_heads_major_per_head:
+    x_img/x_txt (B, S_img/S_txt, N*hd) raw projections, g_* (hd,) per-head
+    gammas (q gammas pre-scaled by the caller), ff_joint (2, s_pad, hd)
+    full-width tables in the OUTPUT (img-first) row layout.  Returns
+    (B*N, s_pad, hd) with img rows at 0, txt rows at i_pad, all other
+    rows exactly zero."""
+    b, s_img, d = x_img.shape
+    s_txt = x_txt.shape[1]
+    hd = d // n_heads
+    assert hd <= 128 and 128 % hd == 0, hd
+    assert i_pad % bq == 0 and s_pad % bq == 0, (i_pad, s_pad, bq)
+    img_tiles = i_pad // bq
+    n = n_heads
+    gi = g_img.reshape(1, hd)
+    gt = g_txt.reshape(1, hd)
+    il = (s_img - 1) // bq   # clamps: fully-OOB input blocks are invalid
+    tl = (s_txt - 1) // bq
+    cli = lambda i: jnp.minimum(i, il)
+    clt = lambda i: jnp.minimum(jnp.maximum(i - img_tiles, 0), tl)
+    return pl.pallas_call(
+        functools.partial(_prep_kernel_joint, rope=True, bq=bq,
+                          img_tiles=img_tiles, s_img=s_img, s_txt=s_txt,
+                          eps=eps),
+        grid=(s_pad // bq, b * n),  # head innermost (see _prep_kernel)
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, cli(i), hc % n)),
+            pl.BlockSpec((1, bq, hd), lambda i, hc: (hc // n, clt(i), hc % n)),
+            pl.BlockSpec((1, hd), lambda i, hc: (0, 0)),
+            pl.BlockSpec((1, hd), lambda i, hc: (0, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
+            pl.BlockSpec((bq, hd), lambda i, hc: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda i, hc: (hc, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s_pad, hd), x_img.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x_img, x_txt, gi, gt, ff_joint[0], ff_joint[1])
+
+
+def build_freqs_full_joint(cos_img, sin_img, cos_txt, sin_txt,
+                           i_pad: int, s_pad: int) -> jnp.ndarray:
+    """Per-segment (L, hd/2) pair tables -> (2, s_pad, hd) full-width
+    joint tables in the img-first fused layout (img rows at 0, txt rows
+    at i_pad; gap rows zero — their outputs are masked anyway)."""
+    fi = build_freqs_full_pairs(cos_img, sin_img)
+    ft = build_freqs_full_pairs(cos_txt, sin_txt)
+    out = jnp.zeros((2, s_pad, fi.shape[-1]), jnp.float32)
+    out = lax.dynamic_update_slice(out, fi, (0, 0, 0))
+    return lax.dynamic_update_slice(out, ft, (0, i_pad, 0))
 
 
 def _rowscale(x, eps: float):
@@ -230,15 +323,16 @@ _PREP_BQ = 512
 
 def _pad_for_flash(s: int):
     """(s_pad, bq, bk) so the prep output plugs straight into the bounded
-    flash kernels.  s_pad is the next _PREP_BQ multiple (so the prep
-    grid's last block is at most PARTIALLY out of bounds — fully-OOB
-    blocks are invalid); flash tiles are the largest measured-good
-    divisors of s_pad (q 2048 / k 1024 at flagship shapes)."""
-    s_pad = -(-s // _PREP_BQ) * _PREP_BQ
-    m = s_pad // _PREP_BQ
-    bq = 2048 if m % 4 == 0 else (1024 if m % 2 == 0 else 512)
-    bk = 1024 if m % 2 == 0 else 512
-    return s_pad, bq, bk
+    flash kernels.  s_pad rounds up to a 1024 multiple so the flash
+    kernels always get their measured-good tiles (q 2048/1024, k 1024)
+    instead of degrading to 512/512 at odd lengths (720p S=18480 used to
+    pad to 18944=37*512); the prep grid clamps its input block index so
+    the overshoot past the last valid row is legal (see
+    rms_rope_heads_major)."""
+    s_pad = max(-(-s // 1024) * 1024, _PREP_BQ)
+    bq = 2048 if s_pad % 2048 == 0 else 1024
+    bk = 1024
+    return s_pad, min(bq, s_pad), min(bk, s_pad)
 
 
 def _fused_fwd(xq, xk, v, gamma_q, gamma_k, freqs_full, n_heads: int,
@@ -432,3 +526,103 @@ def _fused_ph_vjp_bwd(n_heads, eps, fold_scale, res, g):
 
 
 fused_qk_attention_per_head.defvjp(_fused_ph_vjp_fwd, _fused_ph_vjp_bwd)
+
+
+def _reference_chain_joint(xq_t, xk_t, v_t, xq_i, xk_i, v_i, gq_t, gk_t,
+                           gq_i, gk_i, cos_t, sin_t, cos_i, sin_i,
+                           n_heads, eps, fold_scale):
+    """The legacy joint path (ops-for-ops what the Qwen / FLUX double
+    blocks do: per-stream per-head rms -> per-stream interleaved rope ->
+    txt-first concat -> bounded flash) — the backward rule and non-TPU
+    fallback.  Returns (o_txt, o_img) in natural (B, L, N, hd) layout."""
+    from .attention import attention
+
+    b, s_t, d = xq_t.shape
+    s_i = xq_i.shape[1]
+    hd = d // n_heads
+    qt = rms_norm(xq_t.reshape(b, s_t, n_heads, hd), gq_t, eps)
+    kt = rms_norm(xk_t.reshape(b, s_t, n_heads, hd), gk_t, eps)
+    qi = rms_norm(xq_i.reshape(b, s_i, n_heads, hd), gq_i, eps)
+    ki = rms_norm(xk_i.reshape(b, s_i, n_heads, hd), gk_i, eps)
+    qt = apply_interleaved_rope(qt, cos_t, sin_t)
+    kt = apply_interleaved_rope(kt, cos_t, sin_t)
+    qi = apply_interleaved_rope(qi, cos_i, sin_i)
+    ki = apply_interleaved_rope(ki, cos_i, sin_i)
+    q = jnp.concatenate([qt, qi], axis=1)
+    k = jnp.concatenate([kt, ki], axis=1)
+    v = jnp.concatenate([v_t, v_i], axis=1)
+    o = attention(q, k, v, prescaled=not fold_scale, bounded_logits=True)
+    return o[:, :s_t], o[:, s_t:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+def fused_qk_attention_joint(xq_t, xk_t, v_t, xq_i, xk_i, v_i,
+                             gq_t, gk_t, gq_i, gk_i,
+                             cos_t, sin_t, cos_i, sin_i,
+                             n_heads: int, eps: float,
+                             fold_scale: bool = True):
+    """JOINT txt+img self-attention from raw per-stream projections
+    (Qwen-Image / FLUX.1 / FLUX.2 double blocks): fused two-stream prep +
+    bounded flash over one buffer with the img segment at row 0 (padded
+    to a 1024 multiple) and the txt segment after it.  Exactness: full
+    attention is permutation-invariant over the key axis and the zeroed
+    gap rows add exp2(0)=1 each to every denominator — corrected by the
+    same count-based `l -= pad` the tail pad already uses.
+
+    xq/xk (B, L, N*hd) raw projection outputs, v (B, L, N, hd) natural;
+    gq/gk (hd,) per-stream per-head gammas; cos/sin (L, hd/2) per-stream
+    pair tables.  fold_scale as in fused_qk_attention_per_head.  Returns
+    (o_txt, o_img) in natural layout — reference txt-first concat order.
+    Backward routes through the legacy chain (exact legacy gradients)."""
+    hd = xq_i.shape[-1] // n_heads
+    if not (_on_tpu() and hd == 128):
+        return _reference_chain_joint(xq_t, xk_t, v_t, xq_i, xk_i, v_i,
+                                      gq_t, gk_t, gq_i, gk_i,
+                                      cos_t, sin_t, cos_i, sin_i,
+                                      n_heads, eps, fold_scale)
+    from .flash_attention import _heads_major, flash_attention_heads_major
+
+    b, s_i, d = xq_i.shape
+    s_t = xq_t.shape[1]
+    i_pad = -(-s_i // 1024) * 1024
+    t_pad = -(-s_t // 1024) * 1024
+    s_pad = i_pad + t_pad
+    bq = 2048 if s_pad % 2048 == 0 else 1024
+    ff = build_freqs_full_joint(cos_i, sin_i, cos_t, sin_t, i_pad, s_pad)
+    if fold_scale:
+        c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
+        gq_t = (gq_t.astype(jnp.float32) * c).astype(gq_t.dtype)
+        gq_i = (gq_i.astype(jnp.float32) * c).astype(gq_i.dtype)
+    qh = rms_rope_heads_major_joint(xq_i, xq_t, gq_i, gq_t, ff, n_heads,
+                                    i_pad, s_pad, eps=eps)
+    kh = rms_rope_heads_major_joint(xk_i, xk_t, gk_i, gk_t, ff, n_heads,
+                                    i_pad, s_pad, eps=eps)
+    vh = jnp.concatenate([_heads_major(v_i, b, n_heads, s_i, hd, i_pad),
+                          _heads_major(v_t, b, n_heads, s_t, hd, t_pad)],
+                         axis=1)
+    o = flash_attention_heads_major(qh, kh, None, b=b, n=n_heads,
+                                    sq=i_pad + s_t, sk_actual=s_i + s_t,
+                                    bq=bq, bk=1024, natural_out=_NATURAL_OUT,
+                                    vh=vh)
+    return o[:, i_pad:], o[:, :s_i]
+
+
+def _fused_joint_vjp_fwd(xq_t, xk_t, v_t, xq_i, xk_i, v_i, gq_t, gk_t,
+                         gq_i, gk_i, cos_t, sin_t, cos_i, sin_i,
+                         n_heads, eps, fold_scale):
+    out = fused_qk_attention_joint(xq_t, xk_t, v_t, xq_i, xk_i, v_i,
+                                   gq_t, gk_t, gq_i, gk_i,
+                                   cos_t, sin_t, cos_i, sin_i,
+                                   n_heads, eps, fold_scale)
+    return out, (xq_t, xk_t, v_t, xq_i, xk_i, v_i, gq_t, gk_t, gq_i, gk_i,
+                 cos_t, sin_t, cos_i, sin_i)
+
+
+def _fused_joint_vjp_bwd(n_heads, eps, fold_scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _reference_chain_joint(*a, n_heads, eps, fold_scale),
+        *res)
+    return vjp(g)
+
+
+fused_qk_attention_joint.defvjp(_fused_joint_vjp_fwd, _fused_joint_vjp_bwd)

@@ -453,3 +453,112 @@ def test_dit_self_attention_cpu_fallback_unchanged():
     legacy = _self_attention(p, x, freqs, n, 1e-6)
     fused = _self_attention(p, x, freqs, n, 1e-6, freqs_full=ff)
     np.testing.assert_array_equal(np.asarray(legacy), np.asarray(fused))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("s_t,s_i", [(256, 1100), (77, 300)])
+def test_fused_joint_matches_reference(s_t, s_i):
+    """JOINT txt+img path (Qwen / FLUX double blocks): two-stream prep
+    into one buffer with an interior zero gap == the legacy per-stream
+    rms -> rope -> txt-first concat -> bounded attention.  The gap rows
+    contribute exp2(0)=1 each to every softmax denominator and are
+    removed by the count-based pad correction — exactness is the point
+    of this test, not just closeness."""
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(11)
+    b, n, hd = 1, 2, 128
+    d = n * hd
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh), jnp.bfloat16)
+    xq_t, xk_t = mk(b, s_t, d), mk(b, s_t, d)
+    xq_i, xk_i = mk(b, s_i, d), mk(b, s_i, d)
+    v_t, v_i = mk(b, s_t, n, hd), mk(b, s_i, n, hd)
+    gq_t, gk_t = mk(d)[:hd], mk(d)[:hd]
+    gq_i, gk_i = mk(d)[:hd], mk(d)[:hd]
+    ang_t = rng.uniform(0, 6.28, (s_t, hd // 2)).astype(np.float32)
+    ang_i = rng.uniform(0, 6.28, (s_i, hd // 2)).astype(np.float32)
+    cos_t, sin_t = jnp.cos(jnp.asarray(ang_t)), jnp.sin(jnp.asarray(ang_t))
+    cos_i, sin_i = jnp.cos(jnp.asarray(ang_i)), jnp.sin(jnp.asarray(ang_i))
+
+    ref_t, ref_i = fq._reference_chain_joint(
+        xq_t, xk_t, v_t, xq_i, xk_i, v_i, gq_t, gk_t, gq_i, gk_i,
+        cos_t, sin_t, cos_i, sin_i, n, 1e-6, True)
+    with pltpu.force_tpu_interpret_mode(), \
+            mock.patch.object(fq, "_on_tpu", lambda: True):
+        o_t, o_i = fq.fused_qk_attention_joint(
+            xq_t, xk_t, v_t, xq_i, xk_i, v_i, gq_t, gk_t, gq_i, gk_i,
+            cos_t, sin_t, cos_i, sin_i, n, 1e-6, True)
+    assert o_t.shape == ref_t.shape and o_i.shape == ref_i.shape
+    # scale-fold rounding (one fewer bf16 round) -> ~2 ulp
+    np.testing.assert_allclose(np.asarray(o_t.astype(jnp.float32)),
+                               np.asarray(ref_t.astype(jnp.float32)),
+                               atol=3.5e-2)
+    np.testing.assert_allclose(np.asarray(o_i.astype(jnp.float32)),
+                               np.asarray(ref_i.astype(jnp.float32)),
+                               atol=3.5e-2)
+
+
+def test_fused_joint_gradients_match_reference():
+    import fairygen_tpu.ops.fused_qk as fq
+
+    rng = np.random.default_rng(12)
+    b, s_t, s_i, n, hd = 1, 30, 70, 2, 128
+    d = n * hd
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh), jnp.float32)
+    args = (mk(b, s_t, d), mk(b, s_t, d), mk(b, s_t, n, hd),
+            mk(b, s_i, d), mk(b, s_i, d), mk(b, s_i, n, hd),
+            mk(hd) * 0.1, mk(hd), mk(hd) * 0.1, mk(hd))
+    ang_t = rng.uniform(0, 6.28, (s_t, hd // 2)).astype(np.float32)
+    ang_i = rng.uniform(0, 6.28, (s_i, hd // 2)).astype(np.float32)
+    tabs = (jnp.cos(jnp.asarray(ang_t)), jnp.sin(jnp.asarray(ang_t)),
+            jnp.cos(jnp.asarray(ang_i)), jnp.sin(jnp.asarray(ang_i)))
+
+    def loss_fused(*a):
+        o_t, o_i = fq.fused_qk_attention_joint(*a, *tabs, n, 1e-6, True)
+        return jnp.sum(o_t ** 2) + jnp.sum(o_i ** 2)
+
+    def loss_ref(*a):
+        o_t, o_i = fq._reference_chain_joint(*a, *tabs, n, 1e-6, True)
+        return jnp.sum(o_t ** 2) + jnp.sum(o_i ** 2)
+
+    nargs = tuple(range(10))
+    g1 = jax.grad(loss_fused, argnums=nargs)(*args)
+    g2 = jax.grad(loss_ref, argnums=nargs)(*args)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_qwen_flux2_joint_cpu_fallback_unchanged():
+    """On CPU the Qwen / FLUX.2 double-block fused gates route through the
+    reference chain — block outputs must be invariant to the gate
+    (golden-test invariance), asserted via FAIRYGEN_FUSED_QK."""
+    from unittest import mock
+    import os
+
+    import fairygen_tpu.ops.fused_qk as fq
+    from fairygen_tpu.models.qwen.dit import (
+        QwenImageDiTConfig, init_qwen_image_dit_params, qwen_block)
+
+    cfg = QwenImageDiTConfig(dim=256, num_heads=2, head_dim=128,
+                             num_layers=1)
+    params = init_qwen_image_dit_params(jax.random.key(0), cfg, jnp.float32)
+    blk = jax.tree.map(lambda a: a[0], params["blocks"])
+    rng = np.random.default_rng(13)
+    b, li, lt = 1, 48, 16
+    img = jnp.asarray(rng.standard_normal((b, li, cfg.dim)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((b, lt, cfg.dim)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, cfg.dim)), jnp.float32)
+    ang_i = rng.uniform(0, 6.28, (li, 64)).astype(np.float32)
+    ang_t = rng.uniform(0, 6.28, (lt, 64)).astype(np.float32)
+    rope = (jnp.cos(jnp.asarray(ang_i)), jnp.sin(jnp.asarray(ang_i)),
+            jnp.cos(jnp.asarray(ang_t)), jnp.sin(jnp.asarray(ang_t)))
+    with mock.patch.dict(os.environ, {"FAIRYGEN_FUSED_QK": "1"}):
+        a1 = qwen_block(blk, img, txt, cond, rope, cfg)
+    with mock.patch.dict(os.environ, {"FAIRYGEN_FUSED_QK": "0"}):
+        a2 = qwen_block(blk, img, txt, cond, rope, cfg)
+    for x1, x2 in zip(a1, a2):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

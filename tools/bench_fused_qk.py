@@ -145,8 +145,78 @@ def flux_single():
     del os.environ["FAIRYGEN_FUSED_QK"]
 
 
+
+
+def flux_double():
+    """A/B one FLUX.1 double (joint txt+img) block at the 1024px shape."""
+    import os
+
+    import numpy as np
+
+    import fairygen_tpu.models.flux.dit as fd
+
+    dtype = jnp.bfloat16
+    cfg = fd.FluxDiTConfig.flux1_dev()
+    shapes = jax.eval_shape(
+        lambda: fd.init_flux_dit_params(jax.random.key(0), cfg, dtype=dtype))
+    blk_shapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape[1:], s.dtype),
+        shapes["double_blocks"])
+    blk = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), blk_shapes))()
+    li, lt = 4096, 512
+    xa = jnp.zeros((1, li, cfg.dim), dtype)   # img
+    xb = jnp.zeros((1, lt, cfg.dim), dtype)   # txt
+    cond = jnp.zeros((1, cfg.dim), dtype)
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(0, 6.28, (lt + li, cfg.head_dim // 2)).astype(np.float32)
+    cos, sin = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+    for flag, name in [("0", "legacy"), ("1", "fused ")]:
+        os.environ["FAIRYGEN_FUSED_QK"] = flag
+        f = jax.jit(lambda p, xi, xt: fd.flux_double_block(
+            p, xi, xt, cond, cos, sin, cfg, prescaled=True)[0])
+        dt = _time(f, blk, xa, xb)
+        print(f"flux double {name} block: {dt*1e3:8.3f} ms")
+    del os.environ["FAIRYGEN_FUSED_QK"]
+
+
+def qwen_block_ab():
+    """A/B one Qwen-Image joint block at the 1024px-class shape."""
+    import os
+
+    import numpy as np
+
+    import fairygen_tpu.models.qwen.dit as qd
+
+    dtype = jnp.bfloat16
+    cfg = qd.QwenImageDiTConfig()
+    shapes = jax.eval_shape(lambda: qd.init_qwen_image_dit_params(
+        jax.random.key(0), qd.QwenImageDiTConfig(num_layers=1), dtype=dtype))
+    blk = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape[1:], s.dtype), shapes["blocks"]))()
+    li, lt = 4096, 256
+    img = jnp.zeros((1, li, cfg.dim), dtype)
+    txt = jnp.zeros((1, lt, cfg.dim), dtype)
+    cond = jnp.zeros((1, cfg.dim), dtype)
+    rng = np.random.default_rng(0)
+    ai = rng.uniform(0, 6.28, (li, cfg.head_dim // 2)).astype(np.float32)
+    at = rng.uniform(0, 6.28, (lt, cfg.head_dim // 2)).astype(np.float32)
+    rope = (jnp.asarray(np.cos(ai)), jnp.asarray(np.sin(ai)),
+            jnp.asarray(np.cos(at)), jnp.asarray(np.sin(at)))
+
+    for flag, name in [("0", "legacy"), ("1", "fused ")]:
+        os.environ["FAIRYGEN_FUSED_QK"] = flag
+        f = jax.jit(lambda p, xi, xt: qd.qwen_block(
+            p, xi, xt, cond, rope, qd.QwenImageDiTConfig(num_layers=1))[0])
+        dt = _time(f, blk, img, txt)
+        print(f"qwen joint {name} block: {dt*1e3:8.3f} ms")
+    del os.environ["FAIRYGEN_FUSED_QK"]
+
+
 if __name__ == "__main__":
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "wan"
-    {"wan": main, "z": z_image_block, "flux": flux_single}[which]()
+    {"wan": main, "z": z_image_block, "flux": flux_single,
+     "flux-double": flux_double, "qwen": qwen_block_ab}[which]()
