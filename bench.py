@@ -20,6 +20,10 @@ Env:
                                  rel-L1 threshold (lossy accelerator; prints
                                  an auxiliary stderr line, primary metric
                                  stays the exact pipeline)
+  FAIRYGEN_BENCH_INT8=ffn|all    ALSO time the W8A8-quantized denoise (the
+                                 reference's FP8-linear capability,
+                                 ops/quant.py) — auxiliary stderr line,
+                                 primary metric stays the exact bf16 path
 """
 import json
 import os
@@ -123,6 +127,23 @@ def main():
     out = denoise(dit_params, jnp.zeros(lat_shape, dtype), ffl)
     float(out.sum())
     denoise_s = time.perf_counter() - t0
+
+    int8_mode = os.environ.get("FAIRYGEN_BENCH_INT8")
+    if int8_mode and preset != "tiny":
+        from fairygen_tpu.ops.quant import quantize_wan_dit_linears
+
+        groups = (("ffn",) if int8_mode == "ffn"
+                  else ("ffn", "self_attn", "cross_attn"))
+        qparams = quantize_wan_dit_linears(dit_params, groups)
+        float(denoise(qparams, jnp.zeros(lat_shape, dtype), ffl).sum())
+        t0 = time.perf_counter()
+        float(denoise(qparams, jnp.zeros(lat_shape, dtype), ffl).sum())
+        int8_s = time.perf_counter() - t0
+        del qparams
+        print(f"# int8({int8_mode}) denoise={int8_s:.2f}s "
+              f"({denoise_s / int8_s:.2f}x vs bf16; W8A8 dynamic per-row "
+              f"activation scales — quality gate needs real weights)",
+              file=sys.stderr)
 
     tea_thresh = os.environ.get("FAIRYGEN_BENCH_TEACACHE")
     if tea_thresh and preset != "tiny":

@@ -58,44 +58,52 @@ def quantized_dense(p: Dict[str, Any], x):
 
 
 def _check_int8_backend():
-    """Refuse int8 on backends where it is known to hang.
+    """Refuse int8 where it is known to hang the compiler.
 
-    The int8 ``dot_general`` hung the remote compile on the tunneled
-    'axon' TPU backend (docs/NOTES.md round 1); it compiles and runs fine
-    on CPU and directly-attached TPUs. Set FAIRYGEN_FORCE_INT8=1 to
-    override once re-validated on the target backend.
+    History: the int8 ``dot_general`` hung the tunneled 'axon' remote
+    compiler in rounds 1-2 (docs/NOTES.md); re-probed 2026-08-18 it
+    compiles in <1 s and the W8A8 FFN probe runs at 203 TF/s
+    (tools/bench_int8.py), so the gate is now open everywhere.  Set
+    FAIRYGEN_DISABLE_INT8=1 to refuse again if a backend regresses.
     """
     import os
 
-    if os.environ.get("FAIRYGEN_FORCE_INT8") == "1":
-        return
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        return
-    if platform == "axon":
+    if os.environ.get("FAIRYGEN_DISABLE_INT8") == "1":
         raise RuntimeError(
-            "int8 W8A8 is disabled on the tunneled 'axon' backend: the "
-            "int8 dot_general hung its remote compiler (docs/NOTES.md). "
-            "Re-test on a directly-attached TPU, or set "
-            "FAIRYGEN_FORCE_INT8=1 to override."
-        )
+            "int8 W8A8 disabled by FAIRYGEN_DISABLE_INT8=1")
+
+
+def quantize_wan_dit_linears(params, groups=("ffn",)) -> Any:
+    """Swap the (stacked) DiT block projections in ``groups`` to W8A8.
+
+    groups ⊆ {"ffn", "self_attn", "cross_attn"} — every dense layer
+    ({"w": ...}) found directly under those block sub-trees is replaced
+    by {"w_int8", "w_scale"}; ``_apply_dense`` dispatches on the key.
+    """
+    _check_int8_backend()
+    # per-layer stacked (L, in, out): lax.map runs the quantizer one
+    # layer at a time (a vmap materializes the whole stack in fp32 —
+    # 5.3 GB for the 30-layer fc1 — and OOMs a 16 GB chip alongside
+    # the bf16 originals)
+    qmap = jax.jit(lambda ws: jax.lax.map(quantize_weight_int8, ws))
+    params = dict(params)
+    blocks = dict(params["blocks"])
+    for g in groups:
+        grp = dict(blocks[g])
+        for name, layer in list(grp.items()):
+            if not (isinstance(layer, dict) and "w" in layer):
+                continue
+            layer = dict(layer)
+            w = layer.pop("w")
+            qw = qmap(w) if w.ndim == 3 else quantize_weight_int8(w)
+            layer["w_int8"] = qw["w_int8"]
+            layer["w_scale"] = qw["w_scale"]
+            grp[name] = layer
+        blocks[g] = grp
+    params["blocks"] = blocks
+    return params
 
 
 def quantize_wan_dit_ffn(params) -> Any:
-    """Swap the (stacked) DiT FFN projections to W8A8."""
-    _check_int8_backend()
-    params = dict(params)
-    blocks = dict(params["blocks"])
-    ffn = dict(blocks["ffn"])
-    for name in ("fc1", "fc2"):
-        layer = dict(ffn[name])
-        w = layer.pop("w")
-        # per-layer stacked (L, in, out): vmap the quantizer over L
-        qw = jax.vmap(quantize_weight_int8)(w)
-        layer["w_int8"] = qw["w_int8"]
-        layer["w_scale"] = qw["w_scale"]
-        ffn[name] = layer
-    blocks["ffn"] = ffn
-    params["blocks"] = blocks
-    return params
+    """Swap the (stacked) DiT FFN projections to W8A8 (~55% of DiT FLOPs)."""
+    return quantize_wan_dit_linears(params, groups=("ffn",))
