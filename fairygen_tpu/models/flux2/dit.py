@@ -67,6 +67,10 @@ class Flux2DiTConfig:
 
 
 def _dense(p, x):
+    if "w_int8" in p:  # W8A8 opt-in (ops/quant.quantize_blocks_tree)
+        from ...ops.quant import quantized_dense
+
+        return quantized_dense(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

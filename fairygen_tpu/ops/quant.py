@@ -107,3 +107,58 @@ def quantize_wan_dit_linears(params, groups=("ffn",)) -> Any:
 def quantize_wan_dit_ffn(params) -> Any:
     """Swap the (stacked) DiT FFN projections to W8A8 (~55% of DiT FLOPs)."""
     return quantize_wan_dit_linears(params, groups=("ffn",))
+
+
+_SKIP_SUBSTRINGS = ("mod", "norm", "adaln", "emb")
+
+
+def quantize_blocks_tree(tree, skip_substrings=_SKIP_SUBSTRINGS,
+                         min_dim: int = 512) -> Any:
+    """Recursively swap every dense ({"w": 2-D/3-D}) in a block pytree to
+    W8A8, skipping keys that contain any of ``skip_substrings``
+    (modulation/AdaLN/embedding linears: FLOP-light, error-sensitive) and
+    layers smaller than ``min_dim`` on either matmul axis.  Works on the
+    stacked (L, in, out) scan layouts — the quantizer streams per layer.
+
+    This is the generic entry for the image DiTs (FLUX.1/FLUX.2, Qwen,
+    Z-Image) whose `_dense` helpers dispatch on "w_int8"."""
+    _check_int8_backend()
+    qmap = jax.jit(lambda ws: jax.lax.map(quantize_weight_int8, ws))
+
+    def rec(node, name=""):
+        if isinstance(node, (list, tuple)):  # per-layer lists (refiners)
+            out = [rec(v, name) for v in node]
+            return type(node)(out) if isinstance(node, tuple) else out
+        if not isinstance(node, dict):
+            return node
+        if "w" in node and hasattr(node["w"], "ndim") \
+                and node["w"].ndim in (2, 3) \
+                and min(node["w"].shape[-2:]) >= min_dim:
+            out = dict(node)
+            w = out.pop("w")
+            qw = qmap(w) if w.ndim == 3 else quantize_weight_int8(w)
+            out["w_int8"] = qw["w_int8"]
+            out["w_scale"] = qw["w_scale"]
+            return out
+        return {k: (v if any(s in k for s in skip_substrings)
+                    else rec(v, k)) for k, v in node.items()}
+
+    return rec(tree)
+
+
+# image-DiT block sub-trees eligible for W8A8 (embedders/heads stay bf16)
+_IMAGE_DIT_BLOCK_KEYS = ("double_blocks", "single_blocks", "blocks",
+                         "layers", "noise_refiner", "context_refiner")
+
+
+def quantize_image_dit_params(params, block_keys=_IMAGE_DIT_BLOCK_KEYS,
+                              min_dim: int = 512) -> Any:
+    """Swap the transformer-block projections of an image DiT
+    (FLUX.1/FLUX.2/Qwen-Image/Z-Image) to W8A8, leaving the patch/text
+    embedders, modulation linears, and the output head in bf16.  The
+    models' ``_dense`` helpers dispatch on the "w_int8" key."""
+    params = dict(params)
+    for k in block_keys:
+        if k in params:
+            params[k] = quantize_blocks_tree(params[k], min_dim=min_dim)
+    return params

@@ -88,6 +88,16 @@ class Flux2ImagePipeline:
                 self.te_cfg.num_kv_heads)
         return self
 
+    def quantize(self):
+        """Swap the double/single-block projections to W8A8 int8
+        (ops/quant.py — the TPU port of the reference's FP8 linear,
+        ``core/vram/layers.py:321-357``); also halves the 32B DiT's
+        weight footprint.  Embedders/modulation/head stay bf16."""
+        from ..ops.quant import quantize_image_dit_params
+
+        self.dit_params = quantize_image_dit_params(self.dit_params)
+        return self
+
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_path=None,
                         dtype=jnp.bfloat16, hints=None):

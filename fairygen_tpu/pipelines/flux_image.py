@@ -332,6 +332,18 @@ class FluxImagePipeline:
                                                      seq_len=512)
         return pipe
 
+    def quantize(self):
+        """Swap the double/single-block projections to W8A8 int8 (the
+        reference's FP8-linear capability, ``core/vram/layers.py:321-357``,
+        as the TPU-native int8 port — ops/quant.py).  Embedders,
+        modulation linears, and the output head stay bf16.  Call AFTER
+        load_lora (LoRA fuses into bf16 weights); validate quality on
+        your weights before production use."""
+        from ..ops.quant import quantize_image_dit_params
+
+        self.dit_params = quantize_image_dit_params(self.dit_params)
+        return self
+
     def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
         """Fuse a FLUX LoRA (diffusers or civitai layout) into the DiT
         weights at load time (reference FluxLoRALoader,

@@ -144,6 +144,16 @@ class QwenImagePipeline:
                 self.te_cfg.num_kv_heads)
         return self
 
+    def quantize(self):
+        """Swap the 60 MMDiT blocks' projections to W8A8 int8
+        (ops/quant.py — the TPU port of the reference's FP8 linear,
+        ``core/vram/layers.py:321-357``).  img_mod/txt_mod and the
+        embedders/head stay bf16.  Call AFTER load_lora."""
+        from ..ops.quant import quantize_image_dit_params
+
+        self.dit_params = quantize_image_dit_params(self.dit_params)
+        return self
+
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_path=None,
                         dtype=jnp.bfloat16, hints=None):

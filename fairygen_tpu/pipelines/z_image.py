@@ -81,6 +81,16 @@ class ZImagePipeline:
             pipe.tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
         return pipe
 
+    def quantize(self):
+        """Swap the DiT layers' + refiners' projections to W8A8 int8
+        (ops/quant.py — the TPU port of the reference's FP8 linear,
+        ``core/vram/layers.py:321-357``).  adaln/embedders/head stay
+        bf16.  Pairs with the Turbo few-step path for fastest t2i."""
+        from ..ops.quant import quantize_image_dit_params
+
+        self.dit_params = quantize_image_dit_params(self.dit_params)
+        return self
+
     def encode_prompt(self, prompt: str, max_sequence_length: int = 512):
         """Qwen3 chat template (enable_thinking) -> penultimate hidden,
         unpadded (reference ZImageUnit_PromptEmbedder, z_image.py:152-195)."""

@@ -61,6 +61,108 @@ def test_quantized_all_linears_dit_forward_close():
     assert rel < 0.06, rel
 
 
+def _rel(out, ref):
+    out, ref = np.asarray(out), np.asarray(ref)
+    return float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6))
+
+
+def _assert_all_swapped(tree):
+    """Every non-skipped dense in the block tree carries w_int8."""
+    n = [0]
+
+    def rec(node):
+        if isinstance(node, (list, tuple)):
+            for v in node:
+                rec(v)
+            return
+        if not isinstance(node, dict):
+            return
+        if "w_int8" in node:
+            n[0] += 1
+        for v in node.values():
+            rec(v)
+
+    rec(tree)
+    assert n[0] > 0, "no dense layer was quantized"
+
+
+def test_quantize_image_dit_flux():
+    from fairygen_tpu.models.flux.dit import (
+        FluxDiTConfig, flux_dit_forward, init_flux_dit_params)
+    from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+    cfg = FluxDiTConfig.tiny()
+    params = init_flux_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 12)) * 0.3
+    emb = jax.random.normal(jax.random.key(2), (1, 5, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim))
+    args = (lat, jnp.asarray([500.0]), emb, pooled, jnp.asarray([4.0]))
+    ref = flux_dit_forward(params, cfg, *args)
+    qp = quantize_image_dit_params(params, min_dim=8)
+    _assert_all_swapped([qp["double_blocks"], qp["single_blocks"]])
+    assert "w" in qp["x_embedder"]  # embedders stay bf16
+    out = flux_dit_forward(qp, cfg, *args)
+    assert _rel(out, ref) < 0.06
+
+
+def test_quantize_image_dit_qwen():
+    from fairygen_tpu.models.qwen.dit import (
+        QwenImageDiTConfig, init_qwen_image_dit_params,
+        qwen_image_dit_forward)
+    from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+    cfg = QwenImageDiTConfig.tiny()
+    params = init_qwen_image_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 8)) * 0.3
+    emb = jax.random.normal(jax.random.key(2), (1, 5, cfg.txt_dim))
+    args = (lat, jnp.asarray([500.0]), emb)
+    ref = qwen_image_dit_forward(params, cfg, *args)
+    qp = quantize_image_dit_params(params, min_dim=8)
+    _assert_all_swapped(qp["blocks"])
+    # modulation linears stay bf16 (error-sensitive, FLOP-light)
+    assert "w_int8" not in str(jax.tree_util.tree_structure(
+        qp["blocks"]["img_mod"]))
+    out = qwen_image_dit_forward(qp, cfg, *args)
+    assert _rel(out, ref) < 0.06
+
+
+def test_quantize_image_dit_z_image():
+    from fairygen_tpu.models.z_image.dit import (
+        ZImageDiTConfig, init_z_image_dit_params, z_image_dit_forward)
+    from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+    cfg = ZImageDiTConfig.tiny()
+    params = init_z_image_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 8)) * 0.3
+    cap = jax.random.normal(jax.random.key(2), (1, 5, cfg.cap_feat_dim))
+    args = (lat, jnp.asarray([0.4]), cap)
+    ref = z_image_dit_forward(params, cfg, *args)
+    qp = quantize_image_dit_params(params, min_dim=8)
+    _assert_all_swapped([qp["layers"], qp["noise_refiner"],
+                         qp["context_refiner"]])
+    out = z_image_dit_forward(qp, cfg, *args)
+    assert _rel(out, ref) < 0.06
+
+
+def test_quantize_image_dit_flux2():
+    from fairygen_tpu.models.flux2.dit import (
+        Flux2DiTConfig, flux2_dit_forward, init_flux2_dit_params,
+        prepare_image_ids)
+    from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+    cfg = Flux2DiTConfig.tiny()
+    params = init_flux2_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 24, 16)) * 0.3
+    prompt = jax.random.normal(jax.random.key(2), (1, 5, 48))
+    args = (lat, jnp.asarray([0.5]), prompt, jnp.asarray([4.0]))
+    kw = dict(img_ids=prepare_image_ids(4, 6))
+    ref = flux2_dit_forward(params, cfg, *args, **kw)
+    qp = quantize_image_dit_params(params, min_dim=8)
+    _assert_all_swapped([qp["double_blocks"], qp["single_blocks"]])
+    out = flux2_dit_forward(qp, cfg, *args, **kw)
+    assert _rel(out, ref) < 0.06
+
+
 @pytest.mark.slow
 def test_pipeline_quantize_smoke():
     """pipe.quantize('int8') end-to-end on the tiny pipeline goldens."""
