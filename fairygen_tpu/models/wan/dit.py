@@ -313,7 +313,7 @@ def _self_attention(p, x, freqs, num_heads, eps, attn_fn=None,
 
 
 def _cross_attention(p, x, ctx, num_heads, eps, has_image_input,
-                     fused_q=False):
+                     fused_q=False, kv=None):
     b, s, d = x.shape
     hd = d // num_heads
     if has_image_input:
@@ -323,11 +323,19 @@ def _cross_attention(p, x, ctx, num_heads, eps, has_image_input,
     c = jnp.asarray(hd**-0.5 * _LOG2E, jnp.float32)
     gamma_q = (p["norm_q"].astype(jnp.float32) * c).astype(p["norm_q"].dtype)
     xq = _apply_dense(p["q"], x)
-    k = rms_norm(_apply_dense(p["k"], txt), p["norm_k"], eps)
-    v = _apply_dense(p["v"], txt)
-    lk = txt.shape[1]
-    k = k.reshape(b, lk, num_heads, hd)
-    v = v.reshape(b, lk, num_heads, hd)
+    if kv is not None:
+        # per-prompt precomputed (rms-normed) k and v — the context and
+        # the k/v projections are denoise-step-independent, so the
+        # pipeline hoists them out of the 100-sweep loop
+        # (precompute_cross_kv); text branch only.
+        assert not has_image_input
+        k, v = kv
+    else:
+        k = rms_norm(_apply_dense(p["k"], txt), p["norm_k"], eps)
+        v = _apply_dense(p["v"], txt)
+        lk = txt.shape[1]
+        k = k.reshape(b, lk, num_heads, hd)
+        v = v.reshape(b, lk, num_heads, hd)
     if fused_q and hd == 128:
         # fused rms-apply + head-major relayout for the (large) q side —
         # one HBM pass instead of rms + the transpose inside the flash
@@ -370,7 +378,7 @@ def _expand_segments(m, seg: int, s: int):
 
 
 def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None,
-              fused_norms=True, freqs_full=None):
+              fused_norms=True, freqs_full=None, cross_kv=None):
     """One DiT block — reference wan_video_dit.py:213-229.
 
     t_mod: (B, S', 6, D) with S' ∈ {1, S} (per-token timestep), or
@@ -403,7 +411,8 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
         y = layer_norm_modulate(x, sh3, sc3, 0, cfg.eps)
         x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads,
                                  cfg.eps, cfg.has_image_input,
-                                 fused_q=freqs_full is not None)
+                                 fused_q=freqs_full is not None,
+                                 kv=cross_kv)
         y = layer_norm_modulate(x, rows[:, :, 3], rows[:, :, 4], seg_val,
                                 cfg.eps)
         ff = _apply_dense(p["ffn"]["fc2"],
@@ -421,7 +430,8 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
     x = x + g_msa * _self_attention(p["self_attn"], y, freqs, cfg.num_heads,
                                     cfg.eps, attn_fn, freqs_full=freqs_full)
     y = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
-    x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads, cfg.eps, cfg.has_image_input)
+    x = x + _cross_attention(p["cross_attn"], y, ctx, cfg.num_heads, cfg.eps,
+                             cfg.has_image_input, kv=cross_kv)
     y = modulate(layer_norm(x, cfg.eps), s_mlp, sc_mlp)
     ff = _apply_dense(p["ffn"]["fc2"], _gelu_tanh(_apply_dense(p["ffn"]["fc1"], y)))
     x = x + g_mlp * ff
@@ -431,30 +441,55 @@ def dit_block(p, x, ctx, t_mod, freqs, cfg: WanDiTConfig, attn_fn=None, seg=None
 def blocks_forward(
     stacked, x, ctx, t_mod, freqs, cfg: WanDiTConfig, remat: bool = False,
     hints: Optional[jnp.ndarray] = None, hint_scale: float = 1.0, attn_fn=None,
-    seg=None, fused_norms=True, freqs_full=None,
+    seg=None, fused_norms=True, freqs_full=None, cross_kv=None,
 ):
     """lax.scan over the stacked block params (optionally rematerialized).
 
     hints: optional (L, B, S, D) per-block additive features (VACE) —
     reference wan_video.py:1365-1370.
+    cross_kv: optional per-block precomputed cross-attention (k, v), each
+    (L, B, Lk, N, hd) — see precompute_cross_kv.
     """
 
     def body(carry, layer):
-        if hints is not None:
-            p, hint = layer
-        else:
-            p = layer
+        p, hint, ckv = layer
         y = dit_block(p, carry, ctx, t_mod, freqs, cfg, attn_fn, seg=seg,
-                      fused_norms=fused_norms, freqs_full=freqs_full)
-        if hints is not None:
+                      fused_norms=fused_norms, freqs_full=freqs_full,
+                      cross_kv=ckv)
+        if hint is not None:
             y = y + hint * hint_scale
         return y, None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    xs = (stacked, hints) if hints is not None else stacked
-    out, _ = jax.lax.scan(body, x, xs)
+    out, _ = jax.lax.scan(body, x, (stacked, hints, cross_kv))
     return out
+
+
+def precompute_cross_kv(params, cfg: WanDiTConfig, context):
+    """Per-block cross-attention (k, v) over a fixed prompt context.
+
+    The text context and the per-block k/v projections are
+    denoise-step-independent, but the reference recomputes them inside
+    every DiT forward (wan_video_dit.py:219-222 via the block loop) —
+    100 sweeps × 30 blocks per clip.  Hoisting them out of the denoise
+    loop is exact (same ops, same order) and saves ~0.24 ms/block on v5e
+    (~0.7 s per flagship clip).  Returns (k, v), each
+    (L, B, Lk, num_heads, head_dim); pass as
+    ``wan_dit_forward(cross_kv=...)``.  Text branch only
+    (has_image_input models keep the in-block path)."""
+    assert not cfg.has_image_input
+    ctx = text_embedding(params, context)
+    hd = cfg.dim // cfg.num_heads
+    b, lk, _ = ctx.shape
+
+    def one(ca):
+        k = rms_norm(_apply_dense(ca["k"], ctx), ca["norm_k"], cfg.eps)
+        v = _apply_dense(ca["v"], ctx)
+        return (k.reshape(b, lk, cfg.num_heads, hd),
+                v.reshape(b, lk, cfg.num_heads, hd))
+
+    return jax.lax.map(one, params["blocks"]["cross_attn"])
 
 
 def head_forward(p, x, t, cfg: WanDiTConfig, seg=None):
@@ -563,6 +598,7 @@ def wan_dit_forward(
     sp_strategy: str = "ulysses",  # 'ulysses' (all-to-all) | 'ring' (ppermute)
     tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> returns (out, state)
     tea_cache_opts=None,  # dict(model_id=, rel_l1_thresh=, num_inference_steps=)
+    cross_kv=None,  # per-prompt (k, v) from precompute_cross_kv
 ):
     """Full denoiser forward — mirrors model_fn_wan_video
     (reference wan_video.py:1122-1388) minus pipeline-level concerns
@@ -601,7 +637,12 @@ def wan_dit_forward(
         if t_mod_bias is not None:
             t_mod = t_mod + t_mod_bias[:, None]
 
-    ctx = text_embedding(params, context)
+    if cross_kv is not None and vace_context is None:
+        # the blocks read the context only through the precomputed k/v
+        assert not cfg.has_image_input and clip_feature is None
+        ctx = None
+    else:
+        ctx = text_embedding(params, context)
     x = latents
     if y is not None and cfg.require_vae_embedding:
         x = jnp.concatenate([x, y], axis=1)
@@ -704,9 +745,11 @@ def wan_dit_forward(
         new_tc = None
         for i in range(cfg.num_layers):
             blk = jax.tree.map(lambda a: a[i], params["blocks"])
+            ckv_i = (None if cross_kv is None
+                     else jax.tree.map(lambda a: a[i], cross_kv))
             x = dit_block(blk, x, ctx, t_mod, freqs, cfg, attn_fn,
                           seg=seg_boundary, fused_norms=mesh is None,
-                          freqs_full=freqs_full)
+                          freqs_full=freqs_full, cross_kv=ckv_i)
             if vace_hints is not None:
                 x = x + vace_hints[i] * vace_scale
             x = animate_after_transformer_block(
@@ -721,7 +764,7 @@ def wan_dit_forward(
                 params["blocks"], xx, ctx, t_mod, freqs, cfg, remat=remat,
                 hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
                 seg=seg_boundary, fused_norms=mesh is None,
-                freqs_full=freqs_full,
+                freqs_full=freqs_full, cross_kv=cross_kv,
             ),
             **tea_cache_opts,
         )
@@ -731,7 +774,7 @@ def wan_dit_forward(
             params["blocks"], x, ctx, t_mod, freqs, cfg, remat=remat,
             hints=vace_hints, hint_scale=vace_scale, attn_fn=attn_fn,
             seg=seg_boundary, fused_norms=mesh is None,
-            freqs_full=freqs_full,
+            freqs_full=freqs_full, cross_kv=cross_kv,
         )
     x = head_forward(params["head"], x, t, cfg, seg=seg_boundary)
     if x.shape[1] != s_orig:

@@ -66,7 +66,7 @@ def _denoise_chunk(
     params, lat, ffl, context, negative_context, y, clip_feature, t_mod_bias,
     vace_params, vace_context, vace_scale, camera_tokens,
     reference_latents, animate_params, pose_latents, face_pixel_values,
-    face_pixel_values_nega,
+    face_pixel_values_nega, cross_kv_p, cross_kv_n,
     timesteps, sigmas, cfg_scale, tea_state_a, tea_state_b, start,
     *, dit_cfg: WanDiTConfig, length: int, cfg_merge: bool, fuse: bool,
     mesh, sp_strategy: str = "ulysses", tea_opts: Optional[tuple],
@@ -93,7 +93,7 @@ def _denoise_chunk(
         vace_kw = dict(vace_params=vace_params, vace_cfg=vace_cfg,
                        vace_scale=vace_scale)
 
-    def call(x, t, c, y_, clip_, tc, face=None):
+    def call(x, t, c, y_, clip_, tc, face=None, ckv=None):
         b_ = x.shape[0]
 
         def rep(a):
@@ -115,7 +115,7 @@ def _denoise_chunk(
             control_camera_tokens=rep(camera_tokens),
             reference_latents=rep(reference_latents),
             tea_cache_state=tc if tea_opts is not None else None, **tea_kw,
-            **vk,
+            cross_kv=ckv, **vk,
         )
         if tea_opts is not None:
             return out  # (v, new_state)
@@ -134,18 +134,20 @@ def _denoise_chunk(
             ctx2 = jnp.concatenate([context, negative_context], axis=0)
             face2 = (None if face_pixel_values is None else jnp.concatenate(
                 [face_pixel_values, face_pixel_values_nega], axis=0))
-            v2, tc_a = call(x2, t2, ctx2, y2, cl2, tc_a, face2)
+            v2, tc_a = call(x2, t2, ctx2, y2, cl2, tc_a, face2,
+                            ckv=cross_kv_p)
             v_posi, v_nega = v2[:b], v2[b:]
             v = v_nega + cfg_scale * (v_posi - v_nega)
         elif use_cfg:
             v_posi, tc_a = call(lat, t1, context, y, clip_feature, tc_a,
-                                face_pixel_values)
+                                face_pixel_values, ckv=cross_kv_p)
             v_nega, tc_b = call(lat, t1, negative_context, y, clip_feature,
-                                tc_b, face_pixel_values_nega)
+                                tc_b, face_pixel_values_nega,
+                                ckv=cross_kv_n)
             v = v_nega + cfg_scale * (v_posi - v_nega)
         else:
             v, tc_a = call(lat, t1, context, y, clip_feature, tc_a,
-                           face_pixel_values)
+                           face_pixel_values, ckv=cross_kv_p)
         dt = (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
         lat = lat + v.astype(lat.dtype) * dt
         if fuse:
@@ -156,6 +158,16 @@ def _denoise_chunk(
         start, start + length, step, (lat, tea_state_a, tea_state_b)
     )
     return lat, tea_state_a, tea_state_b
+
+
+@functools.partial(jax.jit, static_argnames=("dit_cfg",))
+def _cross_kv(params, context, *, dit_cfg: WanDiTConfig):
+    """Per-prompt per-block cross-attn (k, v) — models.wan.dit.
+    precompute_cross_kv, jitted once at module scope (no retrace across
+    prompts)."""
+    from ..models.wan.dit import precompute_cross_kv
+
+    return precompute_cross_kv(params, dit_cfg, context)
 
 
 @functools.partial(jax.jit, static_argnames=("dit_cfg", "mot_cfg"))
@@ -1200,7 +1212,26 @@ class WanVideoPipeline:
 
         vace_scale = jnp.asarray(vace_scale, jnp.float32)
 
+        # Hoist the cross-attention k/v projections out of the denoise
+        # loop — the prompt context is step-independent (exact; the
+        # reference recomputes them every sweep).  Text-only conditioning
+        # path; any context-mutating variant keeps the in-block compute.
+        use_ckv = (self.mesh is None and not self.dit_cfg.has_image_input
+                   and clip_feature is None and vace_context is None
+                   and pose_latents is None)
+
         def run(params, lat, tea_a, tea_b, start, stop):
+            ckv_p = ckv_n = None
+            if use_ckv:
+                if negative_context is not None and cfg_merge:
+                    ckv_p = _cross_kv(
+                        params, jnp.concatenate([context, negative_context]),
+                        dit_cfg=self.dit_cfg)
+                else:
+                    ckv_p = _cross_kv(params, context, dit_cfg=self.dit_cfg)
+                    if negative_context is not None:
+                        ckv_n = _cross_kv(params, negative_context,
+                                          dit_cfg=self.dit_cfg)
             s = start
             while s < stop:
                 ln = min(self.steps_per_dispatch, stop - s)
@@ -1212,6 +1243,7 @@ class WanVideoPipeline:
                     reference_latents,
                     self.animate_params if pose_latents is not None else None,
                     pose_latents, face_pixel_values, face_pixel_values_nega,
+                    ckv_p, ckv_n,
                     timesteps, sigmas, cfg_scale,
                     tea_a, tea_b, jnp.int32(s),
                     dit_cfg=self.dit_cfg, length=ln, cfg_merge=cfg_merge,

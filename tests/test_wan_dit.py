@@ -88,3 +88,29 @@ def test_remat_matches_plain(goldens):
     a = wan_dit_forward(params, cfg, *args, fuse_vae_embedding_in_latents=True)
     b = wan_dit_forward(params, cfg, *args, fuse_vae_embedding_in_latents=True, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cross_kv_precompute_matches(goldens):
+    """Per-prompt hoisted cross-attn k/v == in-block computation (exact)."""
+    from fairygen_tpu.models.wan.dit import precompute_cross_kv
+
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    params = convert_dit_state_dict(_sd(g, "ti"), cfg)
+    args = (
+        jnp.asarray(g["ti_latents"]),
+        jnp.asarray(g["ti_timestep"]),
+        jnp.asarray(g["ti_context"]),
+    )
+    a = wan_dit_forward(params, cfg, *args,
+                        fuse_vae_embedding_in_latents=True)
+    ckv = precompute_cross_kv(params, cfg, args[2])
+    assert ckv[0].shape == (2, 1, args[2].shape[1], 4, 24)
+    b = wan_dit_forward(params, cfg, *args,
+                        fuse_vae_embedding_in_latents=True, cross_kv=ckv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
