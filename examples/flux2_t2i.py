@@ -23,6 +23,10 @@ def main():
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--steps", type=int, default=28)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="W8A8 int8 DiT block projections "
+                        "(pipe.quantize(); ~MXU 2x path, validate "
+                        "quality on your weights)")
     p.add_argument("--input_image", type=str, default=None)
     p.add_argument("--denoising_strength", type=float, default=1.0)
     p.add_argument("--output", type=str, default="flux2_out.png")
@@ -34,6 +38,8 @@ def main():
 
     pipe = Flux2ImagePipeline.from_pretrained(
         json.loads(args.model_paths), tokenizer_path=args.tokenizer)
+    if args.quantize:
+        pipe.quantize()
     image = pipe(
         prompt=args.prompt, embedded_guidance=args.embedded_guidance,
         height=args.height, width=args.width, seed=args.seed,

@@ -32,6 +32,10 @@ def main():
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="W8A8 int8 DiT block projections "
+                        "(pipe.quantize(); ~MXU 2x path, validate "
+                        "quality on your weights)")
     p.add_argument("--sigma_shift", type=float, default=None)
     p.add_argument("--input_image", type=str, default=None)
     p.add_argument("--denoising_strength", type=float, default=1.0)
@@ -69,6 +73,8 @@ def main():
     )
     if args.lora:
         pipe.load_lora(args.lora, alpha=args.lora_alpha)
+    if args.quantize:
+        pipe.quantize()
     image = pipe(
         prompt=args.prompt,
         negative_prompt=args.negative_prompt,

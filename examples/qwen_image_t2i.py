@@ -25,6 +25,10 @@ def main():
     p.add_argument("--width", type=int, default=1328)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="W8A8 int8 DiT block projections "
+                        "(pipe.quantize(); ~MXU 2x path, validate "
+                        "quality on your weights)")
     p.add_argument("--input_image", type=str, default=None)
     p.add_argument("--denoising_strength", type=float, default=1.0)
     p.add_argument("--edit_images", type=str, nargs="*", default=None)
@@ -37,6 +41,8 @@ def main():
 
     pipe = QwenImagePipeline.from_pretrained(
         json.loads(args.model_paths), tokenizer_path=args.tokenizer)
+    if args.quantize:
+        pipe.quantize()
     image = pipe(
         prompt=args.prompt, negative_prompt=args.negative_prompt,
         cfg_scale=args.cfg_scale, height=args.height, width=args.width,

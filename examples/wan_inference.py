@@ -55,6 +55,11 @@ def main():
     p.add_argument("--sliding_window_stride", type=int, default=None)
     p.add_argument("--tea_cache_l1_thresh", type=float, default=None)
     p.add_argument("--tea_cache_model_id", type=str, default="Wan2.1-T2V-1.3B")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8_ffn", "int8"],
+                   help="W8A8 int8 DiT projections (the reference's "
+                        "FP8-linear capability; ~1.35x denoise, validate "
+                        "quality on your weights)")
     p.add_argument("--usp", type=int, default=0,
                    help="sequence-parallel degree (0 = off); shards "
                         "the token axis over a (1, usp) device mesh")
@@ -103,6 +108,8 @@ def main():
     )
     if args.lora:
         pipe.load_lora(args.lora, alpha=args.lora_alpha)
+    if args.quantize:
+        pipe.quantize(args.quantize)
 
     def load_image(path):
         return (Image.open(path).convert("RGB").resize((args.width, args.height))

@@ -60,9 +60,16 @@ def main():
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, flash_attention as official)
 
-            qn = q.transpose(0, 2, 1, 3)
-            kn = k.transpose(0, 2, 1, 3)
-            vn = v.transpose(0, 2, 1, 3)
+            # the official kernel requires seq % block == 0: pad with zero
+            # rows (changes the result — padded keys attend — but this is
+            # a TIMING comparison at the padded size our kernel also pays)
+            def padto(x, m):
+                pad = (-x.shape[1]) % m
+                return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+            qn = padto(q, 2048).transpose(0, 2, 1, 3)
+            kn = padto(k, 2048).transpose(0, 2, 1, 3)
+            vn = padto(v, 2048).transpose(0, 2, 1, 3)
             for bq, bkv in ((2048, 1024), (1024, 1024), (512, 1024),
                             (2048, 2048)):
                 try:

@@ -60,6 +60,24 @@ def main():
         print(f"Z-Image-Turbo {steps}-step 1024px image: {dt*steps:.2f} s "
               f"denoise single-chip (+ VAE decode)")
 
+    import os
+
+    if os.environ.get("FAIRYGEN_BENCH_INT8"):
+        from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+        qparams = quantize_image_dit_params(params)
+        del params
+        o = step(qparams, lat)
+        float(o.astype(jnp.float32).sum())
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            o = step(qparams, lat)
+        float(o.astype(jnp.float32).sum())
+        dq = (time.perf_counter() - t0) / n_iter
+        print(f"int8 W8A8 step (pipe.quantize()): {dq*1e3:.0f} ms "
+              f"({dt/dq:.2f}x; ~{fl/1e12/dq:.0f} TF/s effective); "
+              f"Turbo 4-step {dq*4:.2f} s")
+
 
 if __name__ == "__main__":
     main()
