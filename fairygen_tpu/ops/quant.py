@@ -73,19 +73,36 @@ def _check_int8_backend():
             "int8 W8A8 disabled by FAIRYGEN_DISABLE_INT8=1")
 
 
-def quantize_wan_dit_linears(params, groups=("ffn",)) -> Any:
+def _quantizers(consume: bool):
+    """(stacked-3D, single-2D) jitted quantizers.  consume=True donates
+    the input buffer so the bf16 original frees as soon as its int8
+    replacement exists — required to quantize models whose bf16+int8
+    copies don't fit HBM together (Z-Image 12.2+6.1 GiB on a 16 GiB v5e).
+    The caller must own the only reference (pop it from the tree first).
+    """
+    # per-layer stacked (L, in, out): lax.map runs the quantizer one
+    # layer at a time (a vmap materializes the whole stack in fp32 —
+    # 5.3 GB for the 30-layer fc1 — and OOMs a 16 GB chip alongside
+    # the bf16 originals)
+    donate = (0,) if consume else ()
+    qmap = jax.jit(lambda ws: jax.lax.map(quantize_weight_int8, ws),
+                   donate_argnums=donate)
+    qone = jax.jit(quantize_weight_int8, donate_argnums=donate)
+    return qmap, qone
+
+
+def quantize_wan_dit_linears(params, groups=("ffn",),
+                             consume: bool = False) -> Any:
     """Swap the (stacked) DiT block projections in ``groups`` to W8A8.
 
     groups ⊆ {"ffn", "self_attn", "cross_attn"} — every dense layer
     ({"w": ...}) found directly under those block sub-trees is replaced
     by {"w_int8", "w_scale"}; ``_apply_dense`` dispatches on the key.
+    consume=True DESTROYS the input tree's quantized weights (donated
+    buffers) — use when the caller replaces its params with the result.
     """
     _check_int8_backend()
-    # per-layer stacked (L, in, out): lax.map runs the quantizer one
-    # layer at a time (a vmap materializes the whole stack in fp32 —
-    # 5.3 GB for the 30-layer fc1 — and OOMs a 16 GB chip alongside
-    # the bf16 originals)
-    qmap = jax.jit(lambda ws: jax.lax.map(quantize_weight_int8, ws))
+    qmap, qone = _quantizers(consume)
     params = dict(params)
     blocks = dict(params["blocks"])
     for g in groups:
@@ -93,9 +110,13 @@ def quantize_wan_dit_linears(params, groups=("ffn",)) -> Any:
         for name, layer in list(grp.items()):
             if not (isinstance(layer, dict) and "w" in layer):
                 continue
+            orig = layer
             layer = dict(layer)
             w = layer.pop("w")
-            qw = qmap(w) if w.ndim == 3 else quantize_weight_int8(w)
+            if consume:
+                orig.pop("w")  # drop the tree's reference for donation
+            qw = qmap(w) if w.ndim == 3 else qone(w)
+            del w
             layer["w_int8"] = qw["w_int8"]
             layer["w_scale"] = qw["w_scale"]
             grp[name] = layer
@@ -113,17 +134,19 @@ _SKIP_SUBSTRINGS = ("mod", "norm", "adaln", "emb")
 
 
 def quantize_blocks_tree(tree, skip_substrings=_SKIP_SUBSTRINGS,
-                         min_dim: int = 512) -> Any:
+                         min_dim: int = 512, consume: bool = False) -> Any:
     """Recursively swap every dense ({"w": 2-D/3-D}) in a block pytree to
     W8A8, skipping keys that contain any of ``skip_substrings``
     (modulation/AdaLN/embedding linears: FLOP-light, error-sensitive) and
     layers smaller than ``min_dim`` on either matmul axis.  Works on the
     stacked (L, in, out) scan layouts — the quantizer streams per layer.
+    consume=True donates the bf16 weights (frees them as it goes; the
+    input tree is destroyed — see _quantizers).
 
     This is the generic entry for the image DiTs (FLUX.1/FLUX.2, Qwen,
     Z-Image) whose `_dense` helpers dispatch on "w_int8"."""
     _check_int8_backend()
-    qmap = jax.jit(lambda ws: jax.lax.map(quantize_weight_int8, ws))
+    qmap, qone = _quantizers(consume)
 
     def rec(node, name=""):
         if isinstance(node, (list, tuple)):  # per-layer lists (refiners)
@@ -136,7 +159,10 @@ def quantize_blocks_tree(tree, skip_substrings=_SKIP_SUBSTRINGS,
                 and min(node["w"].shape[-2:]) >= min_dim:
             out = dict(node)
             w = out.pop("w")
-            qw = qmap(w) if w.ndim == 3 else quantize_weight_int8(w)
+            if consume:
+                node.pop("w")  # drop the tree's reference for donation
+            qw = qmap(w) if w.ndim == 3 else qone(w)
+            del w
             out["w_int8"] = qw["w_int8"]
             out["w_scale"] = qw["w_scale"]
             return out
@@ -152,13 +178,17 @@ _IMAGE_DIT_BLOCK_KEYS = ("double_blocks", "single_blocks", "blocks",
 
 
 def quantize_image_dit_params(params, block_keys=_IMAGE_DIT_BLOCK_KEYS,
-                              min_dim: int = 512) -> Any:
+                              min_dim: int = 512,
+                              consume: bool = False) -> Any:
     """Swap the transformer-block projections of an image DiT
     (FLUX.1/FLUX.2/Qwen-Image/Z-Image) to W8A8, leaving the patch/text
     embedders, modulation linears, and the output head in bf16.  The
-    models' ``_dense`` helpers dispatch on the "w_int8" key."""
+    models' ``_dense`` helpers dispatch on the "w_int8" key.
+    consume=True frees each bf16 weight as it is quantized (destroys the
+    input tree) — required where bf16+int8 don't fit HBM together."""
     params = dict(params)
     for k in block_keys:
         if k in params:
-            params[k] = quantize_blocks_tree(params[k], min_dim=min_dim)
+            params[k] = quantize_blocks_tree(params[k], min_dim=min_dim,
+                                             consume=consume)
     return params

@@ -95,7 +95,8 @@ class Flux2ImagePipeline:
         weight footprint.  Embedders/modulation/head stay bf16."""
         from ..ops.quant import quantize_image_dit_params
 
-        self.dit_params = quantize_image_dit_params(self.dit_params)
+        self.dit_params = quantize_image_dit_params(self.dit_params,
+                                                    consume=True)
         return self
 
     @classmethod

@@ -341,7 +341,8 @@ class FluxImagePipeline:
         your weights before production use."""
         from ..ops.quant import quantize_image_dit_params
 
-        self.dit_params = quantize_image_dit_params(self.dit_params)
+        self.dit_params = quantize_image_dit_params(self.dit_params,
+                                                    consume=True)
         return self
 
     def load_lora(self, lora_path_or_sd, alpha: float = 1.0):

@@ -151,7 +151,8 @@ class QwenImagePipeline:
         embedders/head stay bf16.  Call AFTER load_lora."""
         from ..ops.quant import quantize_image_dit_params
 
-        self.dit_params = quantize_image_dit_params(self.dit_params)
+        self.dit_params = quantize_image_dit_params(self.dit_params,
+                                                    consume=True)
         return self
 
     @classmethod

@@ -365,10 +365,11 @@ class WanVideoPipeline:
 
         groups = (("ffn",) if mode == "int8_ffn"
                   else ("ffn", "self_attn", "cross_attn"))
-        self.dit_params = quantize_wan_dit_linears(self.dit_params, groups)
+        self.dit_params = quantize_wan_dit_linears(self.dit_params, groups,
+                                                   consume=True)
         if self.dit2_params is not None:
             self.dit2_params = quantize_wan_dit_linears(
-                self.dit2_params, groups)
+                self.dit2_params, groups, consume=True)
         return self
 
     def load_lora(self, lora_path_or_sd, alpha: float = 1.0):

@@ -88,7 +88,8 @@ class ZImagePipeline:
         bf16.  Pairs with the Turbo few-step path for fastest t2i."""
         from ..ops.quant import quantize_image_dit_params
 
-        self.dit_params = quantize_image_dit_params(self.dit_params)
+        self.dit_params = quantize_image_dit_params(self.dit_params,
+                                                    consume=True)
         return self
 
     def encode_prompt(self, prompt: str, max_sequence_length: int = 512):

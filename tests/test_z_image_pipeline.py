@@ -2,6 +2,7 @@
 jitted denoise loop (timestep inversion + output negation) + FLUX VAE
 decode vs the reference loop."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -62,3 +63,24 @@ def test_z_image_pipeline_decode(g, pipe):
     ref = postprocess_image(g["img"][0])
     assert arr.shape == ref.shape
     assert np.abs(arr.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+
+@pytest.mark.slow
+def test_z_image_pipeline_quantize_smoke(g, pipe):
+    """pipe.quantize() end-to-end: int8 output close to the fp32 path."""
+    import dataclasses
+
+    kwargs = dict(prompt_emb=jnp.asarray(g["cap"]),
+                  negative_prompt_emb=jnp.asarray(g["neg"]),
+                  cfg_scale=2.0, latents=g["lat0"], height=128, width=192,
+                  num_inference_steps=4, output_type="latent")
+    ref = np.asarray(pipe(**kwargs))
+    # quantize() consumes its input tree (donated buffers) — give the
+    # quantized pipe its own copy so the shared fixture stays intact
+    qpipe = dataclasses.replace(
+        pipe, dit_params=jax.tree.map(jnp.array, pipe.dit_params))
+    qpipe.quantize()
+    out = np.asarray(qpipe(**kwargs))
+    assert out.shape == ref.shape
+    rel = float(np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6))
+    assert rel < 0.25, rel  # int8 drift compounds over 4 steps

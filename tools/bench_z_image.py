@@ -65,7 +65,9 @@ def main():
     if os.environ.get("FAIRYGEN_BENCH_INT8"):
         from fairygen_tpu.ops.quant import quantize_image_dit_params
 
-        qparams = quantize_image_dit_params(params)
+        # consume=True: bf16 (12.2 GiB) + int8 copies don't fit 16 GiB
+        # together — donate each weight so the original frees as we go
+        qparams = quantize_image_dit_params(params, consume=True)
         del params
         o = step(qparams, lat)
         float(o.astype(jnp.float32).sum())
