@@ -177,18 +177,30 @@ _IMAGE_DIT_BLOCK_KEYS = ("double_blocks", "single_blocks", "blocks",
                          "layers", "noise_refiner", "context_refiner")
 
 
+# fit-driven skip list: quantize the modulation linears too (they are
+# 33% of Qwen-Image's 20B params — the difference between fitting one
+# v5e chip and needing four).  The reference's FP8 wrap also covers every
+# nn.Linear incl. modulation (configs/vram_management_module_maps.py).
+_FIT_SKIP = ("norm", "emb")
+
+
 def quantize_image_dit_params(params, block_keys=_IMAGE_DIT_BLOCK_KEYS,
                               min_dim: int = 512,
-                              consume: bool = False) -> Any:
+                              consume: bool = False,
+                              skip_substrings=_SKIP_SUBSTRINGS) -> Any:
     """Swap the transformer-block projections of an image DiT
     (FLUX.1/FLUX.2/Qwen-Image/Z-Image) to W8A8, leaving the patch/text
     embedders, modulation linears, and the output head in bf16.  The
     models' ``_dense`` helpers dispatch on the "w_int8" key.
     consume=True frees each bf16 weight as it is quantized (destroys the
-    input tree) — required where bf16+int8 don't fit HBM together."""
+    input tree) — required where bf16+int8 don't fit HBM together.
+    skip_substrings=_FIT_SKIP additionally quantizes the modulation
+    linears (max memory reduction — Qwen-Image 20B -> ~10.4 GB, a single
+    v5e chip)."""
     params = dict(params)
     for k in block_keys:
         if k in params:
             params[k] = quantize_blocks_tree(params[k], min_dim=min_dim,
-                                             consume=consume)
+                                             consume=consume,
+                                             skip_substrings=skip_substrings)
     return params

@@ -122,6 +122,9 @@ class QwenImagePipeline:
     image2lora_coarse: Any = None
     image2lora_fine: Any = None
     mesh: Any = None  # jax.sharding.Mesh for tensor-parallel weights
+    te_offload: bool = False  # text/vision towers live in host RAM,
+    # onloaded per encode_prompt* call (core/offload.py — the reference's
+    # VRAM onload/offload per pipeline unit, base_pipeline.py:146-168)
     dtype: Any = jnp.bfloat16
     steps_per_dispatch: int = 10
 
@@ -157,10 +160,21 @@ class QwenImagePipeline:
 
     @classmethod
     def from_pretrained(cls, model_paths, tokenizer_path=None,
-                        dtype=jnp.bfloat16, hints=None):
+                        dtype=jnp.bfloat16, hints=None, quantize=False,
+                        offload_text_encoder: bool = False):
+        """quantize: False | True (quality skip list — modulation linears
+        stay bf16) | "fit" (quantize them too: the 20B DiT -> ~10.4 GB,
+        a single 16 GB v5e).  offload_text_encoder: keep the 8B VL tower
+        in host RAM, onloaded per encode_prompt call.  With
+        quantize="fit" + offload_text_encoder=True the full pipeline
+        runs on ONE chip (the reference needs its FP8+offload VRAM
+        machinery for the same reason, core/vram/layers.py)."""
         from ..core.model_pool import ModelPool
+        from ..core.offload import host_load_context, to_accelerator
 
-        pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
+        host = bool(quantize) or offload_text_encoder
+        with host_load_context(host):
+            pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
         dit = pool.fetch_model("qwen_image_dit")
         vae = pool.fetch_model("qwen_image_vae")
         te = pool.fetch_model("qwen_image_text_encoder")
@@ -185,13 +199,37 @@ class QwenImagePipeline:
             image2lora_coarse=pool.fetch_model(
                 "qwen_image_image2lora_coarse"),
             image2lora_fine=pool.fetch_model("qwen_image_image2lora_fine"),
+            te_offload=offload_text_encoder,
             dtype=dtype,
         )
+        if quantize and pipe.dit_params is not None:
+            from ..ops.quant import _FIT_SKIP, quantize_image_dit_params
+
+            kw = {"skip_substrings": _FIT_SKIP} if quantize == "fit" else {}
+            pipe.dit_params = quantize_image_dit_params(
+                pipe.dit_params, consume=True, **kw)
+        if host:
+            pipe.dit_params = to_accelerator(pipe.dit_params)
+            pipe.vae_params = to_accelerator(pipe.vae_params)
+            if not offload_text_encoder:
+                pipe.te_params = to_accelerator(pipe.te_params)
+                pipe.vision_params = to_accelerator(pipe.vision_params)
         if tokenizer_path is not None:
             from transformers import AutoTokenizer
 
             pipe.tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
         return pipe
+
+    def _te(self):
+        """Text-tower params for one encode call — onloaded to HBM and
+        freed afterwards when te_offload is set (core/offload.py)."""
+        from ..core.offload import StagedParams
+
+        if self.te_offload:
+            return StagedParams(self.te_params).use()
+        import contextlib
+
+        return contextlib.nullcontext(self.te_params)
 
     def encode_prompt(self, prompt: str):
         """Chat template -> Qwen2.5-VL final hidden -> drop the 34 template
@@ -202,9 +240,12 @@ class QwenImagePipeline:
         txt = PROMPT_TEMPLATE.format(prompt)
         ids = self.tokenizer(txt, max_length=4096 + TEMPLATE_DROP_IDX,
                              truncation=True, return_tensors="np").input_ids
-        hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
-                                     jnp.asarray(ids))
-        return hidden[:, TEMPLATE_DROP_IDX:].astype(self.dtype)
+        with self._te() as te_params:
+            hidden = qwen_vl_text_encode(te_params, self.te_cfg,
+                                         jnp.asarray(ids))
+            hidden = jax.block_until_ready(
+                hidden[:, TEMPLATE_DROP_IDX:].astype(self.dtype))
+        return hidden
 
     @staticmethod
     def _area_resize(image, target_area: int, factor: int = 32):
@@ -246,15 +287,25 @@ class QwenImagePipeline:
         txt = EDIT_PROMPT_TEMPLATE.format(prompt).replace(
             "<|image_pad|>", "<|image_pad|>" * merged)
         ids = self.tokenizer(txt, return_tensors="np").input_ids
-        vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
-                                    jnp.asarray(patches), [grid])
+        from ..core.offload import StagedParams
+
+        if self.te_offload:
+            with StagedParams(self.vision_params).use() as vp:
+                vis = jax.block_until_ready(qwen_vl_vision_encode(
+                    vp, self.vision_cfg, jnp.asarray(patches), [grid]))
+        else:
+            vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
+                                        jnp.asarray(patches), [grid])
         pos = qwen_vl_rope_index(
             ids[0], [grid], self.te_cfg,
             spatial_merge_size=self.vision_cfg.spatial_merge_size)
-        hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
-                                     jnp.asarray(ids), image_embeds=vis,
-                                     position_ids=pos)
-        return hidden[:, EDIT_TEMPLATE_DROP_IDX:].astype(self.dtype)
+        with self._te() as te_params:
+            hidden = qwen_vl_text_encode(te_params, self.te_cfg,
+                                         jnp.asarray(ids), image_embeds=vis,
+                                         position_ids=pos)
+            hidden = jax.block_until_ready(
+                hidden[:, EDIT_TEMPLATE_DROP_IDX:].astype(self.dtype))
+        return hidden
 
     def encode_prompt_edit_multi(self, prompt: str, edit_images):
         """Multi-image Edit prompt: "Picture i:" vision slots per image
@@ -280,15 +331,26 @@ class QwenImagePipeline:
             for i, g in enumerate(grids))
         txt = EDIT_MULTI_TEMPLATE.format(base + prompt)
         ids = self.tokenizer(txt, return_tensors="np").input_ids
-        vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
-                                    jnp.asarray(np.concatenate(pats, 0)),
-                                    list(grids))
+        from ..core.offload import StagedParams
+
+        if self.te_offload:
+            with StagedParams(self.vision_params).use() as vp:
+                vis = jax.block_until_ready(qwen_vl_vision_encode(
+                    vp, self.vision_cfg,
+                    jnp.asarray(np.concatenate(pats, 0)), list(grids)))
+        else:
+            vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
+                                        jnp.asarray(np.concatenate(pats, 0)),
+                                        list(grids))
         pos = qwen_vl_rope_index(ids[0], list(grids), self.te_cfg,
                                  spatial_merge_size=m)
-        hidden = qwen_vl_text_encode(self.te_params, self.te_cfg,
-                                     jnp.asarray(ids), image_embeds=vis,
-                                     position_ids=pos)
-        return hidden[:, EDIT_TEMPLATE_DROP_IDX:].astype(self.dtype)
+        with self._te() as te_params:
+            hidden = qwen_vl_text_encode(te_params, self.te_cfg,
+                                         jnp.asarray(ids), image_embeds=vis,
+                                         position_ids=pos)
+            hidden = jax.block_until_ready(
+                hidden[:, EDIT_TEMPLATE_DROP_IDX:].astype(self.dtype))
+        return hidden
 
     def _encode_image(self, image):
         from ..core.imaging import preprocess_image

@@ -190,3 +190,45 @@ def test_pipeline_quantize_smoke():
     rel = float(np.abs(np.asarray(out) - np.asarray(ref)).max()
                 / (np.abs(np.asarray(ref)).max() + 1e-6))
     assert rel < 0.25, rel  # int8 error compounds over 2 denoise steps
+
+
+def test_quantize_fit_skip_qwen():
+    """_FIT_SKIP quantizes the modulation linears too (single-chip 20B
+    fit mode); forward stays close, all mod denses carry w_int8."""
+    from fairygen_tpu.models.qwen.dit import (
+        QwenImageDiTConfig, init_qwen_image_dit_params,
+        qwen_image_dit_forward)
+    from fairygen_tpu.ops.quant import _FIT_SKIP, quantize_image_dit_params
+
+    cfg = QwenImageDiTConfig.tiny()
+    params = init_qwen_image_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 8)) * 0.3
+    emb = jax.random.normal(jax.random.key(2), (1, 5, cfg.txt_dim))
+    args = (lat, jnp.asarray([500.0]), emb)
+    ref = qwen_image_dit_forward(params, cfg, *args)
+    qp = quantize_image_dit_params(params, min_dim=8,
+                                   skip_substrings=_FIT_SKIP)
+    assert "w_int8" in str(jax.tree_util.tree_structure(
+        qp["blocks"]["img_mod"]))
+    out = qwen_image_dit_forward(qp, cfg, *args)
+    assert _rel(out, ref) < 0.12  # mods quantized: looser than default
+
+
+def test_host_load_and_staged_params():
+    """core/offload: host-committed load + per-call HBM onload context."""
+    from fairygen_tpu.core.offload import (
+        StagedParams, host_load_context, to_accelerator)
+
+    with host_load_context(True):
+        tree = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    cpu = jax.devices("cpu")[0]
+    assert all(cpu in a.devices() for a in jax.tree.leaves(tree))
+
+    staged = StagedParams(tree)
+    with staged.use() as dev_tree:
+        y = jax.jit(lambda p, x: x @ p["w"] + p["b"])(
+            dev_tree, jnp.ones((2, 4)))
+    np.testing.assert_allclose(np.asarray(y), 4.0)
+    # host copy intact after the context exits
+    assert all(cpu in a.devices() for a in jax.tree.leaves(staged.host_tree))
+    assert to_accelerator(None) is None

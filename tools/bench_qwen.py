@@ -48,6 +48,60 @@ def time_step(num_layers, n_iter=8):
     return (time.perf_counter() - t0) / n_iter
 
 
+def time_step_int8_full(n_iter=8):
+    """FULL 60-block Qwen-Image in int8 W8A8 — ~10.4 GB, fits ONE v5e.
+
+    Builds the quantized zero-param tree directly on device (shape-driven
+    mirror of ops.quant.quantize_image_dit_params with the _FIT_SKIP list:
+    every block dense incl. the modulation linears -> w_int8 + w_scale;
+    embedders/norms/head stay bf16).  Zero weights time identically to
+    real ones; the real loading path is from_pretrained(quantize=...)."""
+    from fairygen_tpu.ops.quant import _FIT_SKIP
+
+    dtype = jnp.bfloat16
+    cfg = QwenImageDiTConfig(num_layers=FULL)
+    shapes = jax.eval_shape(
+        lambda: init_qwen_image_dit_params(jax.random.key(0), cfg,
+                                           dtype=dtype))
+
+    def build(node, inside_blocks):
+        if isinstance(node, dict):
+            if inside_blocks and "w" in node and node["w"].ndim in (2, 3) \
+                    and min(node["w"].shape[-2:]) >= 512:
+                out = {"w_int8": jnp.zeros(node["w"].shape, jnp.int8),
+                       "w_scale": jnp.full(node["w"].shape[:-2]
+                                           + node["w"].shape[-1:], 1e-6,
+                                           jnp.float32)}
+                if "b" in node:
+                    out["b"] = jnp.zeros(node["b"].shape, node["b"].dtype)
+                return out
+            return {k: (jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), v)
+                        if any(sub in k for sub in _FIT_SKIP)
+                        else build(v, inside_blocks or k == "blocks"))
+                    for k, v in node.items()}
+        return jnp.zeros(node.shape, node.dtype)
+
+    params = jax.jit(lambda: build(shapes, False))()
+    nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    print(f"int8 tree: {nbytes/2**30:.1f} GiB on one chip")
+
+    lat = jnp.zeros((1, 16, 128, 128), dtype)
+    ts = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.zeros((1, 512, cfg.txt_dim), dtype)
+
+    @jax.jit
+    def step(p, x):
+        return qwen_image_dit_forward(p, cfg, x, ts, ctx)
+
+    o = step(params, lat)
+    float(o.astype(jnp.float32).sum())
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        o = step(params, lat)
+    float(o.astype(jnp.float32).sum())
+    return (time.perf_counter() - t0) / n_iter
+
+
 def main():
     t1 = time_step(DEPTHS[0])
     t2 = time_step(DEPTHS[1])
@@ -66,6 +120,14 @@ def main():
           f"{t_full*1e3:.0f} ms (~{tf/t_full:.0f} TF/s effective; 30-step "
           f"image ~{t_full*30:.1f} s single-chip IF it fit — 20B bf16 "
           f"needs >=4 chips via FSDP/TP)")
+
+    import os
+
+    if os.environ.get("FAIRYGEN_BENCH_INT8"):
+        ti = time_step_int8_full()
+        print(f"int8 W8A8 FULL 60-block step (REAL, single chip): "
+              f"{ti*1e3:.0f} ms (~{tf/ti:.0f} TF/s eff.; 30-step image "
+              f"{ti*30:.1f} s — 20B fits ONE v5e in int8)")
 
 
 if __name__ == "__main__":
