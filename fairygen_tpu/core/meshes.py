@@ -10,6 +10,9 @@ Axes:
   data  — data parallel (batch). Gradients psum over this axis.
   seq   — Ulysses sequence parallel over the flattened (f·h·w) token axis.
   tensor— reserved for tensor parallelism of the FFN/attention projections.
+  pipe  — (optional, outermost) pipeline-parallel stage axis; slowest-
+          varying so it maps across hosts/slices (DCN) — see
+          parallel/pipeline.py. Only present when requested (pipe>1).
 """
 from __future__ import annotations
 
@@ -26,6 +29,7 @@ class AxisNames:
     data: str = "data"
     seq: str = "seq"
     tensor: str = "tensor"
+    pipe: str = "pipe"
 
 
 AXES = AxisNames()
@@ -35,15 +39,22 @@ def make_mesh(
     data: int = -1,
     seq: int = 1,
     tensor: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, seq, tensor) mesh.  data=-1 consumes remaining devices."""
+    """Build a (data, seq, tensor) mesh — plus an outermost ``pipe`` axis
+    when pipe>1.  data=-1 consumes remaining devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (seq * tensor) == 0, (n, seq, tensor)
-        data = n // (seq * tensor)
-    assert data * seq * tensor == n, (data, seq, tensor, n)
+        assert n % (seq * tensor * pipe) == 0, (n, seq, tensor, pipe)
+        data = n // (seq * tensor * pipe)
+    assert data * seq * tensor * pipe == n, (data, seq, tensor, pipe, n)
+    if pipe > 1:
+        # pipe outermost: contiguous (host-major) device blocks per stage,
+        # so stage hops ride DCN and everything else stays on ICI
+        arr = np.array(devices).reshape(pipe, data, seq, tensor)
+        return Mesh(arr, (AXES.pipe, AXES.data, AXES.seq, AXES.tensor))
     arr = np.array(devices).reshape(data, seq, tensor)
     return Mesh(arr, (AXES.data, AXES.seq, AXES.tensor))
 

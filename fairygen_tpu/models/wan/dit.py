@@ -596,6 +596,8 @@ def wan_dit_forward(
     t_mod_bias=None,  # motion controller additive t_mod (B, 6, D)
     mesh=None,  # jax.sharding.Mesh with (data, seq, tensor) axes for SPMD
     sp_strategy: str = "ulysses",  # 'ulysses' (all-to-all) | 'ring' (ppermute)
+    pp_mesh=None,  # Mesh with a 'pipe' axis: GPipe blocks (parallel/pipeline.py)
+    pp_microbatches=None,  # microbatch count for the pipeline schedule
     tea_cache_state=None,  # utils.tea_cache.TeaCacheState -> returns (out, state)
     tea_cache_opts=None,  # dict(model_id=, rel_l1_thresh=, num_inference_steps=)
     cross_kv=None,  # per-prompt (k, v) from precompute_cross_kv
@@ -767,6 +769,21 @@ def wan_dit_forward(
                 freqs_full=freqs_full, cross_kv=cross_kv,
             ),
             **tea_cache_opts,
+        )
+    elif pp_mesh is not None and pp_mesh.shape.get("pipe", 1) > 1:
+        # pipeline-parallel block stack (beyond-reference; see
+        # parallel/pipeline.py) — plain path only: the per-block side
+        # inputs (VACE hints, precomputed cross-kv) and sequence sharding
+        # belong to the SP/TP regime, not PP
+        assert mesh is None and attn_fn is None, "PP does not compose with SP"
+        assert vace_hints is None and cross_kv is None
+        from ...parallel.pipeline import pipeline_blocks_forward
+
+        new_tc = None
+        x = pipeline_blocks_forward(
+            params["blocks"], x, ctx, t_mod, freqs, cfg, pp_mesh,
+            num_microbatches=pp_microbatches, remat=remat, seg=seg_boundary,
+            fused_norms=True, freqs_full=freqs_full,
         )
     else:
         new_tc = None

@@ -50,6 +50,7 @@ def make_wan_sft_train_step(
     trainable_filter: Optional[Callable] = None,
     lora_b_dropout: Optional[tuple] = None,  # ("B", 0.8) stage-1 / ("B2", 0.5) stage-2
     gradient_accumulation_steps: int = 1,
+    pp_microbatches: Optional[int] = None,  # GPipe over a 'pipe' mesh axis
 ):
     """Build (init_state, train_step). Batch: {latents, context}.
 
@@ -65,6 +66,9 @@ def make_wan_sft_train_step(
     if first_frame_clean is None:
         first_frame_clean = dit_cfg.fuse_vae_embedding_in_latents
 
+    pp = (mesh is not None and AXES.pipe in mesh.axis_names
+          and mesh.shape[AXES.pipe] > 1)
+
     def model_fn(params, noisy, timestep, context):
         if mesh is not None:
             noisy = jax.lax.with_sharding_constraint(
@@ -77,6 +81,8 @@ def make_wan_sft_train_step(
             params, dit_cfg, noisy, timestep, context,
             fuse_vae_embedding_in_latents=first_frame_clean,
             remat=remat,
+            pp_mesh=mesh if pp else None,
+            pp_microbatches=pp_microbatches,
         )
 
     def loss_fn(params, batch, rng):
