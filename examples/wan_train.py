@@ -90,9 +90,12 @@ def main():
             bk = k.replace("lora_A", "lora_B")
             ap["B"] = ap["B"].at[i].set(jnp.asarray(sd[bk].T, ap["B"].dtype))
 
-    mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq)
+    mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
+                     pipe=args.mesh_pipe)
     trainable = lora_trainable_filter(("B2",) if stage2 else ("A", "B"))
     if args.task.startswith("direct_distill"):
+        if args.mesh_pipe > 1:
+            parser.error("--mesh_pipe is only supported for the sft task")
         # few-step distillation (reference train.py:59-61 DirectDistillLoss)
         init_state, train_step = make_wan_distill_train_step(
             pipe.dit_cfg,
@@ -110,8 +113,13 @@ def main():
             remat=args.use_gradient_checkpointing,
             trainable_filter=trainable,
             lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
+            pp_microbatches=args.pp_microbatches,
         )
-    if args.fsdp:
+    if args.mesh_pipe > 1:
+        from fairygen_tpu.parallel.pipeline import shard_blocks_over_pipe
+
+        params = shard_blocks_over_pipe(params, mesh)
+    elif args.fsdp:
         from fairygen_tpu.parallel.tensor_parallel import fsdp_shard_params
 
         params = fsdp_shard_params(params, mesh)

@@ -79,6 +79,12 @@ def add_mesh_config(parser):
                         help="Data-parallel axis size (-1 = all remaining devices).")
     parser.add_argument("--mesh_seq", type=int, default=1,
                         help="Ulysses sequence-parallel axis size.")
+    parser.add_argument("--mesh_pipe", type=int, default=1,
+                        help="Pipeline-parallel stage count (GPipe over the "
+                             "DiT block stack; outermost mesh axis).")
+    parser.add_argument("--pp_microbatches", type=int, default=None,
+                        help="Microbatch count for the pipeline schedule "
+                             "(default: the batch size).")
     return parser
 
 
