@@ -96,14 +96,23 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
-    def denoise_chunk(params, latents, ffl, start, length):
+    # Per-prompt cross-attention k/v hoisted out of the 100-sweep loop —
+    # exactly what pipe() does (pipelines/wan_video.py _cross_kv); the
+    # one-time precompute is timed as part of the clip below.
+    from fairygen_tpu.models.wan.dit import precompute_cross_kv
+
+    kv_fn = jax.jit(lambda p, c: precompute_cross_kv(p, dit_cfg, c))
+
+    @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(1,))
+    def denoise_chunk(params, latents, ffl, kv_p, kv_n, start, length):
         def step(i, lat):
             t1 = jnp.broadcast_to(timesteps[i], (1,))
             v_p = wan_dit_forward(params, dit_cfg, lat, t1, ctx_p,
-                                  fuse_vae_embedding_in_latents=True)
+                                  fuse_vae_embedding_in_latents=True,
+                                  cross_kv=kv_p)
             v_n = wan_dit_forward(params, dit_cfg, lat, t1, ctx_n,
-                                  fuse_vae_embedding_in_latents=True)
+                                  fuse_vae_embedding_in_latents=True,
+                                  cross_kv=kv_n)
             v = v_n + cfg_scale * (v_p - v_n)
             lat = lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
             return lat.at[:, :, 0:1].set(ffl)
@@ -111,8 +120,11 @@ def main():
         return jax.lax.fori_loop(start, start + length, step, latents)
 
     def denoise(params, latents, ffl):
+        kv_p = kv_fn(params, ctx_p)
+        kv_n = kv_fn(params, ctx_n)
         for s in range(0, n_steps, steps_per_dispatch):
-            latents = denoise_chunk(params, latents, ffl, jnp.int32(s),
+            latents = denoise_chunk(params, latents, ffl, kv_p, kv_n,
+                                    jnp.int32(s),
                                     min(steps_per_dispatch, n_steps - s))
         return latents
 
