@@ -1,0 +1,136 @@
+"""Inpainting timing benchmark (reference analogue:
+``stylization/BrushNet/benchmarks/benchmark_sd_inpainting.py`` — here on
+the framework's actual inpainting stack, SDXL/SD1.5 + BrushNet).
+
+Per model: VAE-encode the masked image, run the dual-branch CFG step
+(BrushNet conditioning branch + UNet) x steps, VAE-decode.  Zero weights
+(structure-true; wall-clock is weight-independent).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from utils import add_common_args, benchmark_fn, flush, generate_csv_dict, report
+
+TINY_KW = dict(
+    block_out_channels=(32, 64), norm_num_groups=16,
+    addition_time_embed_dim=8, projection_class_embeddings_input_dim=80,
+    num_attention_heads=(2, 4), cross_attention_dim=32)
+
+
+def _cfgs(family, preset):
+    from fairygen_tpu.models.sdxl.unet2d import UNet2DConfig
+    from fairygen_tpu.models.sdxl.vae import AutoencoderKLConfig
+
+    if family == "sdxl":
+        if preset == "tiny":
+            ucfg = UNet2DConfig(
+                down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+                up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+                transformer_layers_per_block=(1, 1), **TINY_KW)
+            bcfg = UNet2DConfig(
+                down_block_types=("DownBlock2D", "DownBlock2D"),
+                up_block_types=("UpBlock2D", "UpBlock2D"),
+                mid_block_type="UNetMidBlock2D",
+                transformer_layers_per_block=(0, 0), attention_head_dim=8,
+                conditioning_channels=5, **TINY_KW)
+            vcfg, hw, pooled = AutoencoderKLConfig.tiny(), 16, 32
+        else:
+            ucfg = UNet2DConfig.sdxl_base()
+            bcfg = UNet2DConfig.brushnet_sdxl()
+            vcfg, hw, pooled = AutoencoderKLConfig.sdxl(), 128, 1280
+    else:  # sd15
+        if preset == "tiny":
+            ucfg = UNet2DConfig(
+                down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+                up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+                transformer_layers_per_block=(1, 1), addition_embed_type=None,
+                **TINY_KW)
+            bcfg = UNet2DConfig(
+                down_block_types=("DownBlock2D", "DownBlock2D"),
+                up_block_types=("UpBlock2D", "UpBlock2D"),
+                mid_block_type="UNetMidBlock2D",
+                transformer_layers_per_block=(0, 0), attention_head_dim=8,
+                conditioning_channels=5, addition_embed_type=None, **TINY_KW)
+            vcfg, hw, pooled = AutoencoderKLConfig.tiny(), 16, None
+        else:
+            ucfg = UNet2DConfig.sd15_base()
+            bcfg = UNet2DConfig.brushnet_sd15()
+            vcfg, hw, pooled = AutoencoderKLConfig.sdxl(), 64, None  # 512px
+    return ucfg, bcfg, vcfg, hw, pooled
+
+
+def bench_family(family, args):
+    from fairygen_tpu.models.sdxl.unet2d import (
+        brushnet_forward, init_unet2d_params, unet2d_forward)
+    from fairygen_tpu.models.sdxl.vae import (
+        init_autoencoder_kl_params, vae_decode, vae_encode)
+
+    dtype = jnp.bfloat16
+    ucfg, bcfg, vcfg, hw, pooled = _cfgs(family, args.preset)
+    B = args.batch_size
+    up = init_unet2d_params(ucfg, dtype)
+    bp = init_unet2d_params(bcfg, dtype, brushnet=True)
+
+    x = jnp.zeros((2 * B, ucfg.in_channels, hw, hw), dtype)
+    t = jnp.asarray(500.0)
+    ehs = jnp.zeros((2 * B, 77, ucfg.cross_attention_dim), dtype)
+    cond = jnp.zeros((2 * B, 5, hw, hw), dtype)
+    kw = {}
+    if pooled is not None:
+        kw = dict(text_embeds=jnp.zeros((2 * B, pooled), dtype),
+                  time_ids=jnp.zeros((2 * B, 6), jnp.float32))
+
+    @jax.jit
+    def step(up_p, bp_p, x):
+        d, m, u = brushnet_forward(bp_p, bcfg, x, t, ehs, cond,
+                                   conditioning_scale=0.7, **kw)
+        return unet2d_forward(up_p, ucfg, x, t, ehs,
+                              down_block_add_samples=list(d),
+                              mid_block_add_sample=m,
+                              up_block_add_samples=list(u), **kw)
+
+    dt = benchmark_fn(step, up, bp, x, n_iter=args.n_iter)
+    del up, bp
+
+    vp = init_autoencoder_kl_params(vcfg, jnp.float32)
+    img = jnp.zeros((B, 3, hw * vcfg.downscale_factor,
+                     hw * vcfg.downscale_factor), jnp.float32)
+    dt_enc = benchmark_fn(
+        jax.jit(lambda p, im: vae_encode(p, vcfg, im)), vp, img,
+        n_iter=args.n_iter)
+    z = jnp.zeros((B, vcfg.latent_channels, hw, hw), jnp.float32)
+    dt_dec = benchmark_fn(
+        jax.jit(lambda p, z: vae_decode(p, vcfg, z)), vp, z,
+        n_iter=args.n_iter)
+    del vp
+    flush()
+
+    total = dt * args.num_inference_steps + dt_enc + dt_dec
+    label = {"sdxl": "1024px", "sd15": "512px"}[family] \
+        if args.preset == "full" else "tiny"
+    return generate_csv_dict(f"{family.upper()}-BrushNet-inpaint", label,
+                             B, args.num_inference_steps, total)
+
+
+ALL_INPAINT_MODELS = ("sdxl", "sd15")
+
+
+def run(args):
+    rows = [bench_family(f, args) for f in args.models]
+    report(rows, args.csv)
+    return rows
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    p.add_argument("--models", nargs="+", choices=ALL_INPAINT_MODELS,
+                   default=list(ALL_INPAINT_MODELS))
+    run(p.parse_args())

@@ -621,3 +621,128 @@ def convert_unet2d_state_dict(sd: Dict[str, np.ndarray], cfg: UNet2DConfig,
     else:
         params = jax.tree.map(jnp.asarray, params)
     return params
+
+
+def init_unet2d_params(cfg: UNet2DConfig, dtype=jnp.float32, brushnet=False):
+    """Structure-true zero-init params for ``unet2d_forward`` /
+    ``brushnet_forward`` (norm scales = 1).
+
+    The reference relies on diffusers' ``from_config`` for weightless
+    instantiation (e.g. its benchmarks suite,
+    stylization/BrushNet/benchmarks/base_classes.py); this is the
+    functional equivalent used by ``benchmarks/`` and ``tools/`` for
+    timing runs, where wall-clock is weight-independent.
+    """
+    def dense(i, o):
+        return {"w": jnp.zeros((i, o), dtype), "b": jnp.zeros((o,), dtype)}
+
+    def conv(kh, kw, i, o):
+        return {"w": jnp.zeros((kh, kw, i, o), dtype),
+                "b": jnp.zeros((o,), dtype)}
+
+    def norm(c):
+        return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+    def resnet(i, o, temb):
+        p = {"norm1": norm(i), "conv1": conv(3, 3, i, o),
+             "time_emb_proj": dense(temb, o),
+             "norm2": norm(o), "conv2": conv(3, 3, o, o)}
+        if i != o:
+            p["conv_shortcut"] = conv(1, 1, i, o)
+        return p
+
+    def tblock(c, ctx):
+        def att(q_in, kv_in):
+            return {"to_q": dense(q_in, c), "to_k": dense(kv_in, c),
+                    "to_v": dense(kv_in, c), "to_out": dense(c, c)}
+
+        return {"norm1": norm(c), "attn1": att(c, c), "norm2": norm(c),
+                "attn2": att(c, ctx), "norm3": norm(c),
+                "ff_proj": dense(c, 8 * c), "ff_out": dense(4 * c, c)}
+
+    def transformer(c, depth, ctx):
+        return {"norm": norm(c), "proj_in": dense(c, c),
+                "blocks": [tblock(c, ctx) for _ in range(depth)],
+                "proj_out": dense(c, c)}
+
+    bo = cfg.block_out_channels
+    temb = bo[0] * 4
+    params = {"time_embedding": {"linear_1": dense(bo[0], temb),
+                                 "linear_2": dense(temb, temb)}}
+    if cfg.addition_embed_type == "text_time":
+        params["add_embedding"] = {
+            "linear_1": dense(cfg.projection_class_embeddings_input_dim, temb),
+            "linear_2": dense(temb, temb)}
+    cin = cfg.in_channels + (cfg.conditioning_channels if brushnet else 0)
+    params["conv_in_condition" if brushnet else "conv_in"] = conv(3, 3, cin, bo[0])
+
+    down, ch = [], bo[0]
+    for i, bt in enumerate(cfg.down_block_types):
+        out = bo[i]
+        st = {"resnets": [resnet(ch if j == 0 else out, out, temb)
+                          for j in range(cfg.layers_per_block)]}
+        if bt.startswith("CrossAttn"):
+            st["attentions"] = [
+                transformer(out, cfg.transformer_layers_per_block[i],
+                            cfg.cross_attention_dim)
+                for _ in range(cfg.layers_per_block)]
+        if i != len(cfg.down_block_types) - 1:
+            st["downsamplers"] = {"conv": conv(3, 3, out, out)}
+        down.append(st)
+        ch = out
+    params["down_blocks"] = down
+
+    mid_c = bo[-1]
+    if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
+        params["mid_block"] = {
+            "resnets": [resnet(mid_c, mid_c, temb), resnet(mid_c, mid_c, temb)],
+            "attentions": [transformer(
+                mid_c, cfg.transformer_layers_per_block[-1],
+                cfg.cross_attention_dim)]}
+    else:
+        params["mid_block"] = {
+            "resnets": [resnet(mid_c, mid_c, temb), resnet(mid_c, mid_c, temb)],
+            "attentions": [{"group_norm": norm(mid_c),
+                            "to_q": dense(mid_c, mid_c),
+                            "to_k": dense(mid_c, mid_c),
+                            "to_v": dense(mid_c, mid_c),
+                            "to_out": dense(mid_c, mid_c)}]}
+
+    ups, rev = [], list(reversed(bo))
+    prev = rev[0]
+    for i, bt in enumerate(cfg.up_block_types):
+        out = rev[i]
+        inp = rev[min(i + 1, len(rev) - 1)]
+        st = {"resnets": []}
+        for j in range(cfg.layers_per_block + 1):
+            skip = inp if j == cfg.layers_per_block else out
+            rin = prev if j == 0 else out
+            st["resnets"].append(resnet(rin + skip, out, temb))
+        if bt.startswith("CrossAttn"):
+            depth = cfg.transformer_layers_per_block[len(bo) - 1 - i]
+            st["attentions"] = [transformer(out, depth, cfg.cross_attention_dim)
+                                for _ in range(cfg.layers_per_block + 1)]
+        if i != len(cfg.up_block_types) - 1:
+            st["upsamplers"] = {"conv": conv(3, 3, out, out)}
+        ups.append(st)
+        prev = out
+    params["up_blocks"] = ups
+
+    if not brushnet:
+        params["conv_norm_out"] = norm(bo[0])
+        params["conv_out"] = conv(3, 3, bo[0], cfg.out_channels)
+    else:
+        chs_down = [bo[0]]
+        for i in range(len(cfg.down_block_types)):
+            chs_down.extend([bo[i]] * cfg.layers_per_block)
+            if i != len(cfg.down_block_types) - 1:
+                chs_down.append(bo[i])
+        params["brushnet_down_blocks"] = [conv(1, 1, c, c) for c in chs_down]
+        params["brushnet_mid_block"] = conv(1, 1, mid_c, mid_c)
+        chs_up = []
+        for i in range(len(cfg.up_block_types)):
+            chs_up.extend([rev[i]] * (cfg.layers_per_block + 1))
+            if i != len(cfg.up_block_types) - 1:
+                chs_up.append(rev[i])
+        params["brushnet_up_blocks"] = [conv(1, 1, c, c) for c in chs_up]
+    return params

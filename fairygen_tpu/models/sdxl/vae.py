@@ -214,3 +214,71 @@ def convert_autoencoder_kl_state_dict(sd: Dict[str, np.ndarray],
     else:
         params = jax.tree.map(jnp.asarray, params)
     return params
+
+
+def init_autoencoder_kl_params(cfg: AutoencoderKLConfig, dtype=jnp.float32,
+                               include_encoder=True):
+    """Structure-true zero-init params for ``vae_encode``/``vae_decode``
+    (norm scales = 1) — weightless instantiation for timing runs
+    (``benchmarks/``), mirroring diffusers' ``from_config`` role in the
+    reference's benchmark harness."""
+    def conv(kh, kw, i, o):
+        return {"w": jnp.zeros((kh, kw, i, o), dtype),
+                "b": jnp.zeros((o,), dtype)}
+
+    def norm(c):
+        return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+    def dense(i, o):
+        return {"w": jnp.zeros((i, o), dtype), "b": jnp.zeros((o,), dtype)}
+
+    def resnet(i, o):
+        p = {"norm1": norm(i), "conv1": conv(3, 3, i, o),
+             "norm2": norm(o), "conv2": conv(3, 3, o, o)}
+        if i != o:
+            p["conv_shortcut"] = conv(1, 1, i, o)
+        return p
+
+    def mid(c):
+        return {"res1": resnet(c, c), "res2": resnet(c, c),
+                "attn": {"group_norm": norm(c), "to_q": dense(c, c),
+                         "to_k": dense(c, c), "to_v": dense(c, c),
+                         "to_out": dense(c, c)}}
+
+    bo = cfg.block_out_channels
+    lc = cfg.latent_channels
+    params = {}
+
+    dec_bo = list(reversed(bo))
+    ch = dec_bo[0]
+    ups = []
+    for i, out in enumerate(dec_bo):
+        st = {"resnets": [resnet(ch if j == 0 else out, out)
+                          for j in range(cfg.layers_per_block + 1)]}
+        if i != len(dec_bo) - 1:
+            st["upsamplers"] = conv(3, 3, out, out)
+        ups.append(st)
+        ch = out
+    params["decoder"] = {"conv_in": conv(3, 3, lc, dec_bo[0]),
+                         "mid": mid(dec_bo[0]), "up_blocks": ups,
+                         "conv_norm_out": norm(dec_bo[-1]),
+                         "conv_out": conv(3, 3, dec_bo[-1], cfg.out_channels)}
+    if cfg.use_quant_conv:
+        params["post_quant_conv"] = conv(1, 1, lc, lc)
+
+    if include_encoder:
+        downs, ch = [], bo[0]
+        for i, out in enumerate(bo):
+            st = {"resnets": [resnet(ch if j == 0 else out, out)
+                              for j in range(cfg.layers_per_block)]}
+            if i != len(bo) - 1:
+                st["downsamplers"] = conv(3, 3, out, out)
+            downs.append(st)
+            ch = out
+        params["encoder"] = {"conv_in": conv(3, 3, cfg.in_channels, bo[0]),
+                             "down_blocks": downs, "mid": mid(bo[-1]),
+                             "conv_norm_out": norm(bo[-1]),
+                             "conv_out": conv(3, 3, bo[-1], 2 * lc)}
+        if cfg.use_quant_conv:
+            params["quant_conv"] = conv(1, 1, 2 * lc, 2 * lc)
+    return params
