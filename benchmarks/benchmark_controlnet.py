@@ -1,11 +1,15 @@
 """ControlNet timing benchmark (reference analogue:
-``stylization/BrushNet/benchmarks/benchmark_controlnet.py``).
+``stylization/BrushNet/benchmarks/benchmark_controlnet.py`` — here on
+the framework's Qwen-Image blockwise ControlNet stack).
 
-Times the framework's ControlNet stack on FLUX.1: the ControlNet branch
-(5 joint + 10 single blocks) feeding per-block residual taps into the
-DiT sweep, x steps, plus the VAE decode.  Full preset quantizes both
-towers to int8 W8A8 (12B bf16 + ControlNet does not fit one v5e's
-16 GB; the int8 deployment path does).
+Per step: two CFG sweeps (posi/nega, as the reference's
+``model_fn_qwen_image`` driver runs them) of the MMDiT with the
+per-block ControlNet residual adds riding the scan, x steps, plus the
+real causal-VAE decode (T=1).  The ~19.2B-param tower is ~19 GiB even
+at int8 W8A8 — beyond one v5e's 16 GB — so the full preset measures
+REDUCED DEPTHS (12 and 24 of 60 blocks, int8 ``_FIT_SKIP``, per-block
+compute exact) and extrapolates the 60-block step from the two-point
+per-block marginal, the same methodology as ``tools/bench_qwen.py``.
 """
 import argparse
 import os
@@ -17,85 +21,106 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import add_common_args, benchmark_fn, flush, generate_csv_dict, report
+from utils import (add_common_args, benchmark_fn, flush, generate_csv_dict,
+                   report, zeros_params)
+
+FULL_DEPTH = 60
 
 
-def bench_flux_controlnet(args):
-    from fairygen_tpu.models.flux.controlnet import (
-        FluxControlNetConfig, align_controlnet_res, flux_controlnet_forward,
-        init_flux_controlnet_params)
-    from fairygen_tpu.models.flux.dit import (
-        FluxDiTConfig, flux_dit_forward, init_flux_dit_params)
-    from fairygen_tpu.models.sdxl.vae import (
-        AutoencoderKLConfig, init_autoencoder_kl_params, vae_decode)
+def _time_sweep(depth, hw, lt, quantize, n_iter):
+    from fairygen_tpu.models.qwen.controlnet import (
+        QwenImageBlockwiseControlNetConfig,
+        init_qwen_blockwise_controlnet_params, qwen_blockwise_cond_embed)
+    from fairygen_tpu.models.qwen.dit import (
+        QwenImageDiTConfig, init_qwen_image_dit_params, patchify,
+        qwen_image_dit_forward)
 
     dtype = jnp.bfloat16
-    quantize = "none"
-    if args.preset == "tiny":
-        dcfg = FluxDiTConfig.tiny()
-        ccfg = FluxControlNetConfig.tiny()
-        vcfg = AutoencoderKLConfig.tiny(block_out_channels=(16, 32))
-        hw, lt = 8, 16
+    if depth is None:  # tiny preset
+        dcfg = QwenImageDiTConfig.tiny()
+        ccfg = QwenImageBlockwiseControlNetConfig.tiny(
+            num_layers=dcfg.num_layers, dim=dcfg.dim, in_dim=dcfg.in_dim)
     else:
-        dcfg = FluxDiTConfig.flux1_dev()
-        ccfg = FluxControlNetConfig()
-        vcfg = AutoencoderKLConfig.flux()
-        hw, lt = 128, 512
-        quantize = "int8"
+        dcfg = QwenImageDiTConfig(num_layers=depth)
+        ccfg = QwenImageBlockwiseControlNetConfig(num_layers=depth)
 
-    def zeros(init):
-        shapes = jax.eval_shape(init)
-        return jax.jit(lambda: jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    def q(p):
+        if quantize != "int8":
+            return p
+        from fairygen_tpu.ops.quant import _FIT_SKIP, quantize_image_dit_params
 
-    B = args.batch_size
-    dparams = zeros(lambda: init_flux_dit_params(
-        jax.random.key(0), dcfg, dtype=dtype))
-    cparams = zeros(lambda: init_flux_controlnet_params(
-        jax.random.key(1), ccfg, dtype=dtype))
-    if quantize == "int8":
-        from fairygen_tpu.ops.quant import quantize_image_dit_params
+        return quantize_image_dit_params(p, skip_substrings=_FIT_SKIP)
 
-        dparams = quantize_image_dit_params(dparams, consume=True)
-        cparams = quantize_image_dit_params(cparams, consume=True)
+    dparams = zeros_params(lambda: q(init_qwen_image_dit_params(
+        jax.random.key(0), dcfg, dtype=dtype)))
+    cparams = zeros_params(lambda: q(init_qwen_blockwise_controlnet_params(
+        jax.random.key(1), ccfg, dtype=dtype)))
 
     ch = dcfg.in_dim // 4  # pre-2x2-pack latent channels
-    lat = jnp.zeros((B, ch, hw, hw), dtype)
-    cond = jnp.zeros((B, ch, hw, hw), dtype)
-    ts = jnp.full((B,), 500.0, jnp.float32)
-    ctx = jnp.zeros((B, lt, dcfg.context_dim), dtype)
-    pooled = jnp.zeros((B, dcfg.pooled_dim), dtype)
-    guid = jnp.full((B,), 3.5, jnp.float32)
+    lat = jnp.zeros((1, ch, hw, hw), dtype)
+    cond_lat = jnp.zeros((1, ch, hw, hw), dtype)
+    ts = jnp.full((1,), 500.0, jnp.float32)
+    ctx = jnp.zeros((1, lt, dcfg.txt_dim), dtype)
 
+    # One sweep per jit program (the pipeline also runs posi/nega as
+    # separate batch-1 sweeps); CFG is counted as 2 sweeps per step.
     @jax.jit
-    def step(dp, cp, x):
-        dres, sres = flux_controlnet_forward(cp, ccfg, x, cond, ts, ctx,
-                                             pooled, guid)
-        dres = align_controlnet_res(dres, dcfg.num_double_blocks)
-        sres = align_controlnet_res(sres, dcfg.num_single_blocks)
-        return flux_dit_forward(dp, dcfg, x, ts, ctx, pooled, guid,
-                                controlnet_res=dres,
-                                controlnet_single_res=sres)
+    def sweep(dp, cp, x):
+        cn_cond = qwen_blockwise_cond_embed(cp, ccfg, patchify(cond_lat))
+        bw = ((cp["blocks"], cn_cond, 1.0),)
+        return qwen_image_dit_forward(dp, dcfg, x, ts, ctx,
+                                      blockwise_controlnet=bw)
 
-    dt = benchmark_fn(step, dparams, cparams, lat, n_iter=args.n_iter)
+    dt = benchmark_fn(sweep, dparams, cparams, lat, n_iter=n_iter)
     del dparams, cparams
+    flush()
+    return dt
 
-    vp = init_autoencoder_kl_params(vcfg, dtype, include_encoder=False)
-    z = jnp.zeros((B, vcfg.latent_channels, hw, hw), dtype)
+
+def bench_qwen_controlnet(args):
+    from fairygen_tpu.models.qwen.vae import (
+        qwen_image_vae_config, qwen_image_vae_decode)
+    from fairygen_tpu.models.wan.vae import WanVAEConfig, init_vae_params
+
+    dtype = jnp.bfloat16
+    if args.preset == "tiny":
+        vcfg = WanVAEConfig.tiny_v1()
+        hw = 8
+        dt_sweep = _time_sweep(None, hw, 16, "none", args.n_iter)
+        quantize, label = "none", "tiny"
+    else:
+        vcfg = qwen_image_vae_config()  # the shared causal VAE, T=1
+        hw = 128
+        d1, d2 = 12, 24
+        t1 = _time_sweep(d1, hw, 512, "int8", args.n_iter)
+        t2 = _time_sweep(d2, hw, 512, "int8", args.n_iter)
+        per_block = (t2 - t1) / (d2 - d1)
+        dt_sweep = t1 + (FULL_DEPTH - d1) * per_block
+        quantize = "int8"
+        label = f"1024px-cfg-extrap{FULL_DEPTH}blk"
+        print(f"# per block {per_block*1e3:.2f} ms, depth-{d1} sweep "
+              f"{t1*1e3:.0f} ms -> extrapolated 60-block sweep "
+              f"{dt_sweep*1e3:.0f} ms", file=sys.stderr)
+
+    B = args.batch_size
+    dt = 2.0 * dt_sweep * B  # posi + nega per step, per sample
+
+    vp = init_vae_params(vcfg, dtype)
+    z = jnp.zeros((B, vcfg.z_dim, hw, hw), dtype)
     dt_vae = benchmark_fn(
-        jax.jit(lambda p, z: vae_decode(p, vcfg, z)), vp, z,
+        jax.jit(lambda p, z: qwen_image_vae_decode(p, vcfg, z)), vp, z,
         n_iter=args.n_iter)
     del vp
     flush()
 
     total = dt * args.num_inference_steps + dt_vae
-    return generate_csv_dict(
-        "FLUX1-ControlNet", "1024px" if args.preset == "full" else "tiny",
-        B, args.num_inference_steps, total, quantize=quantize)
+    return generate_csv_dict("QwenImage-ControlNet", label,
+                             B, args.num_inference_steps, total,
+                             quantize=quantize)
 
 
 def run(args):
-    rows = [bench_flux_controlnet(args)]
+    rows = [bench_qwen_controlnet(args)]
     report(rows, args.csv)
     return rows
 

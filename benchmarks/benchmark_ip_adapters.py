@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import add_common_args, benchmark_fn, flush, generate_csv_dict, report
+from utils import (add_common_args, benchmark_fn, flush, generate_csv_dict,
+                   report, zeros_params)
 
 
 def bench_flux_ipadapter(args):
@@ -52,15 +53,10 @@ def bench_flux_ipadapter(args):
         hw, lt = 128, 512
         quantize = "int8"
 
-    def zeros(init):
-        shapes = jax.eval_shape(init)
-        return jax.jit(lambda: jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
-
     B = args.batch_size
-    sparams = zeros(lambda: init_siglip_vision_params(
+    sparams = zeros_params(lambda: init_siglip_vision_params(
         jax.random.key(0), scfg, dtype=dtype))
-    iparams = zeros(lambda: init_flux_ipadapter_params(
+    iparams = zeros_params(lambda: init_flux_ipadapter_params(
         jax.random.key(1), icfg, dtype=dtype))
     img = jnp.zeros((1, 3, scfg.image_size, scfg.image_size), dtype)
 
@@ -70,15 +66,33 @@ def bench_flux_ipadapter(args):
         return flux_ipadapter_project(ip, icfg, pooled_emb)
 
     dt_enc = benchmark_fn(encode, sparams, iparams, img, n_iter=args.n_iter)
-    ip_tokens = encode(sparams, iparams, img)
+    ip_tokens = jax.device_get(encode(sparams, iparams, img))
+    ip_tokens = jnp.asarray(ip_tokens)
     del sparams
+    flush()  # drop the SigLIP executables before the 12B tower lands
 
-    dparams = zeros(lambda: init_flux_dit_params(
-        jax.random.key(2), dcfg, dtype=dtype))
     if quantize == "int8":
+        # int8-from-birth (the 24 GB bf16 tree never exists).  FLUX's
+        # AdaLN-modulation linears are named norm1_a/norm1_b/norm, so the
+        # generic "norm"-skipping lists leave 3.3B params in bf16; skip
+        # only the embedders — real norm gammas are 1-D and excluded by
+        # the quantizer's ndim/min_dim guards.  The ~5 GB bf16 IP k/v
+        # adapters quantize too (consume=True): SigLIP + IP + DiT + VAE
+        # must share one chip's HBM.
         from fairygen_tpu.ops.quant import quantize_image_dit_params
 
-        dparams = quantize_image_dit_params(dparams, consume=True)
+        def make_dit():
+            return quantize_image_dit_params(
+                init_flux_dit_params(jax.random.key(2), dcfg, dtype=dtype),
+                skip_substrings=("emb",))
+
+        iparams = quantize_image_dit_params(
+            iparams, block_keys=("double", "single"), consume=True)
+    else:
+        def make_dit():
+            return init_flux_dit_params(jax.random.key(2), dcfg, dtype=dtype)
+
+    dparams = zeros_params(make_dit)
 
     lat = jnp.zeros((B, dcfg.in_dim // 4, hw, hw), dtype)
     ts = jnp.full((B,), 500.0, jnp.float32)

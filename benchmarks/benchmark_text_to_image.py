@@ -27,13 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from utils import (add_common_args, benchmark_fn, flush, generate_csv_dict,
-                   report)
-
-
-def _zeros_like_shapes(init_fn):
-    shapes = jax.eval_shape(init_fn)
-    return jax.jit(
-        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+                   report, zeros_params)
 
 
 def bench_sdxl(args):
@@ -106,12 +100,16 @@ def bench_z_image(args, quantize="none"):
         hw, cap = 128, 250
 
     B = args.batch_size
-    params = _zeros_like_shapes(
-        lambda: init_z_image_dit_params(jax.random.key(0), cfg, dtype=dtype))
-    if quantize == "int8":
-        from fairygen_tpu.ops.quant import quantize_image_dit_params
 
-        params = quantize_image_dit_params(params, consume=True)
+    def make():
+        p = init_z_image_dit_params(jax.random.key(0), cfg, dtype=dtype)
+        if quantize == "int8":
+            from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+            p = quantize_image_dit_params(p)
+        return p
+
+    params = zeros_params(make)
     lat = jnp.zeros((B, cfg.in_channels, hw, hw), dtype)
     capf = jnp.zeros((B, cap, cfg.cap_feat_dim), dtype)
     ts = jnp.full((B,), 0.6, jnp.float32)
@@ -155,12 +153,19 @@ def bench_flux(args, quantize="int8"):
         hw, lt = 128, 512
 
     B = args.batch_size
-    params = _zeros_like_shapes(
-        lambda: init_flux_dit_params(jax.random.key(0), cfg, dtype=dtype))
-    if quantize == "int8":
-        from fairygen_tpu.ops.quant import quantize_image_dit_params
 
-        params = quantize_image_dit_params(params, consume=True)
+    def make():
+        p = init_flux_dit_params(jax.random.key(0), cfg, dtype=dtype)
+        if quantize == "int8":
+            # _FIT_SKIP quantizes the modulation linears too: the 12B
+            # tower + activations must share one v5e's 16 GB
+            from fairygen_tpu.ops.quant import (_FIT_SKIP,
+                                                quantize_image_dit_params)
+
+            p = quantize_image_dit_params(p, skip_substrings=_FIT_SKIP)
+        return p
+
+    params = zeros_params(make)
     lat = jnp.zeros((B, cfg.in_dim // 4, hw, hw), dtype)  # pre-2x2-pack chans
     ts = jnp.full((B,), 500.0, jnp.float32)
     ctx = jnp.zeros((B, lt, cfg.context_dim), dtype)

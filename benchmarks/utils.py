@@ -106,6 +106,18 @@ def flush() -> None:
     jax.clear_caches()
 
 
+def zeros_params(init_fn):
+    """Zero params with the pytree structure/dtypes of ``init_fn()``,
+    WITHOUT running it (``eval_shape`` + one zeros-filling jit).
+
+    Timing is weight-independent, and composing the quantizer into
+    ``init_fn`` materializes a model directly in its int8 deployment
+    form — FLUX.1's 24 GB bf16 tree never exists on a 16 GB chip."""
+    shapes = jax.eval_shape(init_fn)
+    return jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+
+
 def generate_csv_dict(pipeline_cls: str, config: str, batch_size: int,
                       num_inference_steps: int, total_secs: float,
                       quantize: str = "none") -> Dict[str, str]:

@@ -176,11 +176,12 @@ def _ip_attention(ip, q, n, prescaled):
     tokens; returns the scaled merged-head residual.  ``norm_added_k`` is
     an affine-free RMS at eps 1e-5 (flux_ipadapter.py:52)."""
     ip_p, tokens, scale = ip
-    ip_k = _split_heads(jnp.dot(tokens, ip_p["to_k_ip"]["w"].astype(
-        tokens.dtype)), n)
+    # _dense: same dot for bf16 weights (no bias in these projections),
+    # plus the "w_int8" W8A8 dispatch so the IP k/v adapters can ride
+    # pipe.quantize() / the single-chip fit path with the DiT
+    ip_k = _split_heads(_dense(ip_p["to_k_ip"], tokens), n)
     ip_k = _rms_noaffine(ip_k, 1e-5)
-    ip_v = _split_heads(jnp.dot(tokens, ip_p["to_v_ip"]["w"].astype(
-        tokens.dtype)), n)
+    ip_v = _split_heads(_dense(ip_p["to_v_ip"], tokens), n)
     o = _merge_heads(attention(q, ip_k, ip_v, prescaled=prescaled))
     return o * jnp.asarray(scale, o.dtype)
 

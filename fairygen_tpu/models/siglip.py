@@ -91,6 +91,13 @@ def siglip_vision_forward(params, cfg: SiglipVisionConfig, images,
     p = cfg.patch_size
     x = jnp.transpose(images, (0, 2, 3, 1))
     B, H, W, C = x.shape
+    # transformers' SiglipVisionEmbeddings patchifies with a VALID-padded
+    # stride-p conv, which silently drops trailing rows/cols when H or W
+    # is not a multiple of p (so400m: 384/14 -> 27 patches over 378 px).
+    # Crop to the same window so the reshape is exact.
+    if H % p or W % p:
+        x = x[:, : (H // p) * p, : (W // p) * p, :]
+        H, W = (H // p) * p, (W // p) * p
     x = x.reshape(B, H // p, p, W // p, p, C)
     x = x.transpose(0, 1, 3, 5, 2, 4).reshape(B, (H // p) * (W // p),
                                               C * p * p)

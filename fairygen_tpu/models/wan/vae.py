@@ -897,3 +897,92 @@ def convert_vae38_state_dict(sd: Dict[str, np.ndarray], cfg: WanVAEConfig,
     else:
         params = jax.tree.map(jnp.asarray, params)
     return params
+
+
+def init_vae_params(cfg: WanVAEConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """Structure-true zero-init params for both VAE archs (norm scales=1).
+
+    Weightless instantiation for timing runs (``bench.py``,
+    ``benchmarks/``) — the tree layouts match ``convert_vae38_state_dict``
+    / ``convert_vae_v1_state_dict`` exactly, including the v1 decoder's
+    channel-halving spatial resample (reference wan_video_vae.py:770-771)
+    and frame-doubling time conv.
+    """
+    def c3(kt, kh, kw, cin, cout):
+        return {"w": jnp.zeros((kt, kh, kw, cin, cout), dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def c2(kh, kw, cin, cout):
+        return {"w": jnp.zeros((kh, kw, cin, cout), dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def res(cin, cout):
+        p = {"norm1": jnp.ones((cin,), dtype), "conv1": c3(3, 3, 3, cin, cout),
+             "norm2": jnp.ones((cout,), dtype), "conv2": c3(3, 3, 3, cout, cout)}
+        if cin != cout:
+            p["shortcut"] = c3(1, 1, 1, cin, cout)
+        return p
+
+    def attn(c):
+        return {"norm": jnp.ones((c,), dtype), "qkv": c2(1, 1, c, 3 * c),
+                "proj": c2(1, 1, c, c)}
+
+    v1 = cfg.arch != "38"
+    enc = cfg.enc_dims
+    down = []
+    for i in range(len(cfg.dim_mult)):
+        blocks, cin = [], enc[i]
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(res(cin, enc[i + 1]))
+            cin = enc[i + 1]
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            stage["resample"] = {"conv": c2(3, 3, enc[i + 1], enc[i + 1])}
+            if i < len(cfg.temperal_downsample) and cfg.temperal_downsample[i]:
+                stage["resample"]["time_conv"] = c3(3, 1, 1, enc[i + 1],
+                                                    enc[i + 1])
+        down.append(stage)
+
+    dec = cfg.dec_dims
+    up = []
+    for i in range(len(cfg.dim_mult)):
+        cin = dec[i] if (i == 0 or not v1) else dec[i] // 2
+        blocks = []
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(res(cin, dec[i + 1]))
+            cin = dec[i + 1]
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            d = dec[i + 1]
+            stage["resample"] = {
+                "conv": c2(3, 3, d, d // 2 if v1 else d)}
+            if i < len(cfg.temperal_upsample) and cfg.temperal_upsample[i]:
+                stage["resample"]["time_conv"] = c3(3, 1, 1, d, 2 * d)
+        up.append(stage)
+
+    z2 = cfg.z_dim * 2
+    cin_ch = cfg.conv_in_channels
+    return {
+        "encoder": {
+            "conv1": c3(3, 3, 3, cin_ch, enc[0]),
+            "down": down,
+            "middle": {"res1": res(enc[-1], enc[-1]), "attn": attn(enc[-1]),
+                       "res2": res(enc[-1], enc[-1])},
+            "head": {"norm": jnp.ones((enc[-1],), dtype),
+                     "conv": c3(3, 3, 3, enc[-1], z2)},
+        },
+        "conv1": c3(1, 1, 1, z2, z2),
+        "conv2": c3(1, 1, 1, cfg.z_dim, cfg.z_dim),
+        "decoder": {
+            "conv1": c3(3, 3, 3, cfg.z_dim, dec[0]),
+            "middle": {"res1": res(dec[0], dec[0]), "attn": attn(dec[0]),
+                       "res2": res(dec[0], dec[0])},
+            "up": up,
+            "head": {"norm": jnp.ones((dec[-1],), dtype),
+                     "conv": c3(3, 3, 3, dec[-1], cin_ch)},
+        },
+        "latent_mean": jnp.asarray(
+            (VAE16_MEAN if cfg.z_dim <= 16 else VAE38_MEAN)[: cfg.z_dim], dtype),
+        "latent_std": jnp.asarray(
+            (VAE16_STD if cfg.z_dim <= 16 else VAE38_STD)[: cfg.z_dim], dtype),
+    }

@@ -195,8 +195,12 @@ def quantize_image_dit_params(params, block_keys=_IMAGE_DIT_BLOCK_KEYS,
     consume=True frees each bf16 weight as it is quantized (destroys the
     input tree) — required where bf16+int8 don't fit HBM together.
     skip_substrings=_FIT_SKIP additionally quantizes the modulation
-    linears (max memory reduction — Qwen-Image 20B -> ~10.4 GB, a single
-    v5e chip)."""
+    linears (max memory reduction — Qwen-Image's ~19.2B-param DiT drops
+    to ~19 GiB: halved for TP over >=2 v5e chips, or one >=24 GB chip;
+    FLUX.1 12B -> ~12 GiB, ONE v5e, but note FLUX names its modulation
+    linears norm1_a/norm1_b/norm, so pass skip_substrings=("emb",) there
+    — real norm gammas are 1-D and excluded by the ndim/min_dim guards
+    anyway)."""
     params = dict(params)
     for k in block_keys:
         if k in params:

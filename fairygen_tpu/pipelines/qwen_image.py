@@ -163,11 +163,11 @@ class QwenImagePipeline:
                         dtype=jnp.bfloat16, hints=None, quantize=False,
                         offload_text_encoder: bool = False):
         """quantize: False | True (quality skip list — modulation linears
-        stay bf16) | "fit" (quantize them too: the 20B DiT -> ~10.4 GB,
-        a single 16 GB v5e).  offload_text_encoder: keep the 8B VL tower
-        in host RAM, onloaded per encode_prompt call.  With
-        quantize="fit" + offload_text_encoder=True the full pipeline
-        runs on ONE chip (the reference needs its FP8+offload VRAM
+        stay bf16) | "fit" (quantize them too: the ~19.2B-param DiT
+        -> ~19 GiB int8 — still beyond one 16 GB v5e, so pair "fit" with
+        ``use_mesh`` TP over >=2 chips, or one >=24 GB chip (v6e/v5p)).
+        offload_text_encoder: keep the 8B VL tower in host RAM, onloaded
+        per encode_prompt call (the reference needs its FP8+offload VRAM
         machinery for the same reason, core/vram/layers.py)."""
         from ..core.model_pool import ModelPool
         from ..core.offload import host_load_context, to_accelerator

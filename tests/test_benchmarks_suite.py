@@ -86,7 +86,7 @@ def test_lcm_tiny(tmp_path):
 def test_controlnet_tiny(tmp_path):
     mod = _load("benchmark_controlnet")
     rows = mod.run(_args(tmp_path / "cn.csv"))
-    assert rows[0]["pipeline_cls"] == "FLUX1-ControlNet"
+    assert rows[0]["pipeline_cls"] == "QwenImage-ControlNet"
     assert rows[0]["quantize"] == "none"  # tiny preset never quantizes
     _check_csv(tmp_path / "cn.csv", 1)
 

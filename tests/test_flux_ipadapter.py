@@ -95,3 +95,19 @@ def test_siglip_matches_transformers():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pooled), g["pooler"], atol=2e-5,
                                rtol=1e-4)
+
+
+def test_siglip_nondivisible_input_matches_transformers():
+    """384/14-style inputs: transformers' valid-stride conv drops the
+    trailing rows/cols; our crop must reproduce it exactly (the FLUX
+    IP-Adapter pipeline feeds image_size=384 with patch 14)."""
+    g = np.load("tests/goldens/siglip.npz")
+    cfg = SiglipVisionConfig.tiny()
+    params = convert_siglip_vision_state_dict(
+        {k[3:]: g[k] for k in g.files if k.startswith("sd.")}, cfg)
+    pooled, tokens = siglip_vision_forward(params, cfg,
+                                           jnp.asarray(g["pixels_odd"]))
+    np.testing.assert_allclose(np.asarray(tokens), g["tokens_odd"],
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pooled), g["pooler_odd"],
+                               atol=2e-5, rtol=1e-4)

@@ -49,7 +49,11 @@ def time_step(num_layers, n_iter=8):
 
 
 def time_step_int8_full(n_iter=8):
-    """FULL 60-block Qwen-Image in int8 W8A8 — ~10.4 GB, fits ONE v5e.
+    """FULL 60-block Qwen-Image in int8 W8A8 — ~19 GiB: does NOT fit a
+    16 GB v5e (corrected 2026-08-18; an earlier ~10.4 GB estimate here
+    was wrong — the DiT has ~19.2B quantizable params).  Kept as a probe
+    for >=24 GB chips (v6e/v5p) or TP halves; on a v5e this OOMs at
+    tree creation.
 
     Builds the quantized zero-param tree directly on device (shape-driven
     mirror of ops.quant.quantize_image_dit_params with the _FIT_SKIP list:
@@ -125,9 +129,9 @@ def main():
 
     if os.environ.get("FAIRYGEN_BENCH_INT8"):
         ti = time_step_int8_full()
-        print(f"int8 W8A8 FULL 60-block step (REAL, single chip): "
-              f"{ti*1e3:.0f} ms (~{tf/ti:.0f} TF/s eff.; 30-step image "
-              f"{ti*30:.1f} s — 20B fits ONE v5e in int8)")
+        print(f"int8 W8A8 FULL 60-block step: {ti*1e3:.0f} ms "
+              f"(~{tf/ti:.0f} TF/s eff.; 30-step image {ti*30:.1f} s — "
+              f"needs a >=24 GB chip or TP; ~19 GiB int8 tree)")
 
 
 if __name__ == "__main__":
