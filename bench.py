@@ -52,7 +52,7 @@ def main():
         WanDiTConfig, init_dit_params, wan_dit_forward,
     )
     from fairygen_tpu.models.wan.vae import (
-        WanVAEConfig, vae38_decode,
+        WanVAEConfig, init_vae_params, vae38_decode,
     )
 
     preset = os.environ.get("FAIRYGEN_BENCH_PRESET", "full")
@@ -207,7 +207,9 @@ def main():
     if decode_video:
         del dit_params
         vae_cfg = WanVAEConfig.wan22_38()
-        vae_params = _make_zero_vae_params(vae_cfg, dtype)
+        # structure-true zero params (models/wan/vae.init_vae_params —
+        # verified leaf-identical to the builder this file used to carry)
+        vae_params = jax.jit(lambda: init_vae_params(vae_cfg, dtype))()
 
         # warm-up (compiles the first-chunk + steady-state programs)
         # 4-frame streamed chunks: same causal math as the per-frame stream
@@ -233,83 +235,6 @@ def main():
     }))
     print(f"# denoise={denoise_s:.2f}s ({n_steps} steps, two-sweep cfg) "
           f"vae_decode={vae_s:.2f}s preset={preset}", file=sys.stderr)
-
-
-def _make_zero_vae_params(cfg, dtype):
-    """Zero VAE38 params with the correct pytree structure (no checkpoint)."""
-    from fairygen_tpu.models.wan.vae import VAE38_MEAN, VAE38_STD
-
-    def c3(kt, kh, kw, cin, cout):
-        return {"w": jnp.zeros((kt, kh, kw, cin, cout), dtype),
-                "b": jnp.zeros((cout,), dtype)}
-
-    def c2(kh, kw, cin, cout):
-        return {"w": jnp.zeros((kh, kw, cin, cout), dtype),
-                "b": jnp.zeros((cout,), dtype)}
-
-    def res(cin, cout):
-        p = {"norm1": jnp.ones((cin,), dtype), "conv1": c3(3, 3, 3, cin, cout),
-             "norm2": jnp.ones((cout,), dtype), "conv2": c3(3, 3, 3, cout, cout)}
-        if cin != cout:
-            p["shortcut"] = c3(1, 1, 1, cin, cout)
-        return p
-
-    def attn(c):
-        return {"norm": jnp.ones((c,), dtype), "qkv": c2(1, 1, c, 3 * c),
-                "proj": c2(1, 1, c, c)}
-
-    enc = cfg.enc_dims
-    down = []
-    for i in range(len(cfg.dim_mult)):
-        blocks, cin = [], enc[i]
-        for _ in range(cfg.num_res_blocks):
-            blocks.append(res(cin, enc[i + 1]))
-            cin = enc[i + 1]
-        stage = {"blocks": blocks}
-        if i != len(cfg.dim_mult) - 1:
-            stage["resample"] = {"conv": c2(3, 3, enc[i + 1], enc[i + 1])}
-            if cfg.temperal_downsample[i]:
-                stage["resample"]["time_conv"] = c3(3, 1, 1, enc[i + 1], enc[i + 1])
-        down.append(stage)
-
-    dec = cfg.dec_dims
-    up = []
-    for i in range(len(cfg.dim_mult)):
-        blocks, cin = [], dec[i]
-        for _ in range(cfg.num_res_blocks + 1):
-            blocks.append(res(cin, dec[i + 1]))
-            cin = dec[i + 1]
-        stage = {"blocks": blocks}
-        if i != len(cfg.dim_mult) - 1:
-            stage["resample"] = {"conv": c2(3, 3, dec[i + 1], dec[i + 1])}
-            if cfg.temperal_upsample[i]:
-                stage["resample"]["time_conv"] = c3(3, 1, 1, dec[i + 1], 2 * dec[i + 1])
-        up.append(stage)
-
-    z2 = cfg.z_dim * 2
-    cin_ch = cfg.conv_in_channels
-    return {
-        "encoder": {
-            "conv1": c3(3, 3, 3, cin_ch, enc[0]),
-            "down": down,
-            "middle": {"res1": res(enc[-1], enc[-1]), "attn": attn(enc[-1]),
-                       "res2": res(enc[-1], enc[-1])},
-            "head": {"norm": jnp.ones((enc[-1],), dtype),
-                     "conv": c3(3, 3, 3, enc[-1], z2)},
-        },
-        "conv1": c3(1, 1, 1, z2, z2),
-        "conv2": c3(1, 1, 1, cfg.z_dim, cfg.z_dim),
-        "decoder": {
-            "conv1": c3(3, 3, 3, cfg.z_dim, dec[0]),
-            "middle": {"res1": res(dec[0], dec[0]), "attn": attn(dec[0]),
-                       "res2": res(dec[0], dec[0])},
-            "up": up,
-            "head": {"norm": jnp.ones((dec[-1],), dtype),
-                     "conv": c3(3, 3, 3, dec[-1], cin_ch)},
-        },
-        "latent_mean": jnp.asarray(VAE38_MEAN[: cfg.z_dim], dtype),
-        "latent_std": jnp.asarray(VAE38_STD[: cfg.z_dim], dtype),
-    }
 
 
 def _backend_ready(timeout_s=60):

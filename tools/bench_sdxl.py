@@ -1,108 +1,13 @@
 # SDXL + BrushNet 1024px step timing with zero weights (structure-true)
 import time, functools, jax, jax.numpy as jnp, numpy as np
-from fairygen_tpu.models.sdxl.unet2d import UNet2DConfig, unet2d_forward, brushnet_forward
-
-def zeros_unet_params(cfg: UNet2DConfig, dtype, brushnet=False):
-    # build via tiny torch-free structural init: reuse converter on a fake sd? simpler:
-    # construct shapes by walking config like bench's VAE helper — here use
-    # jax.eval_shape over a converter is unavailable; build directly.
-    D = {"w": None}
-    def dense(i, o): return {"w": jnp.zeros((i, o), dtype), "b": jnp.zeros((o,), dtype)}
-    def conv(kh, kw, i, o): return {"w": jnp.zeros((kh, kw, i, o), dtype), "b": jnp.zeros((o,), dtype)}
-    def norm(c): return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
-    def resnet(i, o, temb):
-        p = {"norm1": norm(i), "conv1": conv(3,3,i,o), "time_emb_proj": dense(temb, o),
-             "norm2": norm(o), "conv2": conv(3,3,o,o)}
-        if i != o: p["conv_shortcut"] = conv(1,1,i,o)
-        return p
-    def tblock(c, ctx):
-        att = lambda q_in, kv_in: {"to_q": dense(q_in, c), "to_k": dense(kv_in, c),
-                                   "to_v": dense(kv_in, c), "to_out": dense(c, c)}
-        return {"norm1": norm(c), "attn1": att(c, c), "norm2": norm(c),
-                "attn2": att(c, ctx), "norm3": norm(c),
-                "ff_proj": dense(c, 8*c), "ff_out": dense(4*c, c)}
-    def transformer(c, depth, ctx):
-        return {"norm": norm(c), "proj_in": dense(c, c),
-                "blocks": [tblock(c, ctx) for _ in range(depth)], "proj_out": dense(c, c)}
-    bo = cfg.block_out_channels
-    temb = bo[0]*4
-    params = {
-        "time_embedding": {"linear_1": dense(bo[0], temb), "linear_2": dense(temb, temb)},
-        "add_embedding": {"linear_1": dense(cfg.projection_class_embeddings_input_dim, temb),
-                          "linear_2": dense(temb, temb)},
-    }
-    cin = cfg.in_channels + (cfg.conditioning_channels if brushnet else 0)
-    key = "conv_in_condition" if brushnet else "conv_in"
-    params[key] = conv(3,3,cin,bo[0])
-    down = []
-    ch = bo[0]
-    for i, bt in enumerate(cfg.down_block_types):
-        out = bo[i]
-        st = {"resnets": [resnet(ch if j==0 else out, out, temb) for j in range(cfg.layers_per_block)]}
-        if bt.startswith("CrossAttn"):
-            st["attentions"] = [transformer(out, cfg.transformer_layers_per_block[i], cfg.cross_attention_dim)
-                                for _ in range(cfg.layers_per_block)]
-        if i != len(cfg.down_block_types)-1:
-            st["downsamplers"] = {"conv": conv(3,3,out,out)}
-        down.append(st); ch = out
-    params["down_blocks"] = down
-    mid_c = bo[-1]
-    if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
-        params["mid_block"] = {"resnets": [resnet(mid_c, mid_c, temb), resnet(mid_c, mid_c, temb)],
-                               "attentions": [transformer(mid_c, cfg.transformer_layers_per_block[-1], cfg.cross_attention_dim)]}
-    else:
-        params["mid_block"] = {"resnets": [resnet(mid_c, mid_c, temb), resnet(mid_c, mid_c, temb)],
-                               "attentions": [{"group_norm": norm(mid_c), "to_q": dense(mid_c, mid_c),
-                                               "to_k": dense(mid_c, mid_c), "to_v": dense(mid_c, mid_c),
-                                               "to_out": dense(mid_c, mid_c)}]}
-    ups = []
-    rev = list(reversed(bo))
-    prev = rev[0]
-    for i, bt in enumerate(cfg.up_block_types):
-        out = rev[i]
-        inp = rev[min(i+1, len(rev)-1)]
-        st = {"resnets": []}
-        for j in range(cfg.layers_per_block+1):
-            skip = inp if j == cfg.layers_per_block else out
-            rin = prev if j == 0 else out
-            st["resnets"].append(resnet(rin+skip, out, temb))
-        if bt.startswith("CrossAttn"):
-            depth = cfg.transformer_layers_per_block[len(bo)-1-i]
-            st["attentions"] = [transformer(out, depth, cfg.cross_attention_dim) for _ in range(cfg.layers_per_block+1)]
-        if i != len(cfg.up_block_types)-1:
-            st["upsamplers"] = {"conv": conv(3,3,out,out)}
-        ups.append(st); prev = out
-    params["up_blocks"] = ups
-    if not brushnet:
-        params["conv_norm_out"] = norm(bo[0])
-        params["conv_out"] = conv(3,3,bo[0],cfg.out_channels)
-    else:
-        # zero convs: one per (conv_in + down sub-blocks), mid, up sub-blocks
-        downs = 1
-        for i, bt in enumerate(cfg.down_block_types):
-            downs += cfg.layers_per_block + (1 if i != len(cfg.down_block_types)-1 else 0)
-        upsn = 0
-        for i, bt in enumerate(cfg.up_block_types):
-            upsn += cfg.layers_per_block + 1 + (1 if i != len(cfg.up_block_types)-1 else 0)
-        chs_down = [bo[0]]
-        ch = bo[0]
-        for i in range(len(cfg.down_block_types)):
-            for j in range(cfg.layers_per_block): chs_down.append(bo[i])
-            if i != len(cfg.down_block_types)-1: chs_down.append(bo[i])
-        params["brushnet_down_blocks"] = [conv(1,1,c,c) for c in chs_down]
-        params["brushnet_mid_block"] = conv(1,1,mid_c,mid_c)
-        chs_up = []
-        for i in range(len(cfg.up_block_types)):
-            for j in range(cfg.layers_per_block+1): chs_up.append(rev[i])
-            if i != len(cfg.up_block_types)-1: chs_up.append(rev[i])
-        params["brushnet_up_blocks"] = [conv(1,1,c,c) for c in chs_up]
-    return params
+from fairygen_tpu.models.sdxl.unet2d import (
+    UNet2DConfig, unet2d_forward, brushnet_forward, init_unet2d_params)
 
 dtype = jnp.bfloat16
 ucfg = UNet2DConfig.sdxl_base()
 bcfg = UNet2DConfig.brushnet_sdxl()
-up = zeros_unet_params(ucfg, dtype)
-bp = zeros_unet_params(bcfg, dtype, brushnet=True)
+up = init_unet2d_params(ucfg, dtype)
+bp = init_unet2d_params(bcfg, dtype, brushnet=True)
 
 B = 2  # CFG
 x = jnp.zeros((B, 4, 128, 128), dtype)
@@ -154,32 +59,9 @@ dt1 = (time.perf_counter()-t0)/N
 
 from fairygen_tpu.models.sdxl.vae import AutoencoderKLConfig, vae_decode
 vcfg = AutoencoderKLConfig.sdxl()
-def zeros_vae_decoder(cfg, dtype):
-    dec_bo = list(reversed(cfg.block_out_channels))
-    def conv(kh, kw, i, o): return {"w": jnp.zeros((kh, kw, i, o), dtype), "b": jnp.zeros((o,), dtype)}
-    def norm(c): return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
-    def dense(i, o): return {"w": jnp.zeros((i, o), dtype), "b": jnp.zeros((o,), dtype)}
-    def resnet(i, o):
-        pp = {"norm1": norm(i), "conv1": conv(3,3,i,o), "norm2": norm(o), "conv2": conv(3,3,o,o)}
-        if i != o: pp["conv_shortcut"] = conv(1,1,i,o)
-        return pp
-    ch = dec_bo[0]
-    mid = {"res1": resnet(ch, ch), "res2": resnet(ch, ch),
-           "attn": {"group_norm": norm(ch), "to_q": dense(ch, ch), "to_k": dense(ch, ch),
-                     "to_v": dense(ch, ch), "to_out": dense(ch, ch)}}
-    ups = []
-    for i, out in enumerate(dec_bo):
-        st = {"resnets": [resnet(ch if j == 0 else out, out) for j in range(cfg.layers_per_block + 1)]}
-        if i != len(dec_bo) - 1:
-            st["upsamplers"] = conv(3,3,out,out)
-        ups.append(st); ch = out
-    return {"post_quant_conv": conv(1,1,cfg.latent_channels,cfg.latent_channels),
-            "decoder": {"conv_in": conv(3,3,cfg.latent_channels,dec_bo[0]), "mid": mid,
-                        "up_blocks": ups, "conv_norm_out": norm(dec_bo[-1]),
-                        "conv_out": conv(3,3,dec_bo[-1],3)}}
-
 try:
-    vp = zeros_vae_decoder(vcfg, jnp.float32)
+    from fairygen_tpu.models.sdxl.vae import init_autoencoder_kl_params
+    vp = init_autoencoder_kl_params(vcfg, jnp.float32, include_encoder=False)
     dec = jax.jit(lambda p, z: vae_decode(p, vcfg, z))
     z = jnp.zeros((1, 4, 128, 128), jnp.float32)
     img = dec(vp, z); float(img.astype(jnp.float32).sum())
