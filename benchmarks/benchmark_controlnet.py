@@ -21,8 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import (add_common_args, benchmark_fn, flush, generate_csv_dict,
-                   report, zeros_params)
+from utils import (add_common_args, benchmark_fn, device_memory_gbs, flush,
+                   generate_csv_dict, report, zeros_params)
 
 FULL_DEPTH = 60
 
@@ -72,9 +72,10 @@ def _time_sweep(depth, hw, lt, quantize, n_iter):
                                       blockwise_controlnet=bw)
 
     dt = benchmark_fn(sweep, dparams, cparams, lat, n_iter=n_iter)
+    mem = device_memory_gbs()
     del dparams, cparams
     flush()
-    return dt
+    return dt, mem
 
 
 def bench_qwen_controlnet(args):
@@ -86,14 +87,14 @@ def bench_qwen_controlnet(args):
     if args.preset == "tiny":
         vcfg = WanVAEConfig.tiny_v1()
         hw = 8
-        dt_sweep = _time_sweep(None, hw, 16, "none", args.n_iter)
+        dt_sweep, mem = _time_sweep(None, hw, 16, "none", args.n_iter)
         quantize, label = "none", "tiny"
     else:
         vcfg = qwen_image_vae_config()  # the shared causal VAE, T=1
         hw = 128
         d1, d2 = 12, 24
-        t1 = _time_sweep(d1, hw, 512, "int8", args.n_iter)
-        t2 = _time_sweep(d2, hw, 512, "int8", args.n_iter)
+        t1, _ = _time_sweep(d1, hw, 512, "int8", args.n_iter)
+        t2, mem = _time_sweep(d2, hw, 512, "int8", args.n_iter)
         per_block = (t2 - t1) / (d2 - d1)
         dt_sweep = t1 + (FULL_DEPTH - d1) * per_block
         quantize = "int8"
@@ -116,7 +117,7 @@ def bench_qwen_controlnet(args):
     total = dt * args.num_inference_steps + dt_vae
     return generate_csv_dict("QwenImage-ControlNet", label,
                              B, args.num_inference_steps, total,
-                             quantize=quantize)
+                             quantize=quantize, memory_gbs=mem)
 
 
 def run(args):

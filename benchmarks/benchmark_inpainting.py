@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import add_common_args, benchmark_fn, flush, generate_csv_dict, report
+from utils import (add_common_args, benchmark_fn, device_memory_gbs, flush,
+                   generate_csv_dict, report)
 
 TINY_KW = dict(
     block_out_channels=(32, 64), norm_num_groups=16,
@@ -97,6 +98,7 @@ def bench_family(family, args):
                               up_block_add_samples=list(u), **kw)
 
     dt = benchmark_fn(step, up, bp, x, n_iter=args.n_iter)
+    mem = device_memory_gbs()
     del up, bp
 
     vp = init_autoencoder_kl_params(vcfg, jnp.float32)
@@ -116,7 +118,8 @@ def bench_family(family, args):
     label = {"sdxl": "1024px", "sd15": "512px"}[family] \
         if args.preset == "full" else "tiny"
     return generate_csv_dict(f"{family.upper()}-BrushNet-inpaint", label,
-                             B, args.num_inference_steps, total)
+                             B, args.num_inference_steps, total,
+                             memory_gbs=mem)
 
 
 ALL_INPAINT_MODELS = ("sdxl", "sd15")

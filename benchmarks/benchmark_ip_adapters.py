@@ -17,8 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import (add_common_args, benchmark_fn, flush, generate_csv_dict,
-                   report, zeros_params)
+from utils import (add_common_args, benchmark_fn, device_memory_gbs, flush,
+                   generate_csv_dict, report, zeros_params)
 
 
 def bench_flux_ipadapter(args):
@@ -107,6 +107,7 @@ def bench_flux_ipadapter(args):
 
     dt = benchmark_fn(step, dparams, iparams, ip_tokens, lat,
                       n_iter=args.n_iter)
+    mem = device_memory_gbs()
     del dparams, iparams
 
     vp = init_autoencoder_kl_params(vcfg, dtype, include_encoder=False)
@@ -120,7 +121,8 @@ def bench_flux_ipadapter(args):
     total = dt_enc + dt * args.num_inference_steps + dt_vae
     return generate_csv_dict(
         "FLUX1-IPAdapter", "1024px" if args.preset == "full" else "tiny",
-        B, args.num_inference_steps, total, quantize=quantize)
+        B, args.num_inference_steps, total, quantize=quantize,
+        memory_gbs=mem)
 
 
 def run(args):

@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import add_common_args, benchmark_fn, flush, generate_csv_dict, report
+from utils import (add_common_args, benchmark_fn, device_memory_gbs, flush,
+                   generate_csv_dict, report)
 
 
 def bench_lcm(args):
@@ -61,6 +62,7 @@ def bench_lcm(args):
         return unet2d_forward(p, cfg, x, t, ehs, text_embeds=te, time_ids=ti)
 
     dt = benchmark_fn(step, up, x, n_iter=args.n_iter)
+    mem = device_memory_gbs()
     del up
 
     vp = init_autoencoder_kl_params(vcfg, jnp.float32, include_encoder=False)
@@ -74,7 +76,8 @@ def bench_lcm(args):
     total = dt * args.num_inference_steps + dt_vae
     return generate_csv_dict(
         "SDXL-LCM", "1024px-nocfg" if args.preset == "full" else "tiny",
-        B, args.num_inference_steps, total, quantize="fused-lora")
+        B, args.num_inference_steps, total, quantize="fused-lora",
+        memory_gbs=mem)
 
 
 def run(args):

@@ -11,7 +11,8 @@ Models:
   z_image  Z-Image ~6B DiT (fits one v5e at bf16), 1024px, no-CFG Turbo
            style steps + bf16 16ch VAE
   flux     FLUX.1-dev 12B — int8 W8A8 (24 GB bf16 does not fit one v5e;
-           ~12 GB int8 does), guidance-embedded (no CFG)
+           the ~12 GB int8-from-birth form does), guidance-embedded
+           (no CFG)
 
 ``--preset tiny`` shrinks every config to CPU-smoke shapes (used by
 ``tests/test_benchmarks_suite.py``).
@@ -26,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from utils import (add_common_args, benchmark_fn, flush, generate_csv_dict,
-                   report, zeros_params)
+from utils import (add_common_args, benchmark_fn, device_memory_gbs, flush,
+                   generate_csv_dict, report, zeros_params)
 
 
 def bench_sdxl(args):
@@ -66,6 +67,7 @@ def bench_sdxl(args):
         return unet2d_forward(p, cfg, x, t, ehs, text_embeds=te, time_ids=ti)
 
     dt = benchmark_fn(step, up, x, n_iter=args.n_iter)
+    mem = device_memory_gbs()
     del up
 
     vp = init_autoencoder_kl_params(vcfg, jnp.float32, include_encoder=False)
@@ -79,7 +81,7 @@ def bench_sdxl(args):
     total = dt * args.num_inference_steps + dt_vae
     return generate_csv_dict(
         "SDXL-t2i", "1024px-cfg" if args.preset == "full" else "tiny",
-        B, args.num_inference_steps, total)
+        B, args.num_inference_steps, total, memory_gbs=mem)
 
 
 def bench_z_image(args, quantize="none"):
@@ -119,6 +121,7 @@ def bench_z_image(args, quantize="none"):
         return z_image_dit_forward(p, cfg, x, ts, capf)
 
     dt = benchmark_fn(step, params, lat, n_iter=args.n_iter)
+    mem = device_memory_gbs()
     del params
 
     vp = init_autoencoder_kl_params(vcfg, dtype, include_encoder=False)
@@ -132,7 +135,8 @@ def bench_z_image(args, quantize="none"):
     total = dt * args.num_inference_steps + dt_vae
     return generate_csv_dict(
         "ZImage-t2i", "1024px-turbo" if args.preset == "full" else "tiny",
-        B, args.num_inference_steps, total, quantize=quantize)
+        B, args.num_inference_steps, total, quantize=quantize,
+        memory_gbs=mem)
 
 
 def bench_flux(args, quantize="int8"):
@@ -157,12 +161,12 @@ def bench_flux(args, quantize="int8"):
     def make():
         p = init_flux_dit_params(jax.random.key(0), cfg, dtype=dtype)
         if quantize == "int8":
-            # _FIT_SKIP quantizes the modulation linears too: the 12B
-            # tower + activations must share one v5e's 16 GB
-            from fairygen_tpu.ops.quant import (_FIT_SKIP,
-                                                quantize_image_dit_params)
+            # skip only the embedders: FLUX names its modulation linears
+            # norm1_a/norm1_b/norm, so "norm"-skipping lists would leave
+            # 3.3B params (6.6 GB) in bf16 — see ops/quant.py docstring
+            from fairygen_tpu.ops.quant import quantize_image_dit_params
 
-            p = quantize_image_dit_params(p, skip_substrings=_FIT_SKIP)
+            p = quantize_image_dit_params(p, skip_substrings=("emb",))
         return p
 
     params = zeros_params(make)
@@ -177,6 +181,7 @@ def bench_flux(args, quantize="int8"):
         return flux_dit_forward(p, cfg, x, ts, ctx, pooled, guid)
 
     dt = benchmark_fn(step, params, lat, n_iter=args.n_iter)
+    mem = device_memory_gbs()
     del params
 
     vp = init_autoencoder_kl_params(vcfg, dtype, include_encoder=False)
@@ -190,7 +195,8 @@ def bench_flux(args, quantize="int8"):
     total = dt * args.num_inference_steps + dt_vae
     return generate_csv_dict(
         "FLUX1-t2i", "1024px-dev" if args.preset == "full" else "tiny",
-        B, args.num_inference_steps, total, quantize=quantize)
+        B, args.num_inference_steps, total, quantize=quantize,
+        memory_gbs=mem)
 
 
 ALL_T2I_MODELS = {

@@ -120,8 +120,13 @@ def zeros_params(init_fn):
 
 def generate_csv_dict(pipeline_cls: str, config: str, batch_size: int,
                       num_inference_steps: int, total_secs: float,
-                      quantize: str = "none") -> Dict[str, str]:
+                      quantize: str = "none",
+                      memory_gbs: float = None) -> Dict[str, str]:
+    """memory_gbs: pass a reading captured while the model was resident
+    (``device_memory_gbs()`` right after the timed step) — sampling here
+    would measure the post-teardown heap."""
     imgs = batch_size / total_secs if total_secs > 0 else 0.0
+    mem = device_memory_gbs() if memory_gbs is None else memory_gbs
     return {
         "pipeline_cls": pipeline_cls,
         "config": config,
@@ -130,7 +135,7 @@ def generate_csv_dict(pipeline_cls: str, config: str, batch_size: int,
         "quantize": quantize,
         "time (secs)": f"{total_secs:.4f}",
         "images_per_s": f"{imgs:.4f}",
-        "memory (gbs)": f"{device_memory_gbs():.3f}",
+        "memory (gbs)": f"{mem:.3f}",
         "backend": backend_name(),
         "git_sha": git_sha(),
     }
