@@ -218,5 +218,5 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     add_common_args(p)
     p.add_argument("--models", nargs="+", choices=sorted(ALL_T2I_MODELS),
-                   default=["sdxl", "z_image"])
+                   default=["sdxl", "z_image", "flux"])
     run(p.parse_args())

@@ -87,18 +87,26 @@ def device_memory_gbs() -> float:
     return 0.0
 
 
-def benchmark_fn(fn, *args, n_iter: int = 3) -> float:
-    """Median-free simple mean of ``n_iter`` post-warm-up calls, seconds.
+def benchmark_fn(fn, *args, n_iter: int = 3, n_rounds: int = 2) -> float:
+    """Best of ``n_rounds`` chains of ``n_iter`` post-warm-up calls
+    (one sync per chain so the ~37 ms tunnel round-trip amortizes over
+    the chain, not each call), seconds per call.
 
-    ``fn`` must return a jax array (or pytree whose first leaf is one).
+    Best-of (not single-chain mean) because the tunneled backend
+    occasionally stalls a dispatch for hundreds of ms — one hiccup
+    poisons a 3-iter mean.  ``fn`` must return a jax array (or pytree
+    whose first leaf is one).
     """
     out = fn(*args)
     sync(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    sync(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / n_iter
+    best = float("inf")
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn(*args)
+        sync(jax.tree.leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
 
 
 def flush() -> None:
