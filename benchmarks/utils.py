@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 
 PROMPT = "ghibli style, a fantasy landscape with castles"
-BASE_PATH = os.environ.get("FAIRYGEN_BENCH_BASE_PATH", ".")
+# Default to THIS directory (not the CWD): the previous-run baseline that
+# push_results.py diffs against is git-pinned to benchmarks/collated_results.csv,
+# so a CWD-relative default would read and write different files depending
+# on where the suite was launched from.
+BASE_PATH = os.environ.get(
+    "FAIRYGEN_BENCH_BASE_PATH", os.path.dirname(os.path.abspath(__file__)))
 FINAL_CSV_FILE = "collated_results.csv"
 
 BENCHMARK_FIELDS = [

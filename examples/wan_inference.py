@@ -124,15 +124,10 @@ def main():
 
     input_audio = audio_sr = None
     if args.audio:
-        import wave as wave_mod
+        from fairygen_tpu.utils.video import load_wav
 
-        with wave_mod.open(args.audio, "rb") as f:
-            audio_sr = args.audio_sample_rate or f.getframerate()
-            raw = f.readframes(f.getnframes())
-            data = np.frombuffer(raw, dtype=np.int16).astype(np.float32)
-            if f.getnchannels() > 1:
-                data = data.reshape(-1, f.getnchannels()).mean(axis=1)
-            input_audio = data / 32768.0
+        input_audio, file_sr = load_wav(args.audio)
+        audio_sr = args.audio_sample_rate or file_sr
 
     frames = pipe(
         prompt=args.prompt,

@@ -55,8 +55,7 @@ class StagedParams:
 
     @contextlib.contextmanager
     def use(self, device=None):
-        dev = jax.tree.map(lambda a: a, to_accelerator(self.host_tree,
-                                                       device))
+        dev = to_accelerator(self.host_tree, device)
         try:
             yield dev
         finally:

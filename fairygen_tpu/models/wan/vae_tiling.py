@@ -97,10 +97,15 @@ def vae38_tiled_decode(params, cfg: WanVAEConfig, latents,
         dec = vae38_decode(params, cfg, batch, streaming=streaming,
                            clamp=False).astype(jnp.float32)
         if mesh is not None:
-            # gather shards back to a replicated array before host-side
-            # python slicing of the tile group
-            dec = jax.device_get(dec)
-            dec = jnp.asarray(dec[: dec.shape[0] - n_pad] if n_pad else dec)
+            # re-replicate on device (ICI all-gather) before slicing the
+            # tile group — a device_get here would round-trip the whole
+            # decoded group through the host, the exact transfer cost the
+            # on-device blend exists to avoid
+            from ...core.meshes import replicated
+
+            dec = jax.device_put(dec, replicated(mesh))
+            if n_pad:
+                dec = dec[: dec.shape[0] - n_pad]
         for i, (h, h_, w, w_) in enumerate(group):
             d = dec[i * B:(i + 1) * B]
             mask = jnp.asarray(_build_mask(

@@ -231,6 +231,17 @@ class QwenImagePipeline:
 
         return contextlib.nullcontext(self.te_params)
 
+    def _vision(self):
+        """Vision-tower params for one encode call (same onload/offload
+        contract as ``_te``)."""
+        from ..core.offload import StagedParams
+
+        if self.te_offload:
+            return StagedParams(self.vision_params).use()
+        import contextlib
+
+        return contextlib.nullcontext(self.vision_params)
+
     def encode_prompt(self, prompt: str):
         """Chat template -> Qwen2.5-VL final hidden -> drop the 34 template
         tokens (reference encode_prompt, qwen_image.py:348-358)."""
@@ -287,15 +298,9 @@ class QwenImagePipeline:
         txt = EDIT_PROMPT_TEMPLATE.format(prompt).replace(
             "<|image_pad|>", "<|image_pad|>" * merged)
         ids = self.tokenizer(txt, return_tensors="np").input_ids
-        from ..core.offload import StagedParams
-
-        if self.te_offload:
-            with StagedParams(self.vision_params).use() as vp:
-                vis = jax.block_until_ready(qwen_vl_vision_encode(
-                    vp, self.vision_cfg, jnp.asarray(patches), [grid]))
-        else:
-            vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
-                                        jnp.asarray(patches), [grid])
+        with self._vision() as vp:
+            vis = jax.block_until_ready(qwen_vl_vision_encode(
+                vp, self.vision_cfg, jnp.asarray(patches), [grid]))
         pos = qwen_vl_rope_index(
             ids[0], [grid], self.te_cfg,
             spatial_merge_size=self.vision_cfg.spatial_merge_size)
@@ -331,17 +336,10 @@ class QwenImagePipeline:
             for i, g in enumerate(grids))
         txt = EDIT_MULTI_TEMPLATE.format(base + prompt)
         ids = self.tokenizer(txt, return_tensors="np").input_ids
-        from ..core.offload import StagedParams
-
-        if self.te_offload:
-            with StagedParams(self.vision_params).use() as vp:
-                vis = jax.block_until_ready(qwen_vl_vision_encode(
-                    vp, self.vision_cfg,
-                    jnp.asarray(np.concatenate(pats, 0)), list(grids)))
-        else:
-            vis = qwen_vl_vision_encode(self.vision_params, self.vision_cfg,
-                                        jnp.asarray(np.concatenate(pats, 0)),
-                                        list(grids))
+        with self._vision() as vp:
+            vis = jax.block_until_ready(qwen_vl_vision_encode(
+                vp, self.vision_cfg,
+                jnp.asarray(np.concatenate(pats, 0)), list(grids)))
         pos = qwen_vl_rope_index(ids[0], list(grids), self.te_cfg,
                                  spatial_merge_size=m)
         with self._te() as te_params:

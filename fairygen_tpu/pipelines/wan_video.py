@@ -280,7 +280,10 @@ class WanVideoPipeline:
         from ..models.wan.longcat import LongCatDiTConfig
 
         pool = ModelPool().load(model_paths, dtype=dtype, hints=hints)
-        dit = pool.fetch_model("wan_video_dit", index=3)
+        # "all": LongCat/S2V register under wan_video_dit too, so a fixed
+        # index would silently drop a variant when dual-DiT + LongCat +
+        # S2V checkpoints coexist — the type split below sorts them out
+        dit = pool.fetch_model("wan_video_dit", index="all")
         dit2 = longcat = None
         entries = dit if isinstance(dit, list) else ([dit] if dit else [])
         # LongCat-Video and S2V register under wan_video_dit (the registry
@@ -363,6 +366,9 @@ class WanVideoPipeline:
         AFTER load_lora (LoRA fuses into bf16 weights)."""
         from ..ops.quant import quantize_wan_dit_linears
 
+        if mode not in ("int8_ffn", "int8"):
+            raise ValueError(
+                f"quantize mode must be 'int8_ffn' or 'int8', got {mode!r}")
         groups = (("ffn",) if mode == "int8_ffn"
                   else ("ffn", "self_attn", "cross_attn"))
         self.dit_params = quantize_wan_dit_linears(self.dit_params, groups,

@@ -68,12 +68,14 @@ class BatchingEngine:
     """
 
     def __init__(self, generate_fn: Callable, *, max_batch: int = 4,
-                 max_wait_ms: float = 50.0):
+                 max_wait_ms: float = 50.0, max_finished: int = 256):
         self._generate = generate_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.max_finished = max_finished
         self._queues: Dict[Tuple, deque] = defaultdict(deque)
         self._requests: Dict[str, Request] = {}  # id -> live/finished
+        self._finished: deque = deque()  # finished ids, oldest first
         self._lock = threading.Condition()
         self._stop = False
         self._stats = {"requests": 0, "batches": 0, "errors": 0,
@@ -168,6 +170,16 @@ class BatchingEngine:
                 with self._lock:
                     self._stats["batches"] += 1
                     self._stats["batched_total"] += len(batch)
+                    # Bound the finished-request window: results (which can
+                    # be whole decoded videos) must not accumulate forever
+                    # in a long-running server.  Callers that hold the
+                    # Request object (the sync path) are unaffected —
+                    # eviction only drops the id -> request index used by
+                    # the async /status//result endpoints.
+                    for r in batch:
+                        self._finished.append(r.id)
+                    while len(self._finished) > self.max_finished:
+                        self._requests.pop(self._finished.popleft(), None)
                 for r in batch:
                     r.progress = 1.0
                     r._done.set()

@@ -31,9 +31,23 @@ Native coverage:
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_depth_forward():
+    """One module-wide jitted Depth-Anything forward: the pipelines build
+    an Annotator per prepare call, and a fresh ``jax.jit`` wrapper per
+    call would retrace (and recompile) for every generated image."""
+    import jax
+
+    from ..models.depth_anything import depth_anything_forward
+
+    return jax.jit(depth_anything_forward, static_argnums=(1,))
+
 
 PROCESSOR_IDS = ("canny", "depth", "softedge", "lineart", "lineart_anime",
                  "openpose", "normal", "tile", "none", "inpaint")
@@ -164,7 +178,10 @@ class Annotator:
         self.skip_processor = skip_processor or processor_id in _PASSTHROUGH
 
     @staticmethod
+    @functools.lru_cache(maxsize=2)
     def _load_depth(model_path):
+        # lru_cache: the pipelines construct an Annotator per prepare call,
+        # so without it every generated image would re-read the checkpoint.
         from ..core.io import load_state_dict
         from ..models.depth_anything import (
             DepthAnythingConfig, convert_depth_anything_state_dict,
@@ -203,8 +220,7 @@ class Annotator:
 
         cfg, params = self._depth
         x = preprocess_depth_anything(arr, cfg, self.detect_resolution)
-        depth = jax.jit(
-            depth_anything_forward, static_argnums=(1,))(params, cfg, x)[0]
+        depth = _jitted_depth_forward()(params, cfg, x)[0]
         return _round64_resize(depth_to_image(np.asarray(depth)),
                                image_resolution)
 

@@ -103,6 +103,40 @@ def load_video_frames(path: str, height: Optional[int] = None,
     return [vd[i] for i in range(len(vd))]
 
 
+def load_wav(path: str):
+    """Decode a PCM ``.wav`` to a mono float waveform in [-1, 1].
+
+    Returns ``(samples, sample_rate)``.  Handles the PCM sample widths the
+    ``wave`` module can carry: 8-bit unsigned, 16-bit, 24-bit packed and
+    32-bit signed little-endian; multi-channel files are averaged to mono.
+    (The S2V audio path feeds this straight into the Wav2Vec2 tower —
+    a misdecoded width would silently drive the video with noise.)"""
+    import wave
+
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        width = f.getsampwidth()
+        n_ch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    if width == 1:  # unsigned 8-bit
+        data = np.frombuffer(raw, np.uint8).astype(np.float32)
+        data = (data - 128.0) / 128.0
+    elif width == 2:
+        data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # packed 24-bit: widen to int32 via a zero LSB byte
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        i32 = np.zeros((b.shape[0], 4), np.uint8)
+        i32[:, 1:] = b  # little-endian: pad the low byte
+        data = i32.view("<i4")[:, 0].astype(np.float32) / 2147483648.0
+    elif width == 4:
+        data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported wav sample width: {width} bytes")
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch).mean(axis=1)
+    return data, sr
+
+
 def merge_video_audio(video_path: str, audio_path: str):
     """Mux an audio track into an existing video via ffmpeg (reference
     utils/data/__init__.py:150-212): copy the video stream, AAC-encode the

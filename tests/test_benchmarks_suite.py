@@ -97,3 +97,37 @@ def test_ip_adapters_tiny(tmp_path):
     rows = mod.run(_args(tmp_path / "ip.csv"))
     assert rows[0]["pipeline_cls"] == "FLUX1-IPAdapter"
     _check_csv(tmp_path / "ip.csv", 1)
+
+
+def test_push_results_collates_and_annotates(tmp_path):
+    """push_results: keyed merge + percent-change annotation + markdown."""
+    pr = _load("push_results")
+    cur = tmp_path / "collated_results.csv"
+    header = ("pipeline_cls,config,batch_size,num_inference_steps,quantize,"
+              "time (secs),images_per_s,memory (gbs),backend,git_sha\n")
+    cur.write_text(
+        header
+        + "SDXL-t2i,1024px-cfg,1,50,none,5.0000,0.2000,4.800,tpu,abc\n"
+        + "NEW-t2i,1024px,1,50,none,2.0000,0.5000,1.000,tpu,abc\n")
+    prev = tmp_path / "prev.csv"
+    # previous run: reordered rows, one annotated value, one extra field order
+    prev.write_text(
+        header
+        + "OTHER,x,1,50,none,9.0,0.1,2.0,tpu,old\n"
+        + "SDXL-t2i,1024px-cfg,1,50,none,4.0000 (+1.00%),0.2500,4.800,tpu,old\n")
+    extra = tmp_path / "extra_run.csv"
+    extra.write_text(
+        header + "SDXL-t2i,1024px-cfg,2,50,none,8.0000,0.2500,4.900,tpu,abc\n")
+
+    rows = pr.annotate(pr.collate([str(cur), str(extra)]),
+                       pr.read_rows(str(prev)))
+    by_key = {(r["pipeline_cls"], r["batch_size"]): r for r in rows}
+    # matched row: +25% vs previous 4.0 (annotation on prev stripped)
+    assert by_key[("SDXL-t2i", "1")]["time (secs)"] == "5.0 (+25.00%)"
+    # new rows pass through unannotated
+    assert by_key[("NEW-t2i", "1")]["time (secs)"] == "2.0000"
+    assert by_key[("SDXL-t2i", "2")]["time (secs)"] == "8.0000"
+
+    md = pr.write_markdown(rows, str(tmp_path / "BENCHMARKS.md"))
+    text = open(md).read()
+    assert "| SDXL-t2i |" in text and "(+25.00%)" in text

@@ -143,3 +143,49 @@ def test_orbax_train_state_roundtrip(tmp_path):
         np.asarray(restored.params["blocks"]["self_attn"]["q"]["w"]),
         np.asarray(state.params["blocks"]["self_attn"]["q"]["w"]),
     )
+
+
+def test_load_wav_all_pcm_widths(tmp_path):
+    """load_wav decodes 8/16/24/32-bit PCM (and downmixes stereo) — a
+    hardcoded-int16 reader would feed garbage into the S2V audio path."""
+    import wave
+
+    import numpy as np
+
+    from fairygen_tpu.utils.video import load_wav
+
+    sr = 16000
+    ref = np.sin(2 * np.pi * 440.0 * np.arange(256) / sr).astype(np.float32)
+
+    def write(path, width, data_f32, n_ch=1):
+        if n_ch > 1:
+            data_f32 = np.repeat(data_f32[:, None], n_ch, axis=1).ravel()
+        with wave.open(str(path), "wb") as f:
+            f.setnchannels(n_ch)
+            f.setsampwidth(width)
+            f.setframerate(sr)
+            if width == 1:
+                raw = (np.clip(data_f32, -1, 1) * 127 + 128).astype(
+                    np.uint8).tobytes()
+            elif width == 2:
+                raw = (np.clip(data_f32, -1, 1) * 32767).astype(
+                    "<i2").tobytes()
+            elif width == 3:
+                i32 = (np.clip(data_f32, -1, 1) * 8388607).astype("<i4")
+                raw = i32.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+            else:
+                raw = (np.clip(data_f32, -1, 1) * 2147483647).astype(
+                    "<i4").tobytes()
+            f.writeframes(raw)
+
+    for width, tol in ((1, 2e-2), (2, 1e-4), (3, 1e-6), (4, 1e-7)):
+        p = tmp_path / f"w{width}.wav"
+        write(p, width, ref)
+        out, got_sr = load_wav(str(p))
+        assert got_sr == sr and out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=tol)
+
+    stereo = tmp_path / "stereo.wav"
+    write(stereo, 2, ref, n_ch=2)
+    out, _ = load_wav(str(stereo))
+    np.testing.assert_allclose(out, ref, atol=1e-4)

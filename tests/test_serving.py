@@ -277,3 +277,49 @@ def test_real_wan_pipeline_through_server():
     assert out.shape == (1, 16, 2, 4, 4)
     assert np.isfinite(out).all()
     assert r.progress == 1.0
+
+
+def test_mesh_sharded_wan_pipeline_through_engine():
+    """Multi-chip serving: the engine drives a WanVideoPipeline whose
+    denoise runs SPMD over a (data=1, seq=4) mesh (Ulysses).  The served
+    result must equal the single-device serve of the same pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairygen_tpu.core.meshes import make_mesh
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.models.wan.vae import WanVAEConfig
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.serving.server import video_generate_fn
+
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2)
+    params = init_dit_params(jax.random.key(0), cfg)
+    ctx = jnp.zeros((1, 7, 32), jnp.float32)
+    kwargs = dict(context=ctx, cfg_scale=1.0, seed=1, height=32, width=32,
+                  num_frames=5, num_inference_steps=2, output_type="latents")
+
+    def serve_one(pipe):
+        def gen(prompts, **params):
+            return [pipe(**kwargs) for _ in prompts]
+
+        eng = BatchingEngine(gen, max_batch=1, max_wait_ms=1)
+        try:
+            return np.asarray(eng.submit("clip").wait(timeout=300))
+        finally:
+            eng.shutdown()
+
+    single = WanVideoPipeline(
+        dit_params=params, dit_cfg=cfg, vae_cfg=WanVAEConfig.wan21_16(),
+        dtype=jnp.float32, steps_per_dispatch=1)
+    ref = serve_one(single)
+
+    mesh = make_mesh(data=1, seq=4, devices=jax.devices()[:4])
+    sharded = WanVideoPipeline(
+        dit_params=params, dit_cfg=cfg, vae_cfg=WanVAEConfig.wan21_16(),
+        dtype=jnp.float32, steps_per_dispatch=1).use_mesh(mesh)
+    out = serve_one(sharded)
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
