@@ -63,3 +63,48 @@ def test_from_pretrained_with_hints(tmp_path, goldens):
         output_type="latents",
     )
     assert lat.shape == (1, 4, 2, 2, 2)
+
+
+def test_inspect_checkpoint_tool(tmp_path):
+    """tools/inspect_checkpoint.py: reports hash + registry verdict; exits
+    0 on a registry hash match, 1 otherwise."""
+    import importlib.util
+    import io as io_mod
+    import os
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from fairygen_tpu.core.io import hash_state_dict_keys
+    from fairygen_tpu.core.registry import MODEL_REGISTRY, ModelSpec
+
+    spec = importlib.util.spec_from_file_location(
+        "inspect_checkpoint", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "inspect_checkpoint.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    sd = {"blocks.0.w": np.zeros((4, 4), np.float32)}
+    p = tmp_path / "toy.safetensors"
+    save_file(sd, str(p))
+
+    out = io_mod.StringIO()
+    with redirect_stdout(out):
+        matched = tool.inspect(str(p))
+    assert not matched
+    assert "NO registry match" in out.getvalue()
+    assert "blocks.*" in out.getvalue()
+
+    # register the hash -> tool reports the match
+    h = hash_state_dict_keys(sd)
+    MODEL_REGISTRY._by_hash.setdefault(h, []).append(
+        ModelSpec(model_hash=h, model_name="toy_model", extra_kwargs={}))
+    try:
+        out = io_mod.StringIO()
+        with redirect_stdout(out):
+            matched = tool.inspect(str(p))
+        assert matched
+        assert "toy_model" in out.getvalue()
+    finally:
+        MODEL_REGISTRY._by_hash.pop(h, None)

@@ -323,3 +323,18 @@ def test_mesh_sharded_wan_pipeline_through_engine():
 
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_serve_video_cli_help():
+    """serve_video.py (the video deployment entry point) imports and
+    parses --help — guards the CLI against import rot."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "serve_video.py")
+    r = subprocess.run([sys.executable, script, "--help"],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    assert "--usp" in r.stdout and "async" in r.stdout
