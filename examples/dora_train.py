@@ -31,13 +31,16 @@ def main():
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--max_train_steps", type=int, default=400)
     p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--optimizer", type=str, default="adamw",
+                   choices=["adamw", "adafactor", "sgd"],
+                   help="adafactor = the TPU-native stand-in for the "
+                        "reference's --use_8bit_adam memory budget")
     p.add_argument("--output_path", type=str, default="./dora_out")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
-    import optax
     from PIL import Image
 
     from fairygen_tpu.core.io import load_state_dict, save_safetensors
@@ -48,6 +51,7 @@ def main():
     from fairygen_tpu.models.sdxl.vae import (
         AutoencoderKLConfig, convert_autoencoder_kl_state_dict, vae_encode,
     )
+    from fairygen_tpu.training.optimizers import make_optimizer
     from fairygen_tpu.training.dora_trainer import (
         add_dora_to_sdxl_unet, make_sdxl_dora_train_step, sdxl_dora_state_dict,
     )
@@ -89,7 +93,9 @@ def main():
     }
 
     init_state, train_step = make_sdxl_dora_train_step(
-        unet_cfg, optax.adamw(args.learning_rate, weight_decay=1e-2),
+        unet_cfg,
+        make_optimizer(args.optimizer, args.learning_rate,
+                       weight_decay=1e-2),
         snr_gamma=args.snr_gamma, resolution=args.resolution,
     )
     state = init_state(params)

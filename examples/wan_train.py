@@ -41,7 +41,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from fairygen_tpu.core.meshes import make_mesh
     from fairygen_tpu.data import UnifiedDataset
@@ -53,6 +52,7 @@ def main():
     from fairygen_tpu.core.io import load_state_dict
     from fairygen_tpu.models.wan.vae import vae38_encode
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.training.optimizers import make_optimizer
     from fairygen_tpu.training.runner import ModelLogger, launch_training_task
     from fairygen_tpu.training.train_step import (
         make_wan_distill_train_step,
@@ -99,7 +99,8 @@ def main():
         # few-step distillation (reference train.py:59-61 DirectDistillLoss)
         init_state, train_step = make_wan_distill_train_step(
             pipe.dit_cfg,
-            optax.adamw(args.learning_rate, weight_decay=args.weight_decay),
+            make_optimizer(args.optimizer, args.learning_rate,
+                           args.weight_decay, args.max_grad_norm),
             mesh=mesh,
             num_inference_steps=args.distill_steps,
             remat=args.use_gradient_checkpointing,
@@ -108,7 +109,8 @@ def main():
     else:
         init_state, train_step = make_wan_sft_train_step(
             pipe.dit_cfg,
-            optax.adamw(args.learning_rate, weight_decay=args.weight_decay),
+            make_optimizer(args.optimizer, args.learning_rate,
+                           args.weight_decay, args.max_grad_norm),
             mesh=mesh,
             remat=args.use_gradient_checkpointing,
             trainable_filter=trainable,

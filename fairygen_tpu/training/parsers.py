@@ -34,6 +34,14 @@ def add_training_config(parser):
     parser.add_argument("--num_epochs", type=int, default=1)
     parser.add_argument("--trainable_models", type=str, default=None)
     parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--optimizer", type=str, default="adamw",
+                        choices=["adamw", "adafactor", "sgd"],
+                        help="adafactor = the TPU-native stand-in for the "
+                             "reference's 8-bit Adam memory budget "
+                             "(factored second moments)")
+    parser.add_argument("--max_grad_norm", type=float, default=None,
+                        help="global-norm gradient clipping (off by default, "
+                             "matching the reference runner)")
     parser.add_argument("--task", type=str, default="sft",
                         choices=["sft", "sft:data_process", "sft:train",
                                  "direct_distill",

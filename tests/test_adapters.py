@@ -289,3 +289,37 @@ def test_distill_train_step_direct_and_trajectory():
         a_new = np.asarray(
             new_state.params["blocks"]["self_attn"]["q"]["lora"]["A"])
         assert np.abs(a_new - a_old).max() > 0, method
+
+
+def test_make_optimizer_adafactor_trains_with_less_state():
+    """--optimizer adafactor (the TPU-native stand-in for the reference's
+    8-bit Adam memory budget): the train step runs, loss is finite, and
+    the optimizer state is materially smaller than AdamW's 2x-params."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.training.optimizers import make_optimizer
+    from fairygen_tpu.training.train_step import make_wan_sft_train_step
+
+    cfg = WanDiTConfig(
+        dim=64, in_dim=4, ffn_dim=256, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=2, num_layers=1)
+    batch = {
+        "latents": jax.random.normal(jax.random.key(2), (1, 4, 3, 8, 8)),
+        "context": jax.random.normal(jax.random.key(3), (1, 7, 32)),
+    }
+
+    def state_bytes(tx):
+        init_state, train_step = make_wan_sft_train_step(cfg, tx, remat=False)
+        state = init_state(init_dit_params(jax.random.key(0), cfg))
+        state, loss = train_step(state, batch, jax.random.key(1))
+        assert jnp.isfinite(loss)
+        return sum(x.nbytes for x in jax.tree.leaves(state.opt_state))
+
+    ada = state_bytes(make_optimizer("adafactor", 1e-4, 0.0))
+    adamw = state_bytes(make_optimizer("adamw", 1e-4, 0.01))
+    assert ada < adamw / 1.5
+
+    with __import__("pytest").raises(ValueError):
+        make_optimizer("8bit_adam")
