@@ -20,6 +20,7 @@ SUITE = (
     "benchmark_text_to_image.py",
     "benchmark_t2i_lcm_lora.py",
     "benchmark_inpainting.py",
+    "benchmark_img2img.py",
     "benchmark_controlnet.py",
     "benchmark_ip_adapters.py",
 )

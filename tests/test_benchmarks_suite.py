@@ -131,3 +131,13 @@ def test_push_results_collates_and_annotates(tmp_path):
     md = pr.write_markdown(rows, str(tmp_path / "BENCHMARKS.md"))
     text = open(md).read()
     assert "| SDXL-t2i |" in text and "(+25.00%)" in text
+
+
+@pytest.mark.slow
+def test_img2img_tiny(tmp_path):
+    mod = _load("benchmark_img2img")
+    args = _args(tmp_path / "i2i.csv", strength=0.75)
+    rows = mod.run(args)
+    assert rows[0]["pipeline_cls"] == "SDXL-img2img"
+    assert rows[0]["num_inference_steps"] == "1"  # ceil? 2 steps * 0.75 -> 1
+    _check_csv(tmp_path / "i2i.csv", 1)
