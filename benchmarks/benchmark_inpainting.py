@@ -126,8 +126,12 @@ ALL_INPAINT_MODELS = ("sdxl", "sd15")
 
 
 def run(args):
-    rows = [bench_family(f, args) for f in args.models]
-    report(rows, args.csv)
+    # report per family (see benchmark_text_to_image.run)
+    rows = []
+    for f in args.models:
+        row = bench_family(f, args)
+        report([row], args.csv)
+        rows.append(row)
     return rows
 
 

@@ -207,10 +207,13 @@ ALL_T2I_MODELS = {
 
 
 def run(args):
+    # report per model: an OOM in a later (bigger) model must not discard
+    # the rows already measured in this process
     rows = []
     for name in args.models:
-        rows.append(ALL_T2I_MODELS[name](args))
-    report(rows, args.csv)
+        row = ALL_T2I_MODELS[name](args)
+        report([row], args.csv)
+        rows.append(row)
     return rows
 
 
