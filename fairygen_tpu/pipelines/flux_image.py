@@ -239,6 +239,10 @@ def _flux_denoise_chunk(
             # at scale 1.0 (FluxImageUnit_IPAdapter, flux_image.py:518-520)
             ctx_n, pl_n = branch_ctx(t, neg_prompt_emb, neg_pooled,
                                      s1x_emb_neg, s1x_mask_neg)
+            # tids (custom NexusGen text ids) deliberately stays None here:
+            # it positions the POSITIVE (generated) embedding; the negative
+            # prompt is a plain text encoding whose correct ids are the
+            # standard zeros computed from its own length
             v_n = sweep(x, t, ctx_n, pl_n,
                         ip_tok=ip_tokens_neg, ent=entity_emb_neg)
             v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
@@ -617,6 +621,12 @@ class FluxImagePipeline:
         cfg_t = jnp.float32(cfg_scale)
         n = len(sched.timesteps)
         tea_opts, tea_state = None, jnp.zeros(())
+        if tea_cache_l1_thresh is not None and tiled:
+            # the tiled sweep has per-tile hidden states — no single cache
+            # to gate on (and the chunk would try to unpack a (v, state)
+            # pair the tiled path never returns)
+            raise ValueError(
+                "tea_cache_l1_thresh and tiled are mutually exclusive")
         if tea_cache_l1_thresh is not None:
             # reference flux TeaCache shares one gate across CFG branches
             # (unit output lives in inputs_shared); we support the FLUX-dev
@@ -744,8 +754,14 @@ class FluxImagePipeline:
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
             act = active_set(s)
-            while ln > 1 and active_set(s + ln - 1) != act:
-                ln -= 1  # split dispatches at gate transitions
+            # split dispatches at gate transitions — check EVERY step in
+            # the chunk, not just the endpoint: a start/end window shorter
+            # than the chunk and fully interior to it would otherwise be
+            # silently skipped (or applied outside its window)
+            for k in range(1, ln):
+                if active_set(s + k) != act:
+                    ln = k
+                    break
             specs, cps, ccs = (), (), ()
             for j in act:
                 ci = controlnet_inputs[j]

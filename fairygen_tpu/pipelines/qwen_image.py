@@ -647,8 +647,14 @@ class QwenImagePipeline:
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
             act = active_set(s)
-            while ln > 1 and active_set(s + ln - 1) != act:
-                ln -= 1
+            # split dispatches at gate transitions — check EVERY step in
+            # the chunk, not just the endpoint: a start/end window shorter
+            # than the chunk and fully interior to it would otherwise be
+            # silently skipped (or applied outside its window)
+            for k in range(1, ln):
+                if active_set(s + k) != act:
+                    ln = k
+                    break
             blocks, conds, scales = (), (), ()
             for j in act:
                 ci = blockwise_controlnet_inputs[j]

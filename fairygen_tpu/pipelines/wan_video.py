@@ -214,13 +214,14 @@ def _s2v_sweep(params, lat, t, ctx, audio, motion_latents, pose,
                                               "sp_strategy"))
 def _dit_sweep(params, x, t, c, y, clip_feature, t_mod_bias,
                *, dit_cfg: WanDiTConfig, fuse: bool, mesh,
-               sp_strategy: str = "ulysses"):
+               sp_strategy: str = "ulysses", reference_latents=None):
     """Single DiT forward — used by the sliding-window (long video) path
     where the window shape varies per call (jit caches per shape)."""
     return wan_dit_forward(
         params, dit_cfg, x, t, c, y=y, clip_feature=clip_feature,
         fuse_vae_embedding_in_latents=fuse, mesh=mesh,
         sp_strategy=sp_strategy, t_mod_bias=t_mod_bias,
+        reference_latents=reference_latents,
     )
 
 
@@ -457,7 +458,8 @@ class WanVideoPipeline:
 
     def encode_vace_context(self, vace_video, vace_video_mask,
                             vace_reference_image, height, width, num_frames,
-                            tiled=False):
+                            tiled=False, tile_size=(34, 34),
+                            tile_stride=(18, 16)):
         """VACE control conditioning — reference WanVideoUnit_VACE
         (wan_video.py:616-677): inactive/reactive VAE latents + 64-channel
         pixel-shuffled mask latents (+ optional reference frames prepended
@@ -479,10 +481,19 @@ class WanVideoPipeline:
                     f"vace_video {vv.shape}"
                 )
 
-        inactive = vv * (1 - vm)
-        reactive = vv * vm
-        inactive = vae38_encode(self.vae_params, self.vae_cfg, inactive)
-        reactive = vae38_encode(self.vae_params, self.vae_cfg, reactive)
+        def _encode(x):
+            # the reference's VACE unit honors the pipeline tiling kwargs
+            # for these encodes (wan_video.py:645-646)
+            if tiled:
+                from ..models.wan.vae_tiling import vae38_tiled_encode
+
+                return vae38_tiled_encode(
+                    self.vae_params, self.vae_cfg, x,
+                    tile_size=tile_size, tile_stride=tile_stride)
+            return vae38_encode(self.vae_params, self.vae_cfg, x)
+
+        inactive = _encode(vv * (1 - vm))
+        reactive = _encode(vv * vm)
         vace_video_latents = jnp.concatenate([inactive, reactive], axis=1)
 
         # mask: (T, H, W) -> (1, 64, T, H/8, W/8) pixel shuffle, then
@@ -691,6 +702,7 @@ class WanVideoPipeline:
         progress_callback=None,  # callable(steps_done, total_steps)
     ):
         self._vae_fpc = int(vae_frames_per_chunk)
+        seed = 0 if seed is None else seed  # same contract as the t2i pipes
         f = self.vae_cfg.upsampling_factor if self.vae_cfg else 16
         height, width, num_frames = check_resize_height_width(
             height, width, num_frames,
@@ -775,6 +787,7 @@ class WanVideoPipeline:
             vace_context, n_ref = self.encode_vace_context(
                 vace_video, vace_video_mask, vace_reference_image,
                 height, width, num_frames, tiled=tiled,
+                tile_size=tile_size, tile_stride=tile_stride,
             )
 
         # Noise / latents (+n_ref reference frames rolled to the front,
@@ -796,16 +809,13 @@ class WanVideoPipeline:
 
         if input_video is not None:
             input_latents = self.encode_input_video(
-                input_video, tiled=tiled,
+                input_video, tiled=tiled, tile_size=tile_size,
+                tile_stride=tile_stride,
             )
             latents = scheduler.add_noise(input_latents, noise, 0)
 
         def as_pil(image):
-            from PIL import Image
-
-            if isinstance(image, (np.ndarray, jnp.ndarray)):
-                image = Image.fromarray(np.asarray(image))
-            return image.resize((width, height))
+            return _as_pil(image, width, height)
 
         first_frame_latents = None
         y = None
@@ -922,6 +932,17 @@ class WanVideoPipeline:
             # animate: frame 0 is the reference-y frame (wan_video.py:312-317)
             latents = latents[:, :, 1:]
 
+        return self._decode_output(latents, output_type=output_type,
+                                   streaming_vae=streaming_vae, tiled=tiled,
+                                   tile_size=tile_size,
+                                   tile_stride=tile_stride)
+
+    def _decode_output(self, latents, *, output_type, streaming_vae=False,
+                       tiled=False, tile_size=(30, 52),
+                       tile_stride=(15, 26)):
+        """Shared output tail of every generation path: latents ->
+        (optionally tiled / streamed) VAE decode -> floatpoint or
+        quantized frames."""
         if self.vae_params is None or output_type == "latents":
             return latents
         if tiled:
@@ -1015,14 +1036,8 @@ class WanVideoPipeline:
             dt = (sigmas[i + 1] - sigmas[i]).astype(latents.dtype)
             latents = latents + v.astype(latents.dtype) * dt
 
-        if self.vae_params is None or output_type == "latents":
-            return latents
-        video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype), streaming=streaming_vae,
-                             frames_per_chunk=getattr(self, "_vae_fpc", 1))
-        if output_type == "floatpoint":
-            return video
-        return postprocess_video(np.asarray(video.astype(jnp.float32)))
+        return self._decode_output(latents, output_type=output_type,
+                                   streaming_vae=streaming_vae)
 
     # ------------------------------------------------------------------ s2v
     def _generate_longcat(self, context, negative_context, longcat_video, *,
@@ -1068,14 +1083,8 @@ class WanVideoPipeline:
             if cond_latents is not None:
                 latents = latents.at[:, :, :num_cond].set(cond_latents)
 
-        if self.vae_params is None or output_type == "latents":
-            return latents
-        video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype), streaming=streaming_vae,
-                             frames_per_chunk=getattr(self, "_vae_fpc", 1))
-        if output_type == "floatpoint":
-            return video
-        return postprocess_video(np.asarray(video.astype(jnp.float32)))
+        return self._decode_output(latents, output_type=output_type,
+                                   streaming_vae=streaming_vae)
 
     def _generate_s2v(self, context, negative_context, audio_embeds, *,
                       input_image, s2v_pose_video, s2v_pose_latents,
@@ -1164,14 +1173,8 @@ class WanVideoPipeline:
         if not drop_motion:
             latents = jnp.concatenate([motion_latents, latents[:, :, 1:]], axis=2)
 
-        if self.vae_params is None or output_type == "latents":
-            return latents
-        video = vae38_decode(self.vae_params, self.vae_cfg,
-                             latents.astype(self.dtype), streaming=streaming_vae,
-                             frames_per_chunk=getattr(self, "_vae_fpc", 1))
-        if output_type == "floatpoint":
-            return video
-        return postprocess_video(np.asarray(video.astype(jnp.float32)))
+        return self._decode_output(latents, output_type=output_type,
+                                   streaming_vae=streaming_vae)
 
     # --------------------------------------------------------------- denoise
     def _denoise(self, latents, context, negative_context, scheduler,
@@ -1199,10 +1202,21 @@ class WanVideoPipeline:
                 "TeaCache and the temporal sliding window are mutually "
                 "exclusive (per-window hidden-state shapes break the cache)"
             )
+            if (vace_context is not None or pose_latents is not None
+                    or camera_tokens is not None):
+                # the reference either crashes (VACE hint/window token
+                # mismatch) or silently drops (camera) these under the
+                # temporal tiler — fail loudly instead
+                raise ValueError(
+                    "sliding-window denoising supports text / first-frame / "
+                    "Fun-Reference / motion-bucket conditioning only; "
+                    "VACE, animate and camera control have no defined "
+                    "per-window semantics")
             return self._denoise_windowed(
                 latents, context, negative_context, timesteps, sigmas, n,
                 ffl=ffl, fuse=fuse, y=y, clip_feature=clip_feature,
                 t_mod_bias=t_mod_bias, cfg_scale=cfg_scale,
+                reference_latents=reference_latents,
                 switch_dit_boundary=switch_dit_boundary,
                 sliding_window_size=sliding_window_size,
                 sliding_window_stride=sliding_window_stride,
@@ -1277,6 +1291,10 @@ class WanVideoPipeline:
             ))
             latents, tea_a, tea_b = run(self.dit_params, latents, tea_a, tea_b,
                                         0, boundary_idx)
+            # TeaCache states deliberately carry across the expert switch:
+            # the reference keeps one TeaCache object per CFG branch for
+            # the whole loop and does not reset it when dit2 takes over
+            # (wan_video.py:287-290 + :769-783) — exact parity
             latents, _, _ = run(self.dit2_params, latents, tea_a, tea_b,
                                 boundary_idx, n)
         else:
@@ -1311,7 +1329,8 @@ class WanVideoPipeline:
     def _denoise_windowed(self, latents, context, negative_context, timesteps,
                           sigmas, n, *, ffl, fuse, y, clip_feature, t_mod_bias,
                           cfg_scale, switch_dit_boundary,
-                          sliding_window_size, sliding_window_stride):
+                          sliding_window_size, sliding_window_stride,
+                          reference_latents=None):
         """Long-video generation: per step, denoise overlapping temporal
         windows and blend (reference TemporalTiler_BCTHW dispatch,
         wan_video.py:1158-1182).  The per-window DiT sweep is jitted
@@ -1331,15 +1350,21 @@ class WanVideoPipeline:
             t1 = jnp.broadcast_to(timesteps[i], (latents.shape[0],))
 
             def model_fn(window, y=None):
+                # reference_latents (Fun-Reference) is a single-image latent
+                # prepended inside the DiT — time-independent, so it passes
+                # through unsliced (the reference's tiler forwards it the
+                # same way, wan_video.py:1168)
                 v = _dit_sweep(params, window, t1, context, y, clip_feature,
                                t_mod_bias, dit_cfg=self.dit_cfg, fuse=fuse,
-                               mesh=self.mesh, sp_strategy=self.sp_strategy)
+                               mesh=self.mesh, sp_strategy=self.sp_strategy,
+                               reference_latents=reference_latents)
                 if use_cfg:
                     v_n = _dit_sweep(params, window, t1, negative_context, y,
                                      clip_feature, t_mod_bias,
                                      dit_cfg=self.dit_cfg, fuse=fuse,
                                      mesh=self.mesh,
-                                     sp_strategy=self.sp_strategy)
+                                     sp_strategy=self.sp_strategy,
+                                     reference_latents=reference_latents)
                     v = v_n + cfg_scale.astype(v.dtype) * (v - v_n)
                 return v
 

@@ -119,3 +119,53 @@ def test_detect_config_from_shapes(g):
     assert cfg.num_joint_blocks == 2 and cfg.num_single_blocks == 2
     assert cfg.guidance_embed and cfg.mode_dict and \
         cfg.additional_input_dim == 0
+
+
+def test_interior_gate_window_matches_unchunked(g):
+    """A start/end window fully INTERIOR to a dispatch chunk must still
+    activate the controlnet: chunked (steps_per_dispatch=6) output must
+    equal the step-at-a-time (steps_per_dispatch=1) output, and differ
+    from a run without the controlnet."""
+    from PIL import Image
+
+    from fairygen_tpu.models.flux.vae import (
+        AutoencoderKLConfig,
+        convert_flux_vae_state_dict,
+    )
+    from fairygen_tpu.pipelines.flux_image import (
+        ControlNetInput,
+        FluxImagePipeline,
+    )
+
+    dit_p, cn_p = _params(g)
+    vg = np.load("tests/goldens/flux_vae.npz")
+    vae_cfg = AutoencoderKLConfig(
+        latent_channels=4, block_out_channels=(8, 16, 32, 32),
+        norm_num_groups=4, scaling_factor=0.3611, shift_factor=0.1159,
+        use_quant_conv=False)
+    vae_p = convert_flux_vae_state_dict(
+        {k[3:]: vg[k] for k in vg.files if k.startswith("sd.")}, vae_cfg)
+    img = Image.fromarray(
+        (np.random.default_rng(1).random((64, 96, 3)) * 255).astype("uint8"))
+
+    def run(spd, cn):
+        pipe = FluxImagePipeline(
+            dit_params=dit_p, dit_cfg=CFG, vae_params=vae_p, vae_cfg=vae_cfg,
+            controlnets=[(cn_p, CN_CFG)], dtype=jnp.float32,
+            steps_per_dispatch=spd)
+        return np.asarray(pipe(
+            prompt_emb=jnp.asarray(g["prompt_emb"]),
+            pooled_prompt_emb=jnp.asarray(g["pooled"]),
+            latents=g["latents"], height=64, width=96,
+            num_inference_steps=6,
+            controlnet_inputs=(
+                [ControlNetInput(image=img, scale=0.9, start=0.7, end=0.4,
+                                 processor_id="canny")] if cn else None),
+            output_type="latent"))
+
+    chunked = run(6, cn=True)
+    stepwise = run(1, cn=True)
+    plain = run(6, cn=False)
+    np.testing.assert_allclose(chunked, stepwise, atol=1e-5, rtol=1e-5)
+    assert np.abs(chunked - plain).max() > 1e-6, \
+        "interior-window controlnet had no effect"

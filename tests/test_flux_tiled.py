@@ -58,3 +58,19 @@ def test_tile_tasks_cover():
     for hl, hr, wl, wr in tasks:
         cov[hl:hr, wl:wr] += 1
     assert (cov > 0).all()
+
+
+def test_tiled_rejects_tea_cache():
+    """tiled + tea_cache_l1_thresh must raise (per-tile hidden states have
+    no single cache; the chunk would otherwise crash unpacking)."""
+    g = np.load("tests/goldens/flux_tiled.npz")
+    params = convert_flux_dit_state_dict(
+        {k[4:]: g[k] for k in g.files if k.startswith("dit.")}, CFG)
+    pipe = FluxImagePipeline(dit_params=params, dit_cfg=CFG,
+                             dtype=jnp.float32, steps_per_dispatch=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pipe(prompt_emb=jnp.zeros((1, 8, CFG.context_dim), jnp.float32),
+             pooled_prompt_emb=jnp.zeros((1, CFG.pooled_dim), jnp.float32),
+             height=256, width=256, num_inference_steps=2,
+             tiled=True, tile_size=8, tile_stride=4,
+             tea_cache_l1_thresh=0.3, output_type="latent")

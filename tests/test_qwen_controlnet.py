@@ -87,3 +87,50 @@ def test_detect_config(g):
     cfg = detect_qwen_blockwise_controlnet_config(sd, base_in_dim=16)
     assert cfg.num_layers == 2 and cfg.in_dim == 16 and cfg.dim == 96
     assert cfg.additional_in_dim == 0
+
+
+def test_interior_gate_window_matches_unchunked(g):
+    """A blockwise-ControlNet start/end window fully INTERIOR to a
+    dispatch chunk must still activate: chunked == step-at-a-time, and
+    both differ from the no-controlnet run."""
+    from PIL import Image
+
+    from fairygen_tpu.models.qwen.vae import (
+        WanVAEConfig,
+        convert_qwen_image_vae_state_dict,
+    )
+    from fairygen_tpu.pipelines.flux_image import ControlNetInput
+    from fairygen_tpu.pipelines.qwen_image import QwenImagePipeline
+
+    pg = np.load("tests/goldens/qwen_pipeline.npz")
+    dit_p = convert_qwen_image_dit_state_dict(
+        {k[4:]: pg[k] for k in pg.files if k.startswith("dit.")}, CFG)
+    vae_p = convert_qwen_image_vae_state_dict(
+        {k[4:]: pg[k] for k in pg.files if k.startswith("vae.")},
+        WanVAEConfig.tiny_v1())
+    cn_p = convert_qwen_blockwise_controlnet_state_dict(
+        {k[3:]: g[k] for k in g.files if k.startswith("cn.")}, CN_CFG)
+    img = Image.fromarray(
+        (np.random.default_rng(1).random((64, 96, 3)) * 255).astype("uint8"))
+    lat0 = np.random.default_rng(2).standard_normal(
+        (1, 4, 8, 12)).astype("float32")
+
+    def run(spd, cn):
+        pipe = QwenImagePipeline(
+            dit_params=dit_p, dit_cfg=CFG, vae_params=vae_p,
+            vae_cfg=WanVAEConfig.tiny_v1(),
+            blockwise_controlnets=[(cn_p, CN_CFG)], dtype=jnp.float32,
+            steps_per_dispatch=spd)
+        return np.asarray(pipe(
+            prompt_emb=jnp.asarray(g["prompt_emb"]), cfg_scale=1.0,
+            latents=lat0, height=64, width=96, num_inference_steps=6,
+            blockwise_controlnet_inputs=(
+                [ControlNetInput(image=img, scale=0.8, start=0.7, end=0.4)]
+                if cn else None),
+            output_type="latent"))
+
+    chunked = run(6, cn=True)
+    stepwise = run(1, cn=True)
+    plain = run(6, cn=False)
+    np.testing.assert_allclose(chunked, stepwise, atol=1e-5, rtol=1e-5)
+    assert np.abs(chunked - plain).max() > 1e-6

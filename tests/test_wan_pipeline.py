@@ -595,6 +595,16 @@ def test_fun_reference_pipeline_e2e():
     assert np.isfinite(a).all()
     assert not np.allclose(a, b, atol=1e-6)
 
+    # sliding-window long-video mode must carry the Fun-Reference latent
+    # into every window (the reference's temporal tiler forwards it
+    # unsliced, wan_video.py:1168)
+    win = dict(kwargs, sliding_window_size=2, sliding_window_stride=1)
+    wa = np.asarray(pipe(reference_image=ref, **win))
+    wb = np.asarray(pipe(reference_image=ref2, **win))
+    assert np.isfinite(wa).all()
+    assert not np.allclose(wa, wb, atol=1e-6), \
+        "reference image ignored in the sliding-window path"
+
 
 @pytest.mark.slow
 def test_vap_pipeline_e2e():
@@ -667,3 +677,70 @@ def test_pipeline_mesh_tensor_parallel(goldens):
     assert fc1.addressable_shards[0].data.shape[-1] == fc1.shape[-1] // 2
     out = np.asarray(pipe(**kwargs))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_seed_none_defaults_to_zero(goldens):
+    """seed=None is valid (same contract as the t2i pipelines)."""
+    g = goldens("wan_pipeline")
+    pipe = _pipe(g)
+    kwargs = dict(context=jnp.asarray(g["ctx_p"]), cfg_scale=1.0,
+                  height=32, width=32, num_frames=5,
+                  num_inference_steps=1, output_type="latents")
+    out_none = np.asarray(pipe(seed=None, **kwargs))
+    out_zero = np.asarray(pipe(seed=0, **kwargs))
+    np.testing.assert_array_equal(out_none, out_zero)
+
+
+def _vace_pipe():
+    import jax
+    from fairygen_tpu.models.wan.aux_models import VaceConfig
+    from fairygen_tpu.models.wan.dit import init_dit_params
+    from fairygen_tpu.models.wan.vae import convert_vae_v1_state_dict
+
+    g = np.load("tests/goldens/wan_vae_v1.npz")
+    vcfg_vae = WanVAEConfig.tiny_v1()
+    vae_params = convert_vae_v1_state_dict(
+        {k[4:]: g[k] for k in g.files if k.startswith("sd::")}, vcfg_vae)
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=False, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=False,
+    )
+    vace_cfg = VaceConfig(vace_layers=(0,), vace_in_dim=72, dim=96,
+                          num_heads=4, ffn_dim=128)
+    return WanVideoPipeline(
+        dit_params=init_dit_params(jax.random.key(0), dcfg), dit_cfg=dcfg,
+        vae_params=vae_params, vae_cfg=vcfg_vae,
+        vace_params=_tiny_vace_params(jax.random.key(1), vace_cfg),
+        vace_cfg=vace_cfg, dtype=jnp.float32,
+    )
+
+
+def test_sliding_window_rejects_vace():
+    """VACE (and animate/camera) conditioning has no defined per-window
+    semantics - must fail loudly, not silently drop the control."""
+    pipe = _vace_pipe()
+    ctx = jnp.zeros((1, 6, 32), jnp.float32)
+    vace_video = [np.zeros((32, 32, 3), np.uint8)] * 9
+    with pytest.raises(ValueError, match="sliding-window"):
+        pipe(context=ctx, cfg_scale=1.0, seed=1,
+             height=32, width=32, num_frames=9, num_inference_steps=1,
+             sliding_window_size=3, sliding_window_stride=2,
+             vace_video=vace_video, output_type="latents")
+
+
+def test_vace_tiled_encode_matches_untiled():
+    """encode_vace_context honors the pipeline tiling kwargs (reference
+    VACE unit, wan_video.py:645-646); full-cover tiles == dense encode."""
+    pipe = _vace_pipe()
+    vace_video = [(np.random.default_rng(i).random((32, 32, 3)) * 255)
+                  .astype(np.uint8) for i in range(9)]
+    dense, n0 = pipe.encode_vace_context(
+        vace_video, None, None, 32, 32, 9, tiled=False)
+    tiled, n1 = pipe.encode_vace_context(
+        vace_video, None, None, 32, 32, 9, tiled=True,
+        tile_size=(34, 34), tile_stride=(18, 16))
+    assert n0 == n1 == 0
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)
