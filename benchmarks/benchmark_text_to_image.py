@@ -102,6 +102,11 @@ def bench_z_image(args, quantize="none"):
         hw, cap = 128, 250
 
     B = args.batch_size
+    # the Z-Image DiT runs per sample (reference packs sequences per
+    # sample; z_image_dit_forward asserts b == 1), so a batch of B costs
+    # B sequential denoise sweeps — measure one and scale, like the
+    # pipeline's per-prompt loop
+    per_sample = B > 1
 
     def make():
         p = init_z_image_dit_params(jax.random.key(0), cfg, dtype=dtype)
@@ -112,9 +117,9 @@ def bench_z_image(args, quantize="none"):
         return p
 
     params = zeros_params(make)
-    lat = jnp.zeros((B, cfg.in_channels, hw, hw), dtype)
-    capf = jnp.zeros((B, cap, cfg.cap_feat_dim), dtype)
-    ts = jnp.full((B,), 0.6, jnp.float32)
+    lat = jnp.zeros((1 if per_sample else B, cfg.in_channels, hw, hw), dtype)
+    capf = jnp.zeros((lat.shape[0], cap, cfg.cap_feat_dim), dtype)
+    ts = jnp.full((lat.shape[0],), 0.6, jnp.float32)
 
     @jax.jit
     def step(p, x):
@@ -132,9 +137,12 @@ def bench_z_image(args, quantize="none"):
     del vp
     flush()
 
-    total = dt * args.num_inference_steps + dt_vae
+    total = dt * args.num_inference_steps * (B if per_sample else 1) + dt_vae
+    config = "1024px-turbo" if args.preset == "full" else "tiny"
+    if per_sample:
+        config += f"-persample-x{B}"
     return generate_csv_dict(
-        "ZImage-t2i", "1024px-turbo" if args.preset == "full" else "tiny",
+        "ZImage-t2i", config,
         B, args.num_inference_steps, total, quantize=quantize,
         memory_gbs=mem)
 
