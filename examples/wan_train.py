@@ -156,6 +156,24 @@ def main():
         cache[sid] = batch
         return batch
 
+    if args.task.endswith(":data_process"):
+        # 2-phase stage 1 (reference runner.py:50-71): cache the VAE/TE
+        # preprocessing to .npz and exit; the ':train' stage consumes it
+        # via UnifiedDataset(metadata_path=None, base_path=<cache dir>)
+        from fairygen_tpu.training.data_process import (
+            launch_data_process_task,
+        )
+
+        launch_data_process_task(dataset, collate, args.output_path)
+        return
+    if args.task.endswith(":train"):
+        dataset = UnifiedDataset(base_path=args.dataset_base_path,
+                                 metadata_path=None,
+                                 repeat=args.dataset_repeat)
+
+        def collate(sample):  # noqa: F811 — cached tensors pass through
+            return sample
+
     logger = ModelLogger(args.output_path,
                          remove_prefix_in_ckpt=args.remove_prefix_in_ckpt)
     if args.resume_from:

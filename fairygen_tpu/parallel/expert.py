@@ -80,7 +80,7 @@ def _route_and_dispatch(router_w, x, num_experts: int, capacity: int):
     # (T, E, C): token t occupies slot pos[t, e] of expert e (if kept)
     disp = keep[:, :, None] * jax.nn.one_hot(
         pos.astype(jnp.int32), capacity, dtype=jnp.float32)
-    return disp, gate, probs
+    return disp, gate, probs, onehot
 
 
 def _expert_compute(params, tok):
@@ -94,14 +94,17 @@ def _expert_compute(params, tok):
 
 def _local_moe(params, x, num_experts: int, capacity: int):
     """All experts local: the n=1 body shared by both paths. x: (T, D)."""
-    disp, gate, probs = _route_and_dispatch(
+    disp, gate, probs, assigned = _route_and_dispatch(
         params["router"]["w"], x, num_experts, capacity)
     buf = jnp.einsum("tec,td->ecd", disp.astype(x.dtype), x)  # (E, C, D)
     out = _expert_compute(params, buf)
     y = jnp.einsum("ecd,tec->td", out, disp.astype(x.dtype))
     y = y * gate.astype(x.dtype)[:, None]
-    # Switch aux loss: E · Σ_e (token fraction to e) · (mean router prob e)
-    frac = jnp.mean(disp.sum(axis=2), axis=0)
+    # Switch aux loss: E · Σ_e (token fraction ROUTED to e) · (mean router
+    # prob e).  f_e counts the raw argmax assignment, NOT the post-
+    # capacity-drop dispatch — otherwise drops flatten frac exactly when
+    # routing collapses and the loss stops pushing back.
+    frac = jnp.mean(assigned, axis=0)
     aux = num_experts * jnp.sum(frac * probs.mean(axis=0))
     return y, aux
 
@@ -142,7 +145,7 @@ def moe_ffn(
     E_local = E // n
 
     def run(params, xs):  # xs: (T/n, D) local tokens; experts (E_local, ...)
-        disp, gate, probs = _route_and_dispatch(
+        disp, gate, probs, assigned = _route_and_dispatch(
             params["router"]["w"], xs, E, cap)
         buf = jnp.einsum("tec,td->ecd", disp.astype(xs.dtype), xs)  # (E, C, D)
         # (E, C, D) → (E_local, n·C, D): each owner receives every shard's
@@ -155,7 +158,7 @@ def moe_ffn(
                              tiled=True)
         y = jnp.einsum("ecd,tec->td", ret, disp.astype(xs.dtype))
         y = y * gate.astype(xs.dtype)[:, None]
-        frac = jnp.mean(disp.sum(axis=2), axis=0)
+        frac = jnp.mean(assigned, axis=0)  # raw routing, pre-capacity (see _local_moe)
         aux = E * jnp.sum(frac * probs.mean(axis=0))
         return y, lax.pmean(aux, axis)
 

@@ -8,6 +8,7 @@ branch while the SDXL UNet stays frozen.
 """
 from __future__ import annotations
 
+import functools
 import math
 import random
 from typing import Any, Optional
@@ -19,7 +20,7 @@ import optax
 
 from ..diffusion.ddpm import DDPMScheduler
 from ..models.sdxl.unet2d import UNet2DConfig, brushnet_forward, unet2d_forward
-from .train_step import TrainState
+from .train_step import TrainState, _donate
 
 
 # ----------------------------------------------------------- mask generation
@@ -120,7 +121,7 @@ def make_brushnet_train_step(
         return TrainState(params=bn_params, opt_state=optimizer.init(bn_params),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

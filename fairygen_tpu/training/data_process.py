@@ -35,10 +35,15 @@ def launch_data_process_task(
             continue
         sample = dataset[data_id]
         batch = preprocess_fn(sample)
-        arrays = {
-            k: np.asarray(v.astype(jnp.float32) if hasattr(v, "astype") else v)
-            for k, v in batch.items()
-        }
+        # cast only floating-point arrays (bf16 has no npz dtype); integer
+        # features (token ids, masks) must keep their dtype
+        def to_np(v):
+            arr = np.asarray(
+                v.astype(jnp.float32) if hasattr(v, "dtype")
+                and jnp.issubdtype(v.dtype, jnp.floating) else v)
+            return arr
+
+        arrays = {k: to_np(v) for k, v in batch.items()}
         path = os.path.join(output_path, f"{process_index}-{data_id}.npz")
         np.savez_compressed(path, **arrays)
         n += 1

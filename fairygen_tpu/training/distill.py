@@ -36,7 +36,7 @@ import numpy as np
 import optax
 
 from ..diffusion.lcm import LCMScheduler
-from .train_step import TrainState
+from .train_step import TrainState, _donate
 
 __all__ = [
     "ddim_tables",
@@ -201,7 +201,7 @@ def make_sdxl_distill_train_step(
         return TrainState(params=params, opt_state=optimizer.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state,

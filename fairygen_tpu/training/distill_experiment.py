@@ -135,7 +135,8 @@ def run_wan_distill_experiment(
     psnr_before = eval_psnr(student)
     losses = []
     for i in range(num_train_steps):
-        batch = {"latents": noises[i % pool], "context": ctxs[i % pool]}
+        batch = {"noise": noises[i % pool], "latents": noises[i % pool],
+                 "context": ctxs[i % pool]}
         state, loss = train_step(state, batch,
                                  jax.random.fold_in(k_train, i),
                                  teacher_params=teacher)

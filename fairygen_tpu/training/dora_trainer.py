@@ -17,6 +17,7 @@ style-adapter finetune):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -27,7 +28,7 @@ import optax
 from ..diffusion.ddpm import DDPMScheduler
 from ..models.adapters import init_lora, lora_trainable_filter
 from ..models.sdxl.unet2d import UNet2DConfig, unet2d_forward
-from .train_step import TrainState
+from .train_step import TrainState, _donate
 
 DORA_TARGETS = ("to_q", "to_k", "to_v", "to_out")
 
@@ -130,12 +131,23 @@ def make_sdxl_dora_train_step(
             mask_latents=batch["mask_latents"],
         )
         target = noise  # ε-prediction
-        loss = masked_mse_loss(pred, target, batch["mask_latents"])
-        if snr_gamma is not None:
-            snr = sched.snr(timesteps)
-            w = jnp.minimum(snr, snr_gamma) / jnp.clip(snr, 1e-8, None)
-            loss = loss * jnp.mean(w)
-        return loss
+        if snr_gamma is None:
+            return masked_mse_loss(pred, target, batch["mask_latents"])
+        # min-SNR-γ (reference train.py:1297-1312) weights each SAMPLE's
+        # loss by its own timestep's weight before averaging — a pooled
+        # loss times mean(w) would let one sample's weight scale another
+        # sample's gradient.  (We keep the mask inside the per-sample
+        # loss; the reference's snr branch drops it — an upstream quirk,
+        # not behavior worth preserving.)
+        mask = jnp.broadcast_to(
+            batch["mask_latents"].astype(jnp.float32), pred.shape)
+        se = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        axes = tuple(range(1, pred.ndim))
+        per_sample = (jnp.sum(se * mask, axis=axes)
+                      / jnp.clip(jnp.sum(mask, axis=axes), 1.0, None))
+        snr = sched.snr(timesteps)
+        w = jnp.minimum(snr, snr_gamma) / jnp.clip(snr, 1e-8, None)
+        return jnp.mean(per_sample * w)
 
     opt = optax.multi_transform(
         {"train": optimizer, "freeze": optax.set_to_zero()},
@@ -151,7 +163,7 @@ def make_sdxl_dora_train_step(
         return TrainState(params=params, opt_state=opt.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

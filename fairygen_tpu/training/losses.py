@@ -120,7 +120,10 @@ def trajectory_imitation_loss(
     )
     tea = FlowMatchScheduler("Wan").set_timesteps(num_teacher_steps, shift=sigma_shift)
     # snap teacher timesteps to contain the student grid (loss.py:49 —
-    # target_timesteps argument of set_timesteps)
+    # target_timesteps argument of set_timesteps).  Only the TIMESTEPS are
+    # snapped, not the sigmas — exactly like the reference
+    # (flow_match.py:113-117 mutates timesteps only), so the rollout steps
+    # with the teacher's own sigma grid.
     t_tea = np.asarray(tea.timesteps).copy()
     for t in stu.timesteps:
         t_tea[int(np.argmin(np.abs(t_tea - t)))] = t
@@ -156,7 +159,11 @@ def trajectory_imitation_loss(
         w = jnp.asarray(stu.linear_timesteps_weights, jnp.float32)[i]
         loss = loss + jnp.mean((pred.astype(jnp.float32) - target) ** 2) * w
 
-    # 3. optional perceptual regularization on the student rollout
+    # 3. optional perceptual regularization on the student rollout.
+    # The per-step stop_gradient(v) is reference-exact: the reference's
+    # compute_regularization steps its rollout with noise_pred.detach()
+    # (loss.py:104), so there too the LPIPS term contributes the VALUE but
+    # no gradient — preserved as a logged-loss-parity quirk, not a choice.
     if perceptual_fn is not None and decode_fn is not None:
         lat = traj[0]
         sig_stu = np.append(np.asarray(stu.sigmas), 0.0)

@@ -77,7 +77,15 @@ def add_lora_config(parser):
 
 
 def add_gradient_config(parser):
-    parser.add_argument("--use_gradient_checkpointing", default=True, action="store_true")
+    # BooleanOptionalAction: default=True + store_true made the flag a
+    # no-op (remat could never be disabled); full-scale video training
+    # needs it on, so the default stays True with --no-... to opt out
+    # (the reference defaults False, parsers.py:58, but its stage scripts
+    # always pass the flag)
+    import argparse
+
+    parser.add_argument("--use_gradient_checkpointing", default=True,
+                        action=argparse.BooleanOptionalAction)
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
     return parser
 

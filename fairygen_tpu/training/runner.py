@@ -160,7 +160,10 @@ def launch_training_task(
     ``preemption_checkpoint``: path for SIGTERM-triggered full-state saves
     (see PreemptionGuard); the loop exits cleanly after saving."""
     rng = rng if rng is not None else jax.random.key(0)
-    step = 0
+    # resume-aware: a restored TrainState carries its global step — naming
+    # checkpoints from 0 again would overwrite the earlier run's artifacts
+    # with mislabeled later state
+    step = int(jax.device_get(state.step)) if hasattr(state, "step") else 0
     import contextlib
 
     ctx = mesh if mesh is not None else contextlib.nullcontext()

@@ -26,6 +26,14 @@ from ..models.wan.dit import WanDiTConfig, wan_dit_forward
 from .losses import flow_match_sft_loss
 
 
+def _donate():
+    """donate_argnums for the train-step jits: donating the TrainState
+    halves peak param+opt-state memory per step (the old state is dead
+    the moment the new one exists).  CPU has no donation — returning ()
+    there avoids a warning per compile in the test suite."""
+    return () if jax.default_backend() == "cpu" else (0,)
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -115,7 +123,7 @@ def make_wan_sft_train_step(
         return TrainState(params=params, opt_state=optimizer.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -181,8 +189,12 @@ def make_wan_distill_train_step(
                 num_inference_steps=num_inference_steps,
                 sigma_shift=sigma_shift,
             )
-        noise = jax.random.normal(rng, batch["latents"].shape,
-                                  batch["latents"].dtype)
+        # a fixed noise pool (batch["noise"]) lets experiments revisit the
+        # same teacher trajectories across steps; otherwise draw fresh
+        noise = batch.get("noise")
+        if noise is None:
+            noise = jax.random.normal(rng, batch["latents"].shape,
+                                      batch["latents"].dtype)
         return trajectory_imitation_loss(
             model_fn,
             lambda lat, t, ctx: model_fn(teacher_params, lat, t, ctx),
@@ -206,7 +218,7 @@ def make_wan_distill_train_step(
         return TrainState(params=params, opt_state=optimizer.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(jax.jit, donate_argnums=_donate())
     def train_step(state: TrainState, batch, rng, teacher_params=None):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, rng, teacher_params)

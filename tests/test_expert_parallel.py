@@ -87,3 +87,23 @@ def test_ep_rejects_indivisible():
     x = jax.random.normal(jax.random.key(1), (63, D))
     with pytest.raises(ValueError, match="not divisible"):
         moe_ffn(params, x, num_groups=2)
+
+
+def test_aux_loss_penalizes_collapsed_routing():
+    """f_e must count raw routing (pre-capacity): with a router collapsed
+    onto one expert, aux ≈ E · P_collapsed >> the balanced value of ~1,
+    even though capacity drops flatten the dispatched counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from fairygen_tpu.parallel.expert import init_moe_params, moe_ffn
+
+    E, D = 4, 8
+    params = init_moe_params(jax.random.key(0), num_experts=E, dim=D,
+                             ffn_dim=16)
+    # bias the router hard onto expert 0
+    params["router"]["w"] = params["router"]["w"].at[:, 0].set(50.0)
+    # positive features so the collapsed column dominates every token
+    x = jax.random.uniform(jax.random.key(1), (32, D)) + 0.1
+    _, aux = moe_ffn(params, x, capacity_factor=1.0, return_aux=True)
+    assert float(aux) > 2.0, float(aux)  # collapsed -> ~E, not ~1
