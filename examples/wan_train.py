@@ -187,6 +187,8 @@ def main():
         num_epochs=args.num_epochs, save_steps=args.save_steps,
         logger=logger, mesh=mesh,
         preemption_checkpoint=args.preemption_checkpoint,
+        shuffle=args.dataset_shuffle,
+        num_workers=args.dataset_num_workers,
     )
 
 

@@ -15,4 +15,5 @@ from .operators import (
     ToFloat,
     ToStr,
 )
+from .loader import PrefetchLoader
 from .unified_dataset import UnifiedDataset

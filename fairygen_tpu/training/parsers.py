@@ -8,6 +8,15 @@ def add_dataset_base_config(parser):
     parser.add_argument("--dataset_base_path", type=str, default="", required=True)
     parser.add_argument("--dataset_metadata_path", type=str, default=None)
     parser.add_argument("--dataset_repeat", type=int, default=1)
+    parser.add_argument("--dataset_num_workers", type=int, default=1,
+                        help="loader threads preparing samples ahead of the "
+                             "device step (reference parsers.py:8; 0 = "
+                             "synchronous)")
+    parser.add_argument("--dataset_shuffle", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="seeded per-epoch permutation (the reference "
+                             "trains with DataLoader(shuffle=True), "
+                             "runner.py:29)")
     parser.add_argument("--data_file_keys", type=str, default="image,video")
     return parser
 

@@ -151,11 +151,20 @@ def launch_training_task(
     mesh=None,
     metrics_logger=None,  # utils.train_logging.MetricsLogger
     preemption_checkpoint: Optional[str] = None,
+    shuffle: bool = False,
+    num_workers: int = 1,
+    prefetch: int = 2,
 ):
     """Reference launch_training_task (runner.py:8-47) as a plain loop:
     per-sample batches (collate = identity on element 0), AdamW/schedule
     live inside train_step, loss printed every ``log_every`` (and streamed
     to JSONL/TensorBoard via ``metrics_logger``).
+
+    ``shuffle``/``num_workers``/``prefetch`` mirror the reference's
+    ``DataLoader(shuffle=True, num_workers=N)`` (runner.py:29): indexable
+    datasets go through data.PrefetchLoader so host-side decode/collate of
+    the next samples overlaps the device step; plain iterables fall back
+    to the synchronous loop.
 
     ``preemption_checkpoint``: path for SIGTERM-triggered full-state saves
     (see PreemptionGuard); the loop exits cleanly after saving."""
@@ -169,10 +178,20 @@ def launch_training_task(
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     guard = (PreemptionGuard(preemption_checkpoint)
              if preemption_checkpoint else contextlib.nullcontext())
+    if hasattr(dataset, "__getitem__") and hasattr(dataset, "__len__"):
+        from ..data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(dataset, collate_fn, shuffle=shuffle,
+                                num_workers=num_workers, prefetch=prefetch)
+
+        def epoch_batches():  # each __iter__ = one (re-shuffled) epoch
+            return loader
+    else:  # plain iterable: synchronous, order-preserving
+        def epoch_batches():
+            return (collate_fn(s) for s in dataset)
     with ctx, guard:
         for epoch in range(num_epochs):
-            for sample in dataset:
-                batch = collate_fn(sample)
+            for batch in epoch_batches():
                 rng, sub = jax.random.split(rng)
                 state, loss = train_step(state, batch, sub)
                 step += 1
