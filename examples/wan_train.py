@@ -175,7 +175,8 @@ def main():
             return sample
 
     logger = ModelLogger(args.output_path,
-                         remove_prefix_in_ckpt=args.remove_prefix_in_ckpt)
+                         remove_prefix_in_ckpt=args.remove_prefix_in_ckpt,
+                         async_save=args.async_checkpoint)
     if args.resume_from:
         from fairygen_tpu.training.runner import restore_train_state
 

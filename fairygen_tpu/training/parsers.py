@@ -73,6 +73,9 @@ def add_output_config(parser):
                              "(resume with --resume_from)")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="orbax train-state checkpoint to resume from")
+    parser.add_argument("--async_checkpoint", default=False, action="store_true",
+                        help="write step/epoch checkpoints on a background "
+                             "thread so the disk write doesn't stall training")
     return parser
 
 

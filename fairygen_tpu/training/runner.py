@@ -54,16 +54,28 @@ def wan_lora_state_dict(params, *, include_b2: bool = True,
 
 
 class ModelLogger:
-    """Step/epoch checkpointing of trainable-only state (logger.py:13-53)."""
+    """Step/epoch checkpointing of trainable-only state (logger.py:13-53).
+
+    ``async_save=True`` decouples checkpoint writes from the step loop:
+    the params are snapshotted to host on the calling thread (one
+    device_get — the unavoidable sync), then key-mapping + the safetensors
+    write run on a single background thread, so a multi-GB checkpoint no
+    longer stalls training for the disk write.  Writes stay ordered (one
+    worker); a failed write re-raises at the next save or at ``flush()``.
+    """
 
     def __init__(self, output_path: str, remove_prefix_in_ckpt: Optional[str] = None,
-                 state_dict_fn: Optional[Callable] = None):
+                 state_dict_fn: Optional[Callable] = None,
+                 async_save: bool = False):
         self.output_path = output_path
         self.remove_prefix = remove_prefix_in_ckpt
         self.state_dict_fn = state_dict_fn or wan_lora_state_dict
+        self.async_save = async_save
+        self._pool = None
+        self._pending = []
         os.makedirs(output_path, exist_ok=True)
 
-    def save(self, params, name: str):
+    def _write(self, params, name: str):
         sd = self.state_dict_fn(params)
         if self.remove_prefix:
             sd = {
@@ -73,6 +85,30 @@ class ModelLogger:
         path = os.path.join(self.output_path, name)
         save_safetensors(path, sd)
         return path
+
+    def save(self, params, name: str):
+        if not self.async_save:
+            return self._write(params, name)
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fairygen-ckpt")
+        self.flush(wait=False)  # surface an earlier failed write
+        host_params = jax.device_get(params)
+        self._pending.append(self._pool.submit(self._write, host_params, name))
+        return os.path.join(self.output_path, name)
+
+    def flush(self, wait: bool = True):
+        """Join (or, with wait=False, reap finished) pending async writes,
+        re-raising the first failure."""
+        still = []
+        for f in self._pending:
+            if wait or f.done():
+                f.result()
+            else:
+                still.append(f)
+        self._pending = still
 
     def on_step_end(self, state, step: int, save_steps: Optional[int]):
         if save_steps is not None and step % save_steps == 0:
@@ -204,7 +240,11 @@ def launch_training_task(
                 if preemption_checkpoint and guard.triggered:
                     jax.block_until_ready(state.params)
                     guard.checkpoint(state)
+                    if logger is not None and hasattr(logger, "flush"):
+                        logger.flush()
                     return state
             if logger is not None:
                 logger.on_epoch_end(state, epoch)
+    if logger is not None and hasattr(logger, "flush"):
+        logger.flush()
     return state

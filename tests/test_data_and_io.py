@@ -189,3 +189,36 @@ def test_load_wav_all_pcm_widths(tmp_path):
     write(stereo, 2, ref, n_ch=2)
     out, _ = load_wav(str(stereo))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_model_logger_async_save_matches_sync(tmp_path):
+    """async_save writes the same bytes off-thread; flush() joins and
+    re-raises write failures."""
+    import jax
+
+    from fairygen_tpu.core.io import load_safetensors
+    from fairygen_tpu.models.adapters import add_lora_to_wan_dit
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.training.runner import ModelLogger
+
+    cfg = WanDiTConfig.tiny(num_heads=4, dim=96)
+    params = add_lora_to_wan_dit(
+        init_dit_params(jax.random.key(0), cfg), jax.random.key(1), rank=4)
+
+    sync = ModelLogger(str(tmp_path / "sync"))
+    async_ = ModelLogger(str(tmp_path / "async"), async_save=True)
+    p_sync = sync.save(params, "step-1.safetensors")
+    p_async = async_.save(params, "step-1.safetensors")
+    async_.flush()
+    a, b = load_safetensors(p_sync), load_safetensors(p_async)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+    # a failing background write surfaces at flush
+    bad = ModelLogger(str(tmp_path / "bad"), async_save=True,
+                      state_dict_fn=lambda p: (_ for _ in ()).throw(
+                          RuntimeError("disk full")))
+    bad.save(params, "step-1.safetensors")
+    with pytest.raises(RuntimeError, match="disk full"):
+        bad.flush()
