@@ -115,6 +115,7 @@ def main():
             remat=args.use_gradient_checkpointing,
             trainable_filter=trainable,
             lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
             pp_microbatches=args.pp_microbatches,
         )
     if args.mesh_pipe > 1:

@@ -225,6 +225,9 @@ def launch_training_task(
     else:  # plain iterable: synchronous, order-preserving
         def epoch_batches():
             return (collate_fn(s) for s in dataset)
+    import time
+
+    last_sync = [time.perf_counter(), step]
     with ctx, guard:
         for epoch in range(num_epochs):
             for batch in epoch_batches():
@@ -232,9 +235,15 @@ def launch_training_task(
                 state, loss = train_step(state, batch, sub)
                 step += 1
                 if step % log_every == 0:
-                    print(f"epoch {epoch} step {step} loss {float(loss):.5f}", flush=True)
+                    loss = float(loss)  # forces device sync
+                    now = time.perf_counter()
+                    sps = (step - last_sync[1]) / max(now - last_sync[0], 1e-9)
+                    last_sync = [now, step]
+                    print(f"epoch {epoch} step {step} loss {loss:.5f} "
+                          f"({sps:.2f} steps/s)", flush=True)
                     if metrics_logger is not None:
-                        metrics_logger.log(step, loss=float(loss), epoch=epoch)
+                        metrics_logger.log(step, loss=loss, epoch=epoch,
+                                           steps_per_sec=sps)
                 if logger is not None:
                     logger.on_step_end(state, step, save_steps)
                 if preemption_checkpoint and guard.triggered:
