@@ -64,6 +64,20 @@ def main():
         dtype=jnp.bfloat16,
     )
 
+    # reference train.py:156-165 plumbing: we train the DiT's LoRA only
+    # (the VAE/TE are frozen preprocessing), so reject silently-ignored
+    # selections rather than train the wrong thing
+    for flag, val in (("trainable_models", args.trainable_models),
+                      ("lora_base_model", args.lora_base_model)):
+        if val not in (None, "dit"):
+            parser.error(f"--{flag}={val}: only 'dit' is trainable here "
+                         "(VAE/text encoder run as frozen preprocessing)")
+    extra_inputs = (args.extra_inputs.split(",") if args.extra_inputs else [])
+    unknown = [e for e in extra_inputs if e != "input_image"]
+    if unknown:
+        parser.error(f"--extra_inputs {unknown}: only input_image is "
+                     "supported (first-frame conditioning, train.py:65-70)")
+
     stage2 = args.lora_checkpoint is not None
     params = add_lora_to_wan_dit(
         pipe.dit_params, jax.random.key(0), rank=args.lora_rank,
@@ -117,6 +131,9 @@ def main():
             lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             pp_microbatches=args.pp_microbatches,
+            # --extra_inputs input_image = first frame is the clean
+            # conditioning image (defaults to the model's own fuse flag)
+            first_frame_clean=True if "input_image" in extra_inputs else None,
         )
     if args.mesh_pipe > 1:
         from fairygen_tpu.parallel.pipeline import shard_blocks_over_pipe
@@ -173,7 +190,13 @@ def main():
                                  repeat=args.dataset_repeat)
 
         def collate(sample):  # noqa: F811 — cached tensors pass through
-            return sample
+            # the .npz cache stores float32 (bf16 has no npz dtype);
+            # restore the training dtype the in-memory collate produces
+            return {
+                k: (jnp.asarray(v, jnp.bfloat16)
+                    if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+                for k, v in sample.items()
+            }
 
     logger = ModelLogger(args.output_path,
                          remove_prefix_in_ckpt=args.remove_prefix_in_ckpt,
