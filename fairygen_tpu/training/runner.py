@@ -190,6 +190,7 @@ def launch_training_task(
     shuffle: bool = False,
     num_workers: int = 1,
     prefetch: int = 2,
+    global_batch_size: Optional[int] = None,
 ):
     """Reference launch_training_task (runner.py:8-47) as a plain loop:
     per-sample batches (collate = identity on element 0), AdamW/schedule
@@ -201,6 +202,13 @@ def launch_training_task(
     datasets go through data.PrefetchLoader so host-side decode/collate of
     the next samples overlaps the device step; plain iterables fall back
     to the synchronous loop.
+
+    ``global_batch_size``: samples stacked (leading axis concat) into one
+    train-step batch — the SPMD equivalent of DDP's one-sample-per-rank
+    (reference collate=x[0] under N ranks).  Defaults to the mesh's data
+    axis size so data parallelism actually gets distinct samples; the
+    trailing partial group is dropped (DataLoader drop_last semantics —
+    a ragged batch would recompile and shard unevenly).
 
     ``preemption_checkpoint``: path for SIGTERM-triggered full-state saves
     (see PreemptionGuard); the loop exits cleanly after saving."""
@@ -225,6 +233,29 @@ def launch_training_task(
     else:  # plain iterable: synchronous, order-preserving
         def epoch_batches():
             return (collate_fn(s) for s in dataset)
+
+    if global_batch_size is None:
+        try:
+            from ..core.meshes import AXES
+
+            global_batch_size = (int(mesh.shape[AXES.data])
+                                 if mesh is not None
+                                 and AXES.data in mesh.axis_names else 1)
+        except ImportError:
+            global_batch_size = 1
+    if global_batch_size > 1:
+        inner = epoch_batches
+
+        def epoch_batches():  # noqa: F811 — stack k samples per step
+            buf = []
+            for b in inner():
+                buf.append(b)
+                if len(buf) == global_batch_size:
+                    yield jax.tree.map(
+                        lambda *xs: jnp.concatenate(
+                            [jnp.asarray(x) for x in xs], axis=0), *buf)
+                    buf = []
+
     import time
 
     last_sync = [time.perf_counter(), step]

@@ -88,3 +88,25 @@ def test_runner_uses_prefetch_loader_shuffled():
     assert sorted(seen[:64]) == data and sorted(seen[64:]) == data
     assert seen[:64] != data  # shuffled
     assert seen[:64] != seen[64:]  # reshuffled per epoch
+
+
+def test_runner_stacks_global_batch_over_data_axis():
+    """With a data-parallel mesh the runner stacks data-axis-size samples
+    per step (DDP one-sample-per-rank equivalent) and drops the trailing
+    partial group."""
+    import jax.numpy as jnp
+
+    from fairygen_tpu.core.meshes import make_mesh
+    from fairygen_tpu.training.runner import launch_training_task
+
+    mesh = make_mesh(data=2, seq=4)  # 8-device CPU mesh: data axis = 2
+    shapes = []
+
+    def train_step(state, batch, rng):
+        shapes.append(batch["x"].shape)
+        return state, jnp.zeros(())
+
+    data = [{"x": jnp.full((1, 3), i, jnp.float32)} for i in range(5)]
+    launch_training_task({}, train_step, data, lambda s: s, num_epochs=1,
+                         mesh=mesh, log_every=1000)
+    assert shapes == [(2, 3), (2, 3)]  # 5 samples -> 2 steps, last dropped
