@@ -50,15 +50,30 @@ class PrefetchLoader:
         seed: int = 0,
         num_workers: int = 1,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        shard_block: int = 1,
     ):
+        """``num_shards``/``shard_index``/``shard_block``: multi-process
+        position sharding (the DistributedSampler analogue).  All shards
+        must use the same ``seed`` so they walk the SAME epoch
+        permutation; positions are dealt out in contiguous blocks of
+        ``shard_block`` — position j belongs to shard (j // shard_block)
+        % num_shards — and the epoch is truncated to complete rounds of
+        num_shards * shard_block so every shard yields the same count."""
         if prefetch < 1:
             raise ValueError(f"prefetch must be >= 1, got {prefetch}")
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = int(num_workers)
         self.prefetch = int(prefetch)
+        self.num_shards = int(num_shards)
+        self.shard_index = int(shard_index)
+        self.shard_block = int(shard_block)
         self._epoch = 0
         self._lock = threading.Lock()
 
@@ -69,10 +84,18 @@ class PrefetchLoader:
         n = len(self.dataset)
         with self._lock:
             epoch, self._epoch = self._epoch, self._epoch + 1
-        if not self.shuffle:
-            return range(n)
-        return np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch])).permutation(n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])).permutation(n)
+        else:
+            order = np.arange(n)
+        if self.num_shards > 1:
+            rnd = self.num_shards * self.shard_block
+            order = order[: (n // rnd) * rnd]
+            pos = np.arange(order.shape[0])
+            order = order[(pos // self.shard_block) % self.num_shards
+                          == self.shard_index]
+        return order
 
     def _load(self, idx):
         return self.collate_fn(self.dataset[idx])

@@ -222,18 +222,6 @@ def launch_training_task(
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     guard = (PreemptionGuard(preemption_checkpoint)
              if preemption_checkpoint else contextlib.nullcontext())
-    if hasattr(dataset, "__getitem__") and hasattr(dataset, "__len__"):
-        from ..data.loader import PrefetchLoader
-
-        loader = PrefetchLoader(dataset, collate_fn, shuffle=shuffle,
-                                num_workers=num_workers, prefetch=prefetch)
-
-        def epoch_batches():  # each __iter__ = one (re-shuffled) epoch
-            return loader
-    else:  # plain iterable: synchronous, order-preserving
-        def epoch_batches():
-            return (collate_fn(s) for s in dataset)
-
     if global_batch_size is None:
         try:
             from ..core.meshes import AXES
@@ -243,17 +231,67 @@ def launch_training_task(
                                  and AXES.data in mesh.axis_names else 1)
         except ImportError:
             global_batch_size = 1
-    if global_batch_size > 1:
+    # multi-process (DCN) data feeding: every process walks the SAME
+    # seeded epoch permutation but loads only its contiguous block of
+    # each global group, then contributes it as its addressable shard of
+    # the global batch array (mesh data axis = host-major, multihost.py)
+    procs = jax.process_count()
+    local_batch = global_batch_size
+    if procs > 1:
+        if global_batch_size % procs:
+            raise ValueError(
+                f"global_batch_size {global_batch_size} not divisible by "
+                f"{procs} processes")
+        local_batch = global_batch_size // procs
+
+    if hasattr(dataset, "__getitem__") and hasattr(dataset, "__len__"):
+        from ..data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(dataset, collate_fn, shuffle=shuffle,
+                                num_workers=num_workers, prefetch=prefetch,
+                                num_shards=procs,
+                                shard_index=jax.process_index(),
+                                shard_block=local_batch)
+
+        def epoch_batches():  # each __iter__ = one (re-shuffled) epoch
+            return loader
+    else:  # plain iterable: synchronous, order-preserving
+        if procs > 1:
+            raise ValueError("multi-process training needs an indexable "
+                             "dataset (position sharding)")
+
+        def epoch_batches():
+            return (collate_fn(s) for s in dataset)
+
+    if local_batch > 1 or procs > 1:
         inner = epoch_batches
+
+        def _stack(bufs):
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(
+                    [jnp.asarray(x) for x in xs], axis=0), *bufs)
+
+        def _globalize(local):
+            if procs == 1:
+                return local
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..core.meshes import AXES
+
+            def to_global(x):
+                x = np.asarray(x)
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, PartitionSpec(AXES.data)),
+                    x, (global_batch_size,) + x.shape[1:])
+
+            return jax.tree.map(to_global, local)
 
         def epoch_batches():  # noqa: F811 — stack k samples per step
             buf = []
             for b in inner():
                 buf.append(b)
-                if len(buf) == global_batch_size:
-                    yield jax.tree.map(
-                        lambda *xs: jnp.concatenate(
-                            [jnp.asarray(x) for x in xs], axis=0), *buf)
+                if len(buf) == local_batch:
+                    yield _globalize(_stack(buf))
                     buf = []
 
     import time

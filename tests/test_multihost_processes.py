@@ -119,3 +119,104 @@ def test_two_process_dcn_train_step(tmp_path):
     l0 = outs[0].split("OK loss=")[1].split()[0]
     l1 = outs[1].split("OK loss=")[1].split()[0]
     assert l0 == l1, (l0, l1)
+
+
+_RUNNER_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import optax
+
+    from fairygen_tpu.parallel.multihost import (
+        initialize_multihost, make_multihost_mesh)
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.training.train_step import make_wan_sft_train_step
+    from fairygen_tpu.training.runner import launch_training_task
+
+    initialize_multihost()
+    mesh = make_multihost_mesh(seq=2)  # data=2 across procs, seq=2 inside
+
+    cfg = WanDiTConfig(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=8, num_layers=1,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True)
+    init_state, train_step = make_wan_sft_train_step(
+        cfg, optax.adam(1e-4), mesh=mesh, remat=False)
+    state = init_state(init_dit_params(jax.random.key(0), cfg))
+
+    # 5 samples, global batch = data axis = 2 -> 2 steps, last dropped
+    def sample(i):
+        r = np.random.RandomState(i)
+        return dict(
+            latents=r.randn(1, 4, 4, 8, 8).astype(np.float32),
+            context=r.randn(1, 12, 32).astype(np.float32))
+    data = list(range(5))
+
+    def collate(i):
+        print(f"LOAD {{i}}", flush=True)
+        return sample(i)
+
+    launch_training_task(state, train_step, data, collate,
+                         num_epochs=1, mesh=mesh, shuffle=True,
+                         log_every=1)
+    print(f"proc {{jax.process_index()}} RUNNER DONE", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_runner_shards_data(tmp_path):
+    """launch_training_task under 2 jax.distributed processes: identical
+    step count + synced loss on both processes, disjoint sample shards."""
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    addr = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "runner_worker.py"
+    script.write_text(_RUNNER_WORKER.format(repo=repo))
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            FAIRYGEN_COORDINATOR=addr,
+            FAIRYGEN_NUM_PROCESSES="2",
+            FAIRYGEN_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+        )
+        env.pop("PYTEST_CURRENT_TEST", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("runner workers timed out")
+        outs.append(out)
+
+    loads, losses = [], []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert f"proc {pid} RUNNER DONE" in out, out[-2000:]
+        loads.append({int(l.split()[1]) for l in out.splitlines()
+                      if l.startswith("LOAD ")})
+        losses.append([l.split("loss ")[1].split()[0]
+                       for l in out.splitlines() if " loss " in l])
+    # 2 steps each, identical global loss on both processes
+    assert len(losses[0]) == len(losses[1]) == 2, losses
+    assert losses[0] == losses[1], losses
+    # each process loaded its own half: 2 samples each, no overlap
+    assert len(loads[0]) == len(loads[1]) == 2, loads
+    assert not (loads[0] & loads[1]), loads
