@@ -213,6 +213,31 @@ def _scaled_dims(dims, cfg):
             for k, (a, b) in dims.items()}
 
 
+def scale_hot_lora(hot_lora, scales):
+    """Weight the hot-LoRA stack per adapter: scales (n,) multiplies each
+    LoRA's contribution (applied on the A factors, so both the plain-sum
+    path and the merger's per-LoRA inputs are gated).  scales is a traced
+    array — per-request adapter selection/blending never recompiles."""
+    scales = jnp.asarray(scales)
+    if scales.ndim != 1:
+        raise ValueError(f"scales must be 1-D (one weight per hot LoRA), "
+                         f"got shape {scales.shape}")
+
+    def fam(entries):
+        out = {}
+        for suffix, e in entries.items():
+            if scales.shape[0] != e["A"].shape[1]:
+                raise ValueError(
+                    f"{suffix}: {scales.shape[0]} scales for "
+                    f"{e['A'].shape[1]} hot LoRAs")
+            s = scales.astype(e["A"].dtype)[None, :, None, None]
+            out[suffix] = {**e, "A": e["A"] * s}
+        return out
+
+    return {k: (fam(v) if k in ("double", "single") and v else v)
+            for k, v in (hot_lora or {}).items()}
+
+
 def hot_dense(p, x, hot):
     """Base linear + hot-LoRA stack: plain sum without a merger
     (core/vram/layers.py:418-420), learned LoraMerger gates with one

@@ -516,6 +516,7 @@ class FluxImagePipeline:
         tiled: bool = False,  # FastTileWorker spatial tiling (latent px)
         tile_size: int = 128,
         tile_stride: int = 64,
+        hot_lora_scales=None,  # (n,) per-LoRA weights on the hot stack
         # precomputed embeddings (tests / cached 2-phase mode)
         prompt_emb=None,
         pooled_prompt_emb=None,
@@ -750,6 +751,17 @@ class FluxImagePipeline:
                 j for j, ci in enumerate(controlnet_inputs)
                 if not (progress > ci.start or progress < ci.end))
 
+        hot_lora = self.hot_lora
+        if hot_lora_scales is not None:
+            if hot_lora is None:
+                raise ValueError("hot_lora_scales given but no hot LoRAs "
+                                 "loaded — call load_hot_loras first")
+            from ..models.flux.lora_runtime import scale_hot_lora
+
+            # traced (n,) weights on the stacked unfused LoRAs: selecting /
+            # blending adapters per request without recompiling
+            hot_lora = scale_hot_lora(hot_lora, hot_lora_scales)
+
         s = 0
         while s < n:
             ln = min(self.steps_per_dispatch, n - s)
@@ -785,7 +797,7 @@ class FluxImagePipeline:
                  else None),
                 (jnp.asarray(step1x_mask_neg)
                  if step1x and step1x_mask_neg is not None else None),
-                self.hot_lora, flex_condition, flex_uncondition,
+                hot_lora, flex_condition, flex_uncondition,
                 flex_stop_t,
                 dit_cfg=self.dit_cfg, length=ln, do_cfg=do_cfg,
                 kontext_hws=kontext_hws, tea_opts=tea_opts, cn_specs=specs,

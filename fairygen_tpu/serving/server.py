@@ -50,8 +50,12 @@ class Request:
                 "progress": round(self.progress, 4), "error": self.error}
 
     def signature(self) -> Tuple:
-        """Compile signature: requests in one batch must share it."""
-        return tuple(sorted(self.params.items()))
+        """Compile signature: requests in one batch must share it.
+        JSON-decoded list params (e.g. hot_lora_scales) hash as tuples."""
+        def freeze(v):
+            return tuple(freeze(x) for x in v) if isinstance(v, list) else v
+
+        return tuple(sorted((k, freeze(v)) for k, v in self.params.items()))
 
     def wait(self, timeout: Optional[float] = None):
         if not self._done.wait(timeout):

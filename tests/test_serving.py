@@ -338,3 +338,34 @@ def test_serve_video_cli_help():
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0
     assert "--usp" in r.stdout and "async" in r.stdout
+
+
+def test_per_request_hot_lora_scales_bucket_and_pass_through():
+    """Per-request adapter selection: hot_lora_scales (a JSON list) hashes
+    into the compile signature — different adapter mixes never share a
+    batch — and reaches the pipeline call unchanged."""
+    from fairygen_tpu.serving.server import t2i_generate_fn
+
+    calls = []
+
+    class FakePipe:
+        def __call__(self, prompt=None, output_type="np", **params):
+            calls.append((prompt, params.get("hot_lora_scales")))
+            return np.zeros((4, 4, 3), np.uint8)
+
+    eng = BatchingEngine(t2i_generate_fn(FakePipe()), max_batch=8,
+                         max_wait_ms=10)
+    try:
+        a = [eng.submit(f"a{i}", hot_lora_scales=[1.0, 0.0])
+             for i in range(2)]
+        b = eng.submit("b0", hot_lora_scales=[0.0, 1.0])
+        for r in a + [b]:
+            r.wait(timeout=5)
+    finally:
+        eng.shutdown()
+    by_scale = {}
+    for prompt, scales in calls:
+        by_scale.setdefault(tuple(scales), set()).add(prompt)
+    assert by_scale == {(1.0, 0.0): {"a0", "a1"}, (0.0, 1.0): {"b0"}}
+    # a and b carried different signatures (separate buckets)
+    assert a[0].signature() == a[1].signature() != b.signature()
