@@ -82,6 +82,24 @@ _CIVITAI_SINGLE = {
 }
 
 
+def guess_lora_alpha(sd: Dict[str, np.ndarray]) -> float:
+    """Kohya-style ``.alpha`` scale detection (utils/lora/flux.py:113-123).
+
+    Kohya checkpoints store a scalar ``<target>.alpha`` next to each pair;
+    the effective update is ``(alpha/rank) * B @ A``.  Like the reference,
+    sample the first alpha that has a matching down/A weight and return
+    ``sqrt(alpha/rank)`` — the loader applies it to BOTH factors, so the
+    product picks up the full ``alpha/rank``.  1.0 when no alpha keys."""
+    for name, param in sd.items():
+        if ".alpha" in name:
+            for suffix in (".lora_down.weight", ".lora_A.weight"):
+                down = name.replace(".alpha", suffix)
+                if down in sd:
+                    rank = sd[down].shape[0]
+                    return float(np.sqrt(float(np.asarray(param)) / rank))
+    return 1.0
+
+
 def _collect(sd: Dict[str, np.ndarray]):
     """-> list of (family, block_id, canonical_leaf, A, B)."""
     pairs: Dict[Tuple, Dict[str, np.ndarray]] = {}
@@ -125,6 +143,7 @@ def load_flux_lora(params, cfg: FluxDiTConfig, sd: Dict[str, np.ndarray],
     ``W += alpha * B @ A`` per target, with q/k/v(/mlp) adapters landing on
     the right column slice of the fused projections."""
     d = cfg.dim
+    alpha = alpha * guess_lora_alpha(sd) ** 2  # net kohya alpha/rank scale
     entries = _collect(sd)
     if not entries:
         raise ValueError("no recognizable FLUX LoRA keys")
@@ -144,3 +163,77 @@ def load_flux_lora(params, cfg: FluxDiTConfig, sd: Dict[str, np.ndarray],
             lo, hi = cols[0] * d, cols[1] * d
             node["w"] = w.at[i, :, lo:hi].add(delta)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Format conversion (reference FluxLoRAConverter, utils/lora/flux.py:207-306)
+
+_OPENSOURCE_MIDDLE = {  # canonical middle -> kohya middle
+    "norm.linear": "modulation_lin",
+    "to_qkv_mlp": "linear1",
+    "proj_out": "linear2",
+    "norm1_a.linear": "img_mod_lin",
+    "norm1_b.linear": "txt_mod_lin",
+    "attn.a_to_qkv": "img_attn_qkv",
+    "attn.b_to_qkv": "txt_attn_qkv",
+    "attn.a_to_out": "img_attn_proj",
+    "attn.b_to_out": "txt_attn_proj",
+    "ff_a.0": "img_mlp_0",
+    "ff_a.2": "img_mlp_2",
+    "ff_b.0": "txt_mlp_0",
+    "ff_b.2": "txt_mlp_2",
+}
+_OPENSOURCE_PREFIX = {"blocks": "lora_unet_double_blocks",
+                      "single_blocks": "lora_unet_single_blocks"}
+
+
+def flux_lora_to_opensource(sd: Dict[str, np.ndarray], alpha=None):
+    """``FluxLoRAConverter.align_to_opensource_format`` (flux.py:211-255):
+    canonical/diffsynth-layout LoRA keys (``blocks.{i}.attn.a_to_qkv.
+    lora_A.weight``, optionally with a peft ``.default.`` infix) -> the
+    kohya/BFL underscore layout, with a scalar ``.alpha`` emitted per pair
+    (defaulting to the rank, i.e. neutral alpha/rank scaling).  Targets
+    without a kohya name (per-leaf q/k/v adapters) are dropped, matching
+    the reference."""
+    out: Dict[str, np.ndarray] = {}
+    for name, param in sd.items():
+        names = name.split(".")
+        if len(names) < 4:
+            continue
+        if names[-2] not in ("lora_A", "lora_B"):
+            names.pop(-2)  # peft ".default." infix
+        prefix, block_id = names[0], names[1]
+        middle = ".".join(names[2:-2])
+        if prefix not in _OPENSOURCE_PREFIX or middle not in _OPENSOURCE_MIDDLE:
+            continue
+        suffix = ("lora_up.weight" if names[-2] == "lora_B"
+                  else "lora_down.weight")
+        rename = (f"{_OPENSOURCE_PREFIX[prefix]}_{block_id}_"
+                  f"{_OPENSOURCE_MIDDLE[middle]}.{suffix}")
+        out[rename] = np.asarray(param)
+        if suffix == "lora_up.weight":
+            a = alpha if alpha is not None else param.shape[-1]
+            out[rename.replace("lora_up.weight", "alpha")] = np.asarray(
+                a, dtype=np.asarray(param).dtype)
+    return out
+
+
+def flux_lora_to_canonical(sd: Dict[str, np.ndarray]):
+    """``FluxLoRAConverter.align_to_diffsynth_format`` (flux.py:256-306):
+    kohya/BFL underscore keys -> canonical dotted layout (``blocks.{i}.
+    attn.a_to_qkv.lora_A.weight``).  Unrecognized keys pass through
+    unchanged, like the reference."""
+    inv_prefix = {v: k for k, v in _OPENSOURCE_PREFIX.items()}
+    inv_middle = {v: k for k, v in _OPENSOURCE_MIDDLE.items()}
+    out: Dict[str, np.ndarray] = {}
+    for name, param in sd.items():
+        m = re.match(
+            r"(lora_unet_(?:double|single)_blocks)_(\d+)_(.+)\.lora_(down|up)\.weight",
+            name)
+        if m and m.group(3) in inv_middle:
+            ab = "lora_A" if m.group(4) == "down" else "lora_B"
+            out[f"{inv_prefix[m.group(1)]}.{m.group(2)}."
+                f"{inv_middle[m.group(3)]}.{ab}.weight"] = param
+        else:
+            out[name] = param
+    return out

@@ -108,7 +108,9 @@ def normalize_flux_lora_to_reference(sd: Dict[str, Any]) -> Dict[str, Any]:
                                                    "single_blocks."))
            for k in sd):
         return sd
-    from .lora import _collect
+    from .lora import _collect, guess_lora_alpha
+
+    scale = guess_lora_alpha(sd)  # kohya .alpha -> sqrt(alpha/rank) per factor
 
     _SLICES = {  # canonical split leaf -> (fused leaf, col block, n blocks)
         "attn.a_to_q": ("attn.a_to_qkv", 0, 3),
@@ -125,6 +127,7 @@ def normalize_flux_lora_to_reference(sd: Dict[str, Any]) -> Dict[str, Any]:
     grouped: Dict[tuple, list] = {}
     out: Dict[str, Any] = {}
     for family, i, leaf, A, B in _collect(sd):
+        A, B = A * scale, B * scale
         fam = "blocks" if family == "double" else "single_blocks"
         if leaf in _SLICES:
             grouped.setdefault((fam, i, _SLICES[leaf][0]), []).append(

@@ -93,3 +93,87 @@ def test_unrecognized_lora_raises():
     params = init_flux_dit_params(jax.random.key(11), CFG)
     with pytest.raises(ValueError):
         load_flux_lora(params, CFG, {"bogus.key": np.zeros((2, 2))})
+
+
+def test_kohya_alpha_scaling():
+    """A kohya `.alpha` key scales the fused update by alpha/rank
+    (reference guess_alpha, utils/lora/flux.py:113-123)."""
+    from fairygen_tpu.models.flux.lora import guess_lora_alpha
+
+    params = init_flux_dit_params(jax.random.key(20), CFG)
+    base = np.asarray(params["double_blocks"]["attn"]["a_qkv"]["w"])
+    A, B = _ba(21)
+    sd = {
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight": A,
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight":
+            np.tile(B, (3, 1)),
+        "lora_unet_double_blocks_0_img_attn_qkv.alpha": np.float32(6.0),
+    }
+    assert np.isclose(guess_lora_alpha(sd), np.sqrt(6.0 / R))
+    params = load_flux_lora(params, CFG, sd)
+    w = np.asarray(params["double_blocks"]["attn"]["a_qkv"]["w"])
+    delta = (sd["lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight"]
+             @ sd["lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight"]).T
+    np.testing.assert_allclose(w[0], base[0] + (6.0 / R) * delta, atol=1e-4)
+
+
+def _canonical_sd():
+    A, B = _ba(22)
+    return {
+        "blocks.1.attn.a_to_qkv.lora_A.default.weight": np.tile(A, (1, 3)),
+        "blocks.1.attn.a_to_qkv.lora_B.default.weight": np.tile(B, (3, 1)),
+        "blocks.1.ff_b.0.lora_A.weight": A,
+        "blocks.1.ff_b.0.lora_B.weight": B,
+        "single_blocks.2.norm.linear.lora_A.weight": A,
+        "single_blocks.2.norm.linear.lora_B.weight": B,
+        "blocks.1.attn.a_to_q.lora_A.weight": A,  # no kohya name -> dropped
+        "blocks.1.attn.a_to_q.lora_B.weight": B,
+    }
+
+
+def test_opensource_converter_roundtrip():
+    from fairygen_tpu.models.flux.lora import (
+        flux_lora_to_canonical, flux_lora_to_opensource)
+
+    open_sd = flux_lora_to_opensource(_canonical_sd())
+    assert "lora_unet_double_blocks_1_img_attn_qkv.lora_up.weight" in open_sd
+    assert float(open_sd["lora_unet_double_blocks_1_img_attn_qkv.alpha"]) == R
+    assert not any("a_to_q" in k for k in open_sd)
+    back = flux_lora_to_canonical(open_sd)
+    assert "blocks.1.attn.a_to_qkv.lora_A.weight" in back
+    np.testing.assert_array_equal(
+        back["single_blocks.2.norm.linear.lora_B.weight"],
+        _canonical_sd()["single_blocks.2.norm.linear.lora_B.weight"])
+
+
+def test_opensource_converter_differential_vs_reference():
+    """Key-for-key, value-for-value match with the reference
+    FluxLoRAConverter.align_to_opensource_format (flux.py:211-255)."""
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference/animation"):
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, "/root/reference/animation")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import _ref_import
+        import torch
+
+        _ref_import.install_stubs()
+        from diffsynth.utils.lora.flux import FluxLoRAConverter
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference diffsynth not importable: {e}")
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+
+    from fairygen_tpu.models.flux.lora import flux_lora_to_opensource
+
+    sd = _canonical_sd()
+    ref = FluxLoRAConverter.align_to_opensource_format(
+        {k: torch.tensor(v) for k, v in sd.items()})
+    ours = flux_lora_to_opensource(sd)
+    assert set(ref) == set(ours)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), ours[k], atol=1e-6)
