@@ -276,3 +276,108 @@ def fuse_lora_into_wan_dit(params, lora_state_dict, cfg, alpha: float = 1.0):
             w.astype(jnp.float32) + jnp.asarray(stack)
         ).astype(w.dtype)
     return params, n_fused
+
+
+# ------------------------------------------------------------- hot (unfused)
+def _wan_lora_layer_key(target: str):
+    """'blocks.N.self_attn.q' / 'blocks.N.ffn.0' -> (i, sub, proj)."""
+    m = re.match(r"blocks\.(\d+)\.(self_attn|cross_attn)\.(q|k|v|o)$", target)
+    if m:
+        return int(m.group(1)), m.group(2), m.group(3)
+    m = re.match(r"blocks\.(\d+)\.ffn\.(0|2)$", target)
+    if m:
+        return int(m.group(1)), "ffn", "fc1" if m.group(2) == "0" else "fc2"
+    return None
+
+
+def hot_lora_into_wan_dit(params, lora_state_dict, alpha: float = 1.0,
+                          dtype=None):
+    """Attach a (torch-layout) Wan-DiT LoRA as runtime adapters WITHOUT
+    fusing — the reference's hot-load path (base_pipeline.py:249-264:
+    ``AutoWrappedLinear.lora_A_weights.append``; applied per forward,
+    layers.py:417-427).  Works on quantized (int8) base weights, which
+    fuse-at-load cannot.
+
+    Multiple calls rank-concatenate: ``Σ_i α_i·B_i A_i x`` equals one
+    concatenated pair, so swapping adapter sets with the same TOTAL rank
+    keeps every pytree shape — the jitted denoise does not retrace.
+    Remove all hot adapters with ``clear_hot_lora`` (the reference's
+    ``pipe.clear_lora()``; fused LoRAs cannot be cleared, same caveat).
+
+    Returns (params, n_attached)."""
+    sd = normalize_lora_keys(lora_state_dict)
+    targets = sorted({k[: -len(".lora_B.weight")] for k in sd
+                      if k.endswith(".lora_B.weight")})
+    params = jax.tree.map(lambda x: x, params)  # shallow copy
+    blocks = dict(params["blocks"])
+    L = jax.tree.leaves(blocks["modulation"])[0].shape[0]
+
+    per_layer: Dict[tuple, dict] = {}  # (sub, proj) -> {i: (down, up)}
+    n = 0
+    for t in targets:
+        loc = _wan_lora_layer_key(t)
+        if loc is None:
+            continue
+        i, sub, proj = loc
+        per_layer.setdefault((sub, proj), {})[i] = (
+            sd[t + ".lora_A.weight"].astype(np.float32),  # (r, in)
+            sd[t + ".lora_B.weight"].astype(np.float32),  # (out, r)
+        )
+        n += 1
+
+    for (sub, proj), entries in per_layer.items():
+        outer = dict(blocks[sub])
+        layer = dict(outer[proj])
+        w = layer.get("w", layer.get("w_int8"))
+        d_in, d_out = w.shape[-2], w.shape[-1]
+        dt = dtype or (w.dtype if "w" in layer else jnp.bfloat16)
+        r = max(a.shape[0] for a, _ in entries.values())
+        A = np.zeros((L, d_in, r), np.float32)
+        B = np.zeros((L, r, d_out), np.float32)
+        for i, (down, up) in entries.items():
+            A[i, :, : down.shape[0]] = down.T
+            B[i, : down.shape[0], :] = alpha * up.T
+        if "lora" in layer:
+            old = layer["lora"]
+            extra = set(old) - {"A", "B", "scale"}
+            if extra:
+                raise ValueError(
+                    f"{sub}.{proj} already carries a training adapter "
+                    f"(keys {sorted(extra)}); hot LoRAs cannot stack on it")
+            old_b = jnp.asarray(old["B"], jnp.float32)
+            sc = jnp.asarray(old.get("scale", 1.0), jnp.float32)
+            old_b = old_b * sc.reshape(sc.shape + (1,) * (old_b.ndim - sc.ndim))
+            # no "scale" leaf: hot alphas are folded into B (a python float
+            # would be a scan leaf with no leading axis; an (L,) array a
+            # pointless extra input)
+            layer["lora"] = {
+                "A": jnp.concatenate(
+                    [jnp.asarray(old["A"], dt), jnp.asarray(A, dt)], axis=-1),
+                "B": jnp.concatenate(
+                    [old_b.astype(dt), jnp.asarray(B, dt)], axis=-2),
+            }
+        else:
+            layer["lora"] = {"A": jnp.asarray(A, dt), "B": jnp.asarray(B, dt)}
+        outer[proj] = layer
+        blocks[sub] = outer
+    params["blocks"] = blocks
+    return params, n
+
+
+def clear_hot_lora(params):
+    """Strip every runtime ``lora`` entry (reference ``clear_lora``,
+    base_pipeline.py:269-277).  Returns (params, n_cleared)."""
+    cleared = [0]
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "lora" and isinstance(v, dict) and "A" in v:
+                    cleared[0] += 1
+                    continue
+                out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params), cleared[0]

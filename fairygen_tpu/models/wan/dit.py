@@ -247,10 +247,11 @@ def _apply_dense(p, x):
     if "w_int8" in p:
         from ...ops.quant import quantized_dense
 
-        return quantized_dense(p, x)
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
-    if "b" in p:
-        y = y + p["b"]
+        y = quantized_dense(p, x)
+    else:
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"]
     if "lora" in p:
         from ..adapters import apply_adapter
 

@@ -379,18 +379,45 @@ class WanVideoPipeline:
                 self.dit2_params, groups, consume=True)
         return self
 
-    def load_lora(self, lora_path_or_sd, alpha: float = 1.0):
+    def load_lora(self, lora_path_or_sd, alpha: float = 1.0,
+                  hotload: bool = False):
         """Merge a LoRA into the DiT base weights at load time
-        (reference base_pipeline.py:231-267 / utils/lora/general.py:44)."""
+        (reference base_pipeline.py:231-267 / utils/lora/general.py:44).
+
+        ``hotload=True`` attaches it as runtime adapters instead
+        (reference hot-load, base_pipeline.py:249-264): unfused, clearable
+        with ``clear_lora()``, stacks across calls by rank-concatenation,
+        and works on int8-quantized base weights.  Same-total-rank swaps
+        keep pytree shapes, so the jitted denoise does not retrace."""
         from ..core.io import load_state_dict
-        from ..models.adapters import fuse_lora_into_wan_dit
 
         sd = (load_state_dict(lora_path_or_sd)
               if isinstance(lora_path_or_sd, str) else lora_path_or_sd)
-        self.dit_params, n = fuse_lora_into_wan_dit(
-            self.dit_params, sd, self.dit_cfg, alpha=alpha
-        )
-        print(f"{n} tensors fused by LoRA.")
+        if hotload:
+            from ..models.adapters import hot_lora_into_wan_dit
+
+            self.dit_params, n = hot_lora_into_wan_dit(
+                self.dit_params, sd, alpha=alpha, dtype=self.dtype)
+            print(f"{n} tensors patched by LoRA (hot).")
+        else:
+            from ..models.adapters import fuse_lora_into_wan_dit
+
+            self.dit_params, n = fuse_lora_into_wan_dit(
+                self.dit_params, sd, self.dit_cfg, alpha=alpha
+            )
+            print(f"{n} tensors fused by LoRA.")
+        return self
+
+    def clear_lora(self):
+        """Drop every hot-loaded LoRA (reference clear_lora,
+        base_pipeline.py:269-277; fused LoRAs cannot be cleared)."""
+        from ..models.adapters import clear_hot_lora
+
+        self.dit_params, n = clear_hot_lora(self.dit_params)
+        if self.dit2_params is not None:
+            self.dit2_params, n2 = clear_hot_lora(self.dit2_params)
+            n += n2
+        print(f"{n} LoRA layers cleared.")
         return self
 
     # ----------------------------------------------------------- text encode

@@ -323,3 +323,88 @@ def test_make_optimizer_adafactor_trains_with_less_state():
 
     with __import__("pytest").raises(ValueError):
         make_optimizer("8bit_adam")
+
+
+def _tiny_sd(key, rank=3, scale=0.05, blocks=(0,), targets=("self_attn.q", "ffn.0")):
+    """Reference-layout LoRA state dict on a subset of layers."""
+    rs = np.random.RandomState(key)
+    sd = {}
+    dims = {"self_attn.q": (96, 96), "self_attn.o": (96, 96),
+            "cross_attn.v": (96, 96), "ffn.0": (96, 128), "ffn.2": (128, 96)}
+    for i in blocks:
+        for t in targets:
+            din, dout = dims[t]
+            sd[f"blocks.{i}.{t}.lora_A.weight"] = (
+                rs.randn(rank, din).astype(np.float32) * scale)
+            sd[f"blocks.{i}.{t}.lora_B.weight"] = (
+                rs.randn(dout, rank).astype(np.float32) * scale)
+    return sd
+
+
+@pytest.mark.slow
+def test_hot_lora_matches_fused():
+    """hotload attaches the same math fuse bakes in (base_pipeline.py:
+    249-264 vs general.py:44-62), and clear_hot_lora restores base."""
+    from fairygen_tpu.models.adapters import clear_hot_lora, hot_lora_into_wan_dit
+
+    params = init_dit_params(jax.random.key(0), CFG)
+    sd = _tiny_sd(0, targets=("self_attn.q", "cross_attn.v", "ffn.0", "ffn.2"))
+    base = _fwd(params)
+    hot, n = hot_lora_into_wan_dit(params, sd, alpha=0.7)
+    assert n == len(sd) // 2
+    fused, _ = fuse_lora_into_wan_dit(params, sd, CFG, alpha=0.7)
+    np.testing.assert_allclose(np.asarray(_fwd(hot)), np.asarray(_fwd(fused)),
+                               atol=1e-4)
+    cleared, nc = clear_hot_lora(hot)
+    assert nc == 4
+    np.testing.assert_allclose(np.asarray(_fwd(cleared)), np.asarray(base),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_hot_lora_rank_concat_no_retrace():
+    """Two hot loads rank-concatenate (update = sum of both), and a
+    same-total-rank swap keeps the exact pytree structure+shapes, so the
+    jitted denoise would not retrace."""
+    from fairygen_tpu.models.adapters import hot_lora_into_wan_dit
+
+    params = init_dit_params(jax.random.key(0), CFG)
+    sd1, sd2 = _tiny_sd(1), _tiny_sd(2)
+    once, _ = hot_lora_into_wan_dit(params, sd1)
+    both, _ = hot_lora_into_wan_dit(once, sd2)
+    fused1, _ = fuse_lora_into_wan_dit(params, sd1, CFG)
+    fused12, _ = fuse_lora_into_wan_dit(fused1, sd2, CFG)
+    np.testing.assert_allclose(np.asarray(_fwd(both)), np.asarray(_fwd(fused12)),
+                               atol=1e-4)
+
+    swap_a, _ = hot_lora_into_wan_dit(params, _tiny_sd(3, rank=6))
+    swap_b, _ = hot_lora_into_wan_dit(params, _tiny_sd(4, rank=6))
+    sa = jax.tree.map(lambda x: (jnp.shape(x), jnp.asarray(x).dtype), swap_a)
+    sb = jax.tree.map(lambda x: (jnp.shape(x), jnp.asarray(x).dtype), swap_b)
+    assert jax.tree_util.tree_structure(sa) == jax.tree_util.tree_structure(sb)
+    assert jax.tree.leaves(sa) == jax.tree.leaves(sb)
+
+
+def test_hot_lora_on_quantized_weights():
+    """Hot LoRA rides int8 base weights — fuse-at-load cannot (the
+    reference's hotload exists for exactly this: patching without
+    touching managed base weights)."""
+    from fairygen_tpu.models.adapters import hot_lora_into_wan_dit
+    from fairygen_tpu.models.wan.dit import _apply_dense
+    from fairygen_tpu.ops.quant import quantize_dense_params
+
+    w = np.asarray(jax.random.normal(jax.random.key(0), (96, 96)) * 0.1)
+    layer = {"w": jnp.asarray(w), "b": jnp.zeros((96,))}
+    qlayer = quantize_dense_params(layer)
+    assert "w_int8" in qlayer
+    sd = _tiny_sd(5, targets=("self_attn.q",))
+    A = sd["blocks.0.self_attn.q.lora_A.weight"]
+    B = sd["blocks.0.self_attn.q.lora_B.weight"]
+    qlayer = dict(qlayer)
+    qlayer["lora"] = {"A": jnp.asarray(A.T), "B": jnp.asarray(B.T),
+                      "scale": 1.0}
+    x = jax.random.normal(jax.random.key(1), (2, 96))
+    got = _apply_dense(qlayer, x)
+    want = _apply_dense({k: v for k, v in qlayer.items() if k != "lora"}, x)
+    want = want + (x @ jnp.asarray(A.T)) @ jnp.asarray(B.T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
