@@ -35,8 +35,14 @@ def main():
     p.add_argument("--model_paths", type=str, required=True,
                    help='JSON list of checkpoint paths (hash-detected)')
     p.add_argument("--tokenizer_path", type=str, default=None)
-    p.add_argument("--lora", type=str, default=None)
+    p.add_argument("--lora", type=str, default=None,
+                   help="LoRA fused into the base weights at startup")
     p.add_argument("--lora_alpha", type=float, default=1.0)
+    p.add_argument("--hot_lora", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="repeatable NAME=PATH registry entries for "
+                        "per-request adapter selection (requests pass "
+                        'params {"lora": NAME[, "lora_alpha": a]})')
     p.add_argument("--negative_prompt", type=str, default=NEGATIVE_PROMPT)
     p.add_argument("--fps", type=int, default=15)
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -83,7 +89,10 @@ def main():
             with open(path, "rb") as f:
                 return {"mp4_base64": base64.b64encode(f.read()).decode()}
 
-    base_fn = video_generate_fn(pipe, fps=args.fps)
+    loras = None
+    if args.hot_lora:
+        loras = dict(kv.split("=", 1) for kv in args.hot_lora)
+    base_fn = video_generate_fn(pipe, fps=args.fps, loras=loras)
 
     def gen(prompts, **params):
         params.setdefault("negative_prompt", args.negative_prompt)

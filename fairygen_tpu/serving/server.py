@@ -215,15 +215,37 @@ def t2i_generate_fn(pipe):
     return fn
 
 
-def video_generate_fn(pipe, *, fps: int = 15):
+def video_generate_fn(pipe, *, fps: int = 15, loras=None):
     """Adapt a WanVideoPipeline to the engine.
 
     Requests bucket by (height, width, num_frames, steps, ...) compile
     signature; generation runs per prompt.  Minute-long requests report
     per-dispatch denoise progress through the engine (GET /status/<id> on
-    the server), using the pipeline's ``progress_callback`` hook."""
+    the server), using the pipeline's ``progress_callback`` hook.
+
+    ``loras``: optional {name: state-dict-or-path} registry for
+    per-request adapter selection — requests pass ``lora`` (a registry
+    name, or null for the base model) and optionally ``lora_alpha``.
+    Both ride the compile signature, so one batch shares one adapter;
+    switching between buckets hot-swaps via clear_lora + hotload (no
+    retrace when total ranks match — adapters stay unfused)."""
+    state = {"active": (None, None)}
+
+    def _select(name, alpha):
+        if name is not None and (loras is None or name not in loras):
+            raise ValueError(f"unknown lora {name!r} (registry: "
+                             f"{sorted(loras or {})})")
+        if name is None:
+            alpha = None  # base model: alpha irrelevant, avoid spurious swaps
+        if state["active"] == (name, alpha):
+            return
+        pipe.clear_lora()
+        if name is not None:
+            pipe.load_lora(loras[name], alpha=alpha, hotload=True)
+        state["active"] = (name, alpha)
 
     def fn(prompts, _progress=None, **params):
+        _select(params.pop("lora", None), params.pop("lora_alpha", 1.0))
         params.setdefault("output_type", "np")
         outs = []
         n = len(prompts)

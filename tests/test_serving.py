@@ -369,3 +369,73 @@ def test_per_request_hot_lora_scales_bucket_and_pass_through():
     assert by_scale == {(1.0, 0.0): {"a0", "a1"}, (0.0, 1.0): {"b0"}}
     # a and b carried different signatures (separate buckets)
     assert a[0].signature() == a[1].signature() != b.signature()
+
+
+def test_video_per_request_lora_selection():
+    """Per-request adapter selection on the video path: requests carry a
+    registry name; the adapter hot-swaps (clear + hotload) between
+    signature buckets and outputs match direct pipeline calls."""
+    import jax
+
+    import pytest
+    import jax.numpy as jnp
+
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.models.wan.vae import WanVAEConfig
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.serving.server import video_generate_fn
+
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2)
+    ctx = jnp.zeros((1, 7, 32), jnp.float32)
+
+    class PromptlessPipe(WanVideoPipeline):
+        def __call__(self, prompt=None, progress_callback=None, **params):
+            return super().__call__(
+                context=ctx, cfg_scale=1.0, seed=1, height=32, width=32,
+                num_frames=5, num_inference_steps=2, output_type="latents")
+
+    def mk():
+        return PromptlessPipe(
+            dit_params=init_dit_params(jax.random.key(0), cfg), dit_cfg=cfg,
+            vae_cfg=WanVAEConfig.wan21_16(), dtype=jnp.float32)
+
+    rs = np.random.RandomState(0)
+    def lora(scale):
+        return {
+            "blocks.0.self_attn.q.lora_A.weight":
+                rs.randn(4, 96).astype(np.float32) * scale,
+            "blocks.0.self_attn.q.lora_B.weight":
+                rs.randn(96, 4).astype(np.float32) * scale,
+        }
+    loras = {"style_a": lora(0.1), "style_b": lora(0.2)}
+
+    pipe = mk()
+    fn = video_generate_fn(pipe, loras=loras)
+    eng = BatchingEngine(fn, max_batch=1, max_wait_ms=1)
+    try:
+        r_base = eng.submit("x")
+        r_a = eng.submit("x", lora="style_a")
+        r_b = eng.submit("x", lora="style_b")
+        r_a2 = eng.submit("x", lora="style_a")
+        r_bad = eng.submit("x", lora="nope")
+        outs = [np.asarray(r.wait(timeout=120)) for r in (r_base, r_a, r_b, r_a2)]
+        with pytest.raises(RuntimeError):
+            r_bad.wait(timeout=120)
+    finally:
+        eng.shutdown()
+
+    direct = mk()
+    want_base = np.asarray(direct())
+    direct.load_lora(loras["style_a"], hotload=True)
+    want_a = np.asarray(direct())
+    direct.clear_lora().load_lora(loras["style_b"], hotload=True)
+    want_b = np.asarray(direct())
+
+    np.testing.assert_allclose(outs[0], want_base, atol=1e-5)
+    np.testing.assert_allclose(outs[1], want_a, atol=1e-5)
+    np.testing.assert_allclose(outs[2], want_b, atol=1e-5)
+    np.testing.assert_allclose(outs[3], want_a, atol=1e-5)
+    assert np.abs(want_a - want_base).max() > 1e-6
+    assert np.abs(want_b - want_a).max() > 1e-6
