@@ -51,6 +51,16 @@ def main():
                    help="prompts per engine batch (video is per-sample "
                         "compute-saturated on one chip; >1 only queues)")
     p.add_argument("--max_wait_ms", type=float, default=100.0)
+    p.add_argument("--continuous", type=int, default=0, metavar="SLOTS",
+                   help="step-level continuous batching with SLOTS slots "
+                        "(serving/continuous.py): requests join/leave the "
+                        "batch at denoise-step boundaries instead of "
+                        "queueing behind whole clips.  Fixes the shape "
+                        "bucket to --bucket_height/width/frames; t2v "
+                        "single-expert pipelines only")
+    p.add_argument("--bucket_height", type=int, default=480)
+    p.add_argument("--bucket_width", type=int, default=832)
+    p.add_argument("--bucket_frames", type=int, default=81)
     p.add_argument("--request_timeout", type=float, default=1800.0,
                    help="sync-request wall cap; use async for long clips")
     p.add_argument("--quantize", type=str, default=None,
@@ -92,15 +102,30 @@ def main():
     loras = None
     if args.hot_lora:
         loras = dict(kv.split("=", 1) for kv in args.hot_lora)
-    base_fn = video_generate_fn(pipe, fps=args.fps, loras=loras)
 
-    def gen(prompts, **params):
-        params.setdefault("negative_prompt", args.negative_prompt)
-        return base_fn(prompts, **params)
+    if args.continuous > 0:
+        if loras:
+            p.error("--hot_lora requires the request-level engine "
+                    "(adapters ride whole batches, not slots)")
+        from fairygen_tpu.serving.continuous import (
+            ContinuousEngine, WanSlotStepper)
 
-    gen.supports_progress = True
-    engine = BatchingEngine(
-        gen, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        engine = ContinuousEngine(
+            WanSlotStepper(pipe, height=args.bucket_height,
+                           width=args.bucket_width,
+                           num_frames=args.bucket_frames),
+            num_slots=args.continuous,
+            default_params={"negative_prompt": args.negative_prompt})
+    else:
+        base_fn = video_generate_fn(pipe, fps=args.fps, loras=loras)
+
+        def gen(prompts, **params):
+            params.setdefault("negative_prompt", args.negative_prompt)
+            return base_fn(prompts, **params)
+
+        gen.supports_progress = True
+        engine = BatchingEngine(
+            gen, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
     server = InferenceServer(engine, host=args.host, port=args.port,
                              encode_result=encode_mp4,
                              request_timeout=args.request_timeout).start()

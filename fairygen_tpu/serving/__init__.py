@@ -1,3 +1,4 @@
+from .continuous import ContinuousEngine, WanSlotStepper
 from .server import (
     BatchingEngine,
     InferenceServer,
@@ -6,5 +7,6 @@ from .server import (
     t2i_generate_fn,
 )
 
-__all__ = ["BatchingEngine", "InferenceServer", "Request",
-           "sdxl_generate_fn", "t2i_generate_fn"]
+__all__ = ["BatchingEngine", "ContinuousEngine", "InferenceServer",
+           "Request", "WanSlotStepper", "sdxl_generate_fn",
+           "t2i_generate_fn"]

@@ -1,0 +1,336 @@
+"""Step-level continuous batching for diffusion serving.
+
+The batch-bucketed ``BatchingEngine`` (server.py) admits requests only at
+*request* boundaries: a 4-step preview stuck behind a 100-sweep flagship
+clip waits the full minute.  This module is the TPU-native answer to
+vLLM-style continuous batching, adapted from token-level autoregression
+to **denoise-step-level** diffusion scheduling:
+
+  - **One compiled program, fixed slots.** The whole service runs a single
+    jitted batched denoise step with ``B = num_slots``; static shapes mean
+    zero recompilation at admission/eviction.  ``wan_dit_forward`` natively
+    takes per-sample ``(B,)`` timesteps, so every slot advances on its OWN
+    schedule (own step index, own sigma table, own CFG scale, own prompt
+    context) inside one MXU-saturating dispatch.
+  - **Step-boundary admission.** A request joins the batch at the next
+    step boundary (sub-second at flagship shapes) instead of waiting for
+    in-flight requests to finish; it leaves at its own step count.  Free
+    slots ride along with ``dsig = 0`` (their rows are mathematically
+    frozen: the Euler update adds ``v * 0``).
+  - **Exactness.** Batch rows are independent in the DiT (per-sample
+    norms/attention/timestep-modulation), so each request's trajectory is
+    the same math as a dedicated ``WanVideoPipeline`` run of the text-only
+    path, including the per-prompt cross-attention k/v hoist.
+
+Scope: the text-to-video conditioning path of ``WanVideoPipeline`` with a
+single DiT expert, one latent-shape bucket per engine (run one engine per
+(height, width, frames) bucket behind a router for mixed workloads), and
+two DiT sweeps per step (slots with ``cfg_scale == 1`` reuse the positive
+context for the negative sweep, which keeps the program uniform).
+
+No reference analogue: the reference (CloudEngineHub/FairyGen) ships only
+a one-request-at-a-time Gradio demo (stylization app.py); serving is this
+framework's own deployment story.
+"""
+from __future__ import annotations
+
+import functools
+import threading
+from collections import deque
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .server import Request
+
+
+@functools.partial(jax.jit, static_argnames=("dit_cfg",), donate_argnums=(1,))
+def _slot_step(params, lat, t, ctx, nctx, cfg, dsig, ckv_p, ckv_n, *,
+               dit_cfg):
+    """One batched denoise step; ``t``/``cfg``/``dsig`` are per-slot (B,).
+
+    Same math as the dedicated pipeline's CFG step (_denoise_chunk,
+    pipelines/wan_video.py: two sweeps, f32 CFG combine, Euler update cast
+    to the latent dtype)."""
+    from ..models.wan.dit import wan_dit_forward
+
+    v_posi = wan_dit_forward(params, dit_cfg, lat, t, ctx, cross_kv=ckv_p)
+    v_nega = wan_dit_forward(params, dit_cfg, lat, t, nctx, cross_kv=ckv_n)
+    v = v_nega + cfg[:, None, None, None, None] * (v_posi - v_nega)
+    return lat + v.astype(lat.dtype) * dsig[:, None, None, None, None].astype(
+        lat.dtype)
+
+
+@dataclass
+class _SlotPlan:
+    """Everything a request needs once admitted to a slot."""
+    lat0: jnp.ndarray        # (1, C, F, H, W) initial noise
+    ctx: jnp.ndarray         # (1, L, text_dim)
+    nctx: jnp.ndarray        # (1, L, text_dim) negative (== ctx if no CFG)
+    sigmas: np.ndarray       # (n + 1,) f32, trailing 0.0 appended
+    timesteps: np.ndarray    # (n,) f32
+    cfg_scale: float
+    output_type: str
+    streaming_vae: bool
+
+
+@dataclass
+class _Slot:
+    req: Request
+    plan: _SlotPlan
+    step: int = 0
+
+    @property
+    def n(self) -> int:
+        return len(self.plan.timesteps)
+
+    @property
+    def done(self) -> bool:
+        return self.step >= self.n
+
+
+class WanSlotStepper:
+    """Adapts a ``WanVideoPipeline`` (t2v path) to slot-level stepping.
+
+    One stepper == one shape bucket: (height, width, num_frames) and the
+    context length are fixed at construction so the batched step program
+    compiles exactly once."""
+
+    def __init__(self, pipe, *, height: int = 480, width: int = 832,
+                 num_frames: int = 81, context_len: Optional[int] = None):
+        if pipe.dit2_params is not None:
+            raise ValueError(
+                "continuous batching supports single-expert pipelines only "
+                "(slots at different steps would straddle the dit/dit2 "
+                "boundary); serve two-expert models via BatchingEngine")
+        if pipe.mesh is not None:
+            raise ValueError(
+                "slot stepping is single-device for now — the batch axis "
+                "would need to ride the data mesh axis")
+        self.pipe = pipe
+        self.height, self.width, self.num_frames = height, width, num_frames
+        self.latent_shape = pipe._latent_shape(height, width, num_frames)[1:]
+        self.context_len = context_len
+        # mirror the dedicated pipeline's use_ckv gate (text-only path)
+        self.use_ckv = not pipe.dit_cfg.has_image_input
+
+    # -- per-request ------------------------------------------------------
+    def prepare(self, prompt: Optional[str] = None, *, context=None,
+                negative_prompt: str = "", negative_context=None,
+                seed: int = 0, num_inference_steps: int = 50,
+                cfg_scale: float = 5.0, sigma_shift: float = 5.0,
+                output_type: str = "quantized",
+                streaming_vae: bool = False) -> _SlotPlan:
+        from ..core.noise import generate_noise
+        from ..diffusion.flow_match import FlowMatchScheduler
+
+        pipe = self.pipe
+        if context is None:
+            context = pipe.encode_prompt(prompt)
+        if cfg_scale != 1.0 and negative_context is None:
+            if pipe.tokenizer is None:
+                raise ValueError(
+                    "cfg_scale != 1 with no text encoder loaded: pass "
+                    "negative_context= explicitly")
+            negative_context = pipe.encode_prompt(negative_prompt)
+        if self.context_len is None:
+            self.context_len = int(context.shape[1])
+        if context.shape[1] != self.context_len:
+            raise ValueError(
+                f"context length {context.shape[1]} != engine bucket "
+                f"{self.context_len} (fixed per compiled program)")
+        if cfg_scale == 1.0:
+            negative_context = context  # uniform program; combine is a no-op
+
+        lat0 = generate_noise((1,) + self.latent_shape, seed=seed,
+                              dtype=pipe.dtype)
+        sched = FlowMatchScheduler("Wan").set_timesteps(
+            num_inference_steps, shift=sigma_shift)
+        return _SlotPlan(
+            lat0=lat0, ctx=context,
+            nctx=negative_context.astype(context.dtype),
+            sigmas=np.append(np.asarray(sched.sigmas, np.float32), 0.0),
+            timesteps=np.asarray(sched.timesteps, np.float32),
+            cfg_scale=float(cfg_scale), output_type=output_type,
+            streaming_vae=streaming_vae,
+        )
+
+    # -- batched ------------------------------------------------------------
+    def init_batch(self, num_slots: int, ctx_proto: jnp.ndarray):
+        lat = jnp.zeros((num_slots,) + self.latent_shape, self.pipe.dtype)
+        ctx = jnp.zeros((num_slots,) + ctx_proto.shape[1:], ctx_proto.dtype)
+        return lat, ctx, jnp.zeros_like(ctx)
+
+    def cross_kv(self, ctx_b):
+        if not self.use_ckv:
+            return None
+        from ..pipelines.wan_video import _cross_kv
+
+        return _cross_kv(self.pipe.dit_params, ctx_b,
+                         dit_cfg=self.pipe.dit_cfg)
+
+    def step_batch(self, lat, t, ctx_b, nctx_b, cfg, dsig, ckv_p, ckv_n):
+        return _slot_step(self.pipe.dit_params, lat,
+                          jnp.asarray(t, jnp.float32), ctx_b, nctx_b,
+                          jnp.asarray(cfg, jnp.float32),
+                          jnp.asarray(dsig, jnp.float32), ckv_p, ckv_n,
+                          dit_cfg=self.pipe.dit_cfg)
+
+    def decode(self, lat_row, plan: _SlotPlan):
+        return self.pipe._decode_output(
+            lat_row[None], output_type=plan.output_type,
+            streaming_vae=plan.streaming_vae)
+
+
+class ContinuousEngine:
+    """Slot scheduler: admits queued requests into free slots at step
+    boundaries and drives one batched denoise step per iteration.
+
+    The denoise loop never blocks on admission (prepare/encode runs on the
+    scheduler thread between steps); a finished slot's VAE decode runs
+    inline — at flagship shapes that is ~8% of a clip, amortized across
+    the other slots' progress."""
+
+    def __init__(self, stepper: WanSlotStepper, *, num_slots: int = 2,
+                 default_params: Optional[Dict[str, Any]] = None,
+                 max_finished: int = 256):
+        self.stepper = stepper
+        self.num_slots = num_slots
+        self.default_params = default_params or {}
+        self.max_finished = max_finished
+        self._queue: deque = deque()
+        self._requests: Dict[str, Request] = {}  # id -> live/finished
+        self._finished: deque = deque()  # finished ids, oldest first
+        self._lock = threading.Condition()
+        self._stop = False
+        self._stats = {"requests": 0, "completed": 0, "errors": 0,
+                       "steps": 0, "slot_steps": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="fairygen-continuous")
+        self._thread.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(self, prompt: Optional[str] = None, **params) -> Request:
+        req = Request(prompt=prompt, params={**self.default_params, **params})
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("engine is shut down")
+            self._queue.append(req)
+            self._stats["requests"] += 1
+            self._requests[req.id] = req
+            self._lock.notify()
+        return req
+
+    def get(self, request_id: str) -> Optional[Request]:
+        with self._lock:
+            return self._requests.get(request_id)
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            out = dict(self._stats)
+        out["mean_occupancy"] = (out["slot_steps"] / out["steps"]
+                                 if out["steps"] else 0.0)
+        return out
+
+    def shutdown(self, timeout: float = 30.0):
+        with self._lock:
+            self._stop = True
+            self._lock.notify()
+        self._thread.join(timeout)
+
+    # -- scheduler thread --------------------------------------------------
+    def _finish(self, req: Request):
+        """Mark done + bound the finished-request index (results can be
+        whole decoded videos; mirror BatchingEngine's eviction window)."""
+        req._done.set()
+        with self._lock:
+            key = "errors" if req.error is not None else "completed"
+            self._stats[key] += 1
+            self._finished.append(req.id)
+            while len(self._finished) > self.max_finished:
+                self._requests.pop(self._finished.popleft(), None)
+
+    def _admit(self, slots: List[Optional[_Slot]], state):
+        """Fill free slots from the queue; returns the updated device state.
+
+        ``state`` is (lat, ctx_b, nctx_b, ckv_p, ckv_n) or None before the
+        first admission."""
+        refreshed = False
+        for j in range(self.num_slots):
+            if slots[j] is not None:
+                continue
+            with self._lock:
+                req = self._queue.popleft() if self._queue else None
+            if req is None:
+                break
+            try:
+                plan = self.stepper.prepare(req.prompt, **req.params)
+            except Exception as e:  # noqa: BLE001 - surfaced per-request
+                req.error = f"{type(e).__name__}: {e}"
+                self._finish(req)
+                continue
+            if state is None:
+                state = self.stepper.init_batch(self.num_slots, plan.ctx)
+                state = state + (None, None)
+            lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+            lat = lat.at[j].set(plan.lat0[0])
+            ctx_b = ctx_b.at[j].set(plan.ctx[0])
+            nctx_b = nctx_b.at[j].set(plan.nctx[0])
+            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+            slots[j] = _Slot(req=req, plan=plan)
+            refreshed = True
+        if refreshed:
+            lat, ctx_b, nctx_b, _, _ = state
+            state = (lat, ctx_b, nctx_b, self.stepper.cross_kv(ctx_b),
+                     self.stepper.cross_kv(nctx_b))
+        return state
+
+    def _run(self):
+        slots: List[Optional[_Slot]] = [None] * self.num_slots
+        state = None
+        while True:
+            state = self._admit(slots, state)
+            active = [s for s in slots if s is not None]
+            if not active:
+                with self._lock:
+                    if self._stop and not self._queue:
+                        return
+                    if not self._queue:
+                        self._lock.wait(timeout=0.1)
+                continue
+
+            lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+            t = np.zeros((self.num_slots,), np.float32)
+            dsig = np.zeros((self.num_slots,), np.float32)
+            cfg = np.ones((self.num_slots,), np.float32)
+            for j, s in enumerate(slots):
+                if s is None or s.done:
+                    continue
+                t[j] = s.plan.timesteps[s.step]
+                dsig[j] = s.plan.sigmas[s.step + 1] - s.plan.sigmas[s.step]
+                cfg[j] = s.plan.cfg_scale
+            lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
+                                          ckv_p, ckv_n)
+            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+            with self._lock:
+                self._stats["steps"] += 1
+                self._stats["slot_steps"] += len(active)
+
+            for j, s in enumerate(slots):
+                if s is None:
+                    continue
+                s.step += 1
+                s.req.progress = min(s.step / s.n, 1.0)
+                if not s.done:
+                    continue
+                try:
+                    s.req.result = self.stepper.decode(lat[j], s.plan)
+                except Exception as e:  # noqa: BLE001
+                    s.req.error = f"{type(e).__name__}: {e}"
+                s.req.progress = 1.0
+                slots[j] = None
+                self._finish(s.req)
