@@ -61,6 +61,11 @@ def main():
     p.add_argument("--bucket_height", type=int, default=480)
     p.add_argument("--bucket_width", type=int, default=832)
     p.add_argument("--bucket_frames", type=int, default=81)
+    p.add_argument("--slot_data", type=int, default=0,
+                   help="slot-parallel serving: shard the --continuous "
+                        "slot batch over a data=N mesh (weights "
+                        "replicated, one slot group per chip); mutually "
+                        "exclusive with --usp")
     p.add_argument("--request_timeout", type=float, default=1800.0,
                    help="sync-request wall cap; use async for long clips")
     p.add_argument("--quantize", type=str, default=None,
@@ -107,13 +112,25 @@ def main():
         if loras:
             p.error("--hot_lora requires the request-level engine "
                     "(adapters ride whole batches, not slots)")
+        if args.usp > 0:
+            p.error("--continuous shards the slot batch, not the token "
+                    "axis; use --slot_data instead of --usp")
         from fairygen_tpu.serving.continuous import (
             ContinuousEngine, WanSlotStepper)
 
+        slot_mesh = None
+        if args.slot_data > 0:
+            import jax
+
+            from fairygen_tpu.core.meshes import make_mesh
+
+            slot_mesh = make_mesh(data=args.slot_data,
+                                  devices=jax.devices()[:args.slot_data])
         engine = ContinuousEngine(
             WanSlotStepper(pipe, height=args.bucket_height,
                            width=args.bucket_width,
-                           num_frames=args.bucket_frames),
+                           num_frames=args.bucket_frames,
+                           slot_mesh=slot_mesh),
             num_slots=args.continuous,
             default_params={"negative_prompt": args.negative_prompt})
     else:

@@ -101,7 +101,8 @@ class WanSlotStepper:
     compiles exactly once."""
 
     def __init__(self, pipe, *, height: int = 480, width: int = 832,
-                 num_frames: int = 81, context_len: Optional[int] = None):
+                 num_frames: int = 81, context_len: Optional[int] = None,
+                 slot_mesh=None):
         if pipe.dit2_params is not None:
             raise ValueError(
                 "continuous batching supports single-expert pipelines only "
@@ -109,14 +110,27 @@ class WanSlotStepper:
                 "boundary); serve two-expert models via BatchingEngine")
         if pipe.mesh is not None:
             raise ValueError(
-                "slot stepping is single-device for now — the batch axis "
-                "would need to ride the data mesh axis")
+                "pass the mesh as slot_mesh= instead: slot stepping shards "
+                "the BATCH over the data axis (pipe.mesh would shard each "
+                "slot's token axis, mixing the two schemes)")
         self.pipe = pipe
         self.height, self.width, self.num_frames = height, width, num_frames
         self.latent_shape = pipe._latent_shape(height, width, num_frames)[1:]
         self.context_len = context_len
         # mirror the dedicated pipeline's use_ckv gate (text-only path)
         self.use_ckv = not pipe.dit_cfg.has_image_input
+        # slot-parallel serving: slots ride the mesh's data axis (weights
+        # replicated, batch sharded — per-slot math is unchanged, so N
+        # chips serve N independent schedules in one SPMD program)
+        self._batch_sharding = None
+        self._dit_params = pipe.dit_params
+        if slot_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.data_size = slot_mesh.shape["data"]
+            self._batch_sharding = NamedSharding(slot_mesh, P("data"))
+            self._dit_params = jax.device_put(
+                pipe.dit_params, NamedSharding(slot_mesh, P()))
 
     # -- per-request ------------------------------------------------------
     def prepare(self, prompt: Optional[str] = None, *, context=None,
@@ -161,8 +175,15 @@ class WanSlotStepper:
 
     # -- batched ------------------------------------------------------------
     def init_batch(self, num_slots: int, ctx_proto: jnp.ndarray):
+        if self._batch_sharding is not None and num_slots % self.data_size:
+            raise ValueError(
+                f"num_slots={num_slots} must be a multiple of the mesh "
+                f"data axis ({self.data_size}) for slot-parallel serving")
         lat = jnp.zeros((num_slots,) + self.latent_shape, self.pipe.dtype)
         ctx = jnp.zeros((num_slots,) + ctx_proto.shape[1:], ctx_proto.dtype)
+        if self._batch_sharding is not None:
+            lat = jax.device_put(lat, self._batch_sharding)
+            ctx = jax.device_put(ctx, self._batch_sharding)
         return lat, ctx, jnp.zeros_like(ctx)
 
     def cross_kv(self, ctx_b):
@@ -170,17 +191,19 @@ class WanSlotStepper:
             return None
         from ..pipelines.wan_video import _cross_kv
 
-        return _cross_kv(self.pipe.dit_params, ctx_b,
-                         dit_cfg=self.pipe.dit_cfg)
+        return _cross_kv(self._dit_params, ctx_b, dit_cfg=self.pipe.dit_cfg)
 
     def step_batch(self, lat, t, ctx_b, nctx_b, cfg, dsig, ckv_p, ckv_n):
-        return _slot_step(self.pipe.dit_params, lat,
+        return _slot_step(self._dit_params, lat,
                           jnp.asarray(t, jnp.float32), ctx_b, nctx_b,
                           jnp.asarray(cfg, jnp.float32),
                           jnp.asarray(dsig, jnp.float32), ckv_p, ckv_n,
                           dit_cfg=self.pipe.dit_cfg)
 
     def decode(self, lat_row, plan: _SlotPlan):
+        if self._batch_sharding is not None:
+            # pull the slot's shard back to the VAE's (single) device
+            lat_row = jnp.asarray(np.asarray(lat_row))
         return self.pipe._decode_output(
             lat_row[None], output_type=plan.output_type,
             streaming_vae=plan.streaming_vae)
@@ -277,9 +300,11 @@ class ContinuousEngine:
                 state = self.stepper.init_batch(self.num_slots, plan.ctx)
                 state = state + (None, None)
             lat, ctx_b, nctx_b, ckv_p, ckv_n = state
-            lat = lat.at[j].set(plan.lat0[0])
-            ctx_b = ctx_b.at[j].set(plan.ctx[0])
-            nctx_b = nctx_b.at[j].set(plan.nctx[0])
+            # rows go in as host arrays: uncommitted operands adopt the
+            # batch's sharding (slot-parallel mode shards over 'data')
+            lat = lat.at[j].set(np.asarray(plan.lat0[0]))
+            ctx_b = ctx_b.at[j].set(np.asarray(plan.ctx[0]))
+            nctx_b = nctx_b.at[j].set(np.asarray(plan.nctx[0]))
             state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
             slots[j] = _Slot(req=req, plan=plan)
             refreshed = True

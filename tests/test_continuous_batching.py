@@ -123,6 +123,41 @@ def test_admission_beyond_capacity_queues_and_errors_surface():
     np.testing.assert_allclose(outs[2], want, atol=2e-4, rtol=1e-4)
 
 
+def test_slot_parallel_mesh_matches_single_device():
+    """Slot-parallel serving: the slot batch rides the mesh 'data' axis
+    (weights replicated, one slot per device group) and every request
+    still matches its dedicated single-device pipeline run."""
+    from fairygen_tpu.core.meshes import make_mesh
+
+    mesh = make_mesh(data=2, devices=jax.devices()[:2])
+    pipe = _mk_pipe()
+    eng = ContinuousEngine(WanSlotStepper(
+        pipe, height=H, width=W, num_frames=F, slot_mesh=mesh), num_slots=2)
+    ctx_a, ctx_b, nctx = _ctx(1), _ctx(2), _ctx(3)
+    try:
+        r_a = eng.submit(context=ctx_a, negative_context=nctx, seed=11,
+                         num_inference_steps=3, cfg_scale=4.0,
+                         output_type="latents")
+        r_b = eng.submit(context=ctx_b, seed=22, num_inference_steps=5,
+                         cfg_scale=1.0, sigma_shift=3.0,
+                         output_type="latents")
+        out_a = np.asarray(r_a.wait(timeout=300))
+        out_b = np.asarray(r_b.wait(timeout=300))
+    finally:
+        eng.shutdown()
+
+    want_a = np.asarray(pipe(
+        context=ctx_a, negative_context=nctx, seed=11, height=H, width=W,
+        num_frames=F, num_inference_steps=3, cfg_scale=4.0,
+        output_type="latents"))
+    want_b = np.asarray(pipe(
+        context=ctx_b, seed=22, height=H, width=W, num_frames=F,
+        num_inference_steps=5, cfg_scale=1.0, sigma_shift=3.0,
+        output_type="latents"))
+    np.testing.assert_allclose(out_a, want_a, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
+
+
 def test_stepper_rejects_unsupported_pipelines():
     pipe = _mk_pipe()
     pipe.dit2_params = pipe.dit_params
