@@ -76,6 +76,18 @@ def main():
                    choices=["ulysses", "ring"])
     args = p.parse_args()
 
+    # flag validation BEFORE the (minutes-long) checkpoint load
+    if args.slot_data > 0 and args.continuous <= 0:
+        p.error("--slot_data shards the --continuous slot batch; it does "
+                "nothing for the request-level engine")
+    if args.continuous > 0 and args.usp > 0:
+        p.error("--continuous shards the slot batch, not the token axis; "
+                "use --slot_data instead of --usp")
+    if args.continuous > 0 and args.slot_data > 0 \
+            and args.continuous % args.slot_data:
+        p.error(f"--continuous {args.continuous} must be a multiple of "
+                f"--slot_data {args.slot_data}")
+
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
     from fairygen_tpu.serving import BatchingEngine, InferenceServer
     from fairygen_tpu.serving.server import video_generate_fn
@@ -112,9 +124,6 @@ def main():
         if loras:
             p.error("--hot_lora requires the request-level engine "
                     "(adapters ride whole batches, not slots)")
-        if args.usp > 0:
-            p.error("--continuous shards the slot batch, not the token "
-                    "axis; use --slot_data instead of --usp")
         from fairygen_tpu.serving.continuous import (
             ContinuousEngine, WanSlotStepper)
 

@@ -59,14 +59,10 @@ def main():
         make_wan_sft_train_step,
     )
 
-    pipe = WanVideoPipeline.from_pretrained(
-        json.loads(args.model_paths), tokenizer_path=args.tokenizer_path,
-        dtype=jnp.bfloat16,
-    )
-
     # reference train.py:156-165 plumbing: we train the DiT's LoRA only
     # (the VAE/TE are frozen preprocessing), so reject silently-ignored
-    # selections rather than train the wrong thing
+    # selections rather than train the wrong thing — and do it BEFORE the
+    # minutes-long checkpoint load
     for flag, val in (("trainable_models", args.trainable_models),
                       ("lora_base_model", args.lora_base_model)):
         if val not in (None, "dit"):
@@ -77,6 +73,11 @@ def main():
     if unknown:
         parser.error(f"--extra_inputs {unknown}: only input_image is "
                      "supported (first-frame conditioning, train.py:65-70)")
+
+    pipe = WanVideoPipeline.from_pretrained(
+        json.loads(args.model_paths), tokenizer_path=args.tokenizer_path,
+        dtype=jnp.bfloat16,
+    )
 
     stage2 = args.lora_checkpoint is not None
     params = add_lora_to_wan_dit(

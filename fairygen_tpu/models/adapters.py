@@ -339,22 +339,25 @@ def hot_lora_into_wan_dit(params, lora_state_dict, alpha: float = 1.0,
             B[i, : down.shape[0], :] = alpha * up.T
         if "lora" in layer:
             old = layer["lora"]
-            extra = set(old) - {"A", "B", "scale"}
+            # hot adapters are exactly {A, B}; anything else ("scale" from
+            # init_lora, "B2"/"mag" from stage-2/DoRA) is a TRAINING
+            # adapter — stacking would let a later clear_lora() silently
+            # strip the trained weights along with the hot ones
+            extra = set(old) - {"A", "B"}
             if extra:
                 raise ValueError(
                     f"{sub}.{proj} already carries a training adapter "
-                    f"(keys {sorted(extra)}); hot LoRAs cannot stack on it")
-            old_b = jnp.asarray(old["B"], jnp.float32)
-            sc = jnp.asarray(old.get("scale", 1.0), jnp.float32)
-            old_b = old_b * sc.reshape(sc.shape + (1,) * (old_b.ndim - sc.ndim))
-            # no "scale" leaf: hot alphas are folded into B (a python float
-            # would be a scan leaf with no leading axis; an (L,) array a
-            # pointless extra input)
+                    f"(keys {sorted(extra)}); fuse it first "
+                    "(load_lora(hotload=False)) — hot LoRAs cannot stack "
+                    "on it")
+            # no "scale" leaf on hot adapters: alphas are folded into B (a
+            # python float would be a scan leaf with no leading axis; an
+            # (L,) array a pointless extra input)
             layer["lora"] = {
                 "A": jnp.concatenate(
                     [jnp.asarray(old["A"], dt), jnp.asarray(A, dt)], axis=-1),
                 "B": jnp.concatenate(
-                    [old_b.astype(dt), jnp.asarray(B, dt)], axis=-2),
+                    [jnp.asarray(old["B"], dt), jnp.asarray(B, dt)], axis=-2),
             }
         else:
             layer["lora"] = {"A": jnp.asarray(A, dt), "B": jnp.asarray(B, dt)}

@@ -78,6 +78,10 @@ class _SlotPlan:
     streaming_vae: bool
 
 
+class _Idle(Exception):
+    """Scheduler-internal: no active slots this tick — wait for work."""
+
+
 @dataclass
 class _Slot:
     req: Request
@@ -113,6 +117,11 @@ class WanSlotStepper:
                 "pass the mesh as slot_mesh= instead: slot stepping shards "
                 "the BATCH over the data axis (pipe.mesh would shard each "
                 "slot's token axis, mixing the two schemes)")
+        if pipe.dit_cfg.has_image_input:
+            raise ValueError(
+                "continuous batching serves the t2v conditioning path only "
+                "(this DiT patchifies a y/mask conditioning stream that "
+                "_slot_step does not carry); serve i2v via BatchingEngine")
         self.pipe = pipe
         self.height, self.width, self.num_frames = height, width, num_frames
         self.latent_shape = pipe._latent_shape(height, width, num_frames)[1:]
@@ -143,6 +152,9 @@ class WanSlotStepper:
         from ..diffusion.flow_match import FlowMatchScheduler
 
         pipe = self.pipe
+        if num_inference_steps < 1:
+            raise ValueError(f"num_inference_steps must be >= 1, got "
+                             f"{num_inference_steps}")
         if context is None:
             context = pipe.encode_prompt(prompt)
         if cfg_scale != 1.0 and negative_context is None:
@@ -223,6 +235,11 @@ class ContinuousEngine:
                  max_finished: int = 256):
         self.stepper = stepper
         self.num_slots = num_slots
+        if (stepper._batch_sharding is not None
+                and num_slots % stepper.data_size):
+            raise ValueError(
+                f"num_slots={num_slots} must be a multiple of the mesh "
+                f"data axis ({stepper.data_size}) for slot-parallel serving")
         self.default_params = default_params or {}
         self.max_finished = max_finished
         self._queue: deque = deque()
@@ -292,13 +309,13 @@ class ContinuousEngine:
                 break
             try:
                 plan = self.stepper.prepare(req.prompt, **req.params)
+                if state is None:
+                    state = self.stepper.init_batch(
+                        self.num_slots, plan.ctx) + (None, None)
             except Exception as e:  # noqa: BLE001 - surfaced per-request
                 req.error = f"{type(e).__name__}: {e}"
                 self._finish(req)
                 continue
-            if state is None:
-                state = self.stepper.init_batch(self.num_slots, plan.ctx)
-                state = state + (None, None)
             lat, ctx_b, nctx_b, ckv_p, ckv_n = state
             # rows go in as host arrays: uncommitted operands adopt the
             # batch's sharding (slot-parallel mode shards over 'data')
@@ -318,44 +335,62 @@ class ContinuousEngine:
         slots: List[Optional[_Slot]] = [None] * self.num_slots
         state = None
         while True:
-            state = self._admit(slots, state)
-            active = [s for s in slots if s is not None]
-            if not active:
+            try:
+                state = self._tick(slots, state)
+            except _Idle:
                 with self._lock:
                     if self._stop and not self._queue:
                         return
                     if not self._queue:
                         self._lock.wait(timeout=0.1)
-                continue
-
-            lat, ctx_b, nctx_b, ckv_p, ckv_n = state
-            t = np.zeros((self.num_slots,), np.float32)
-            dsig = np.zeros((self.num_slots,), np.float32)
-            cfg = np.ones((self.num_slots,), np.float32)
-            for j, s in enumerate(slots):
-                if s is None or s.done:
-                    continue
-                t[j] = s.plan.timesteps[s.step]
-                dsig[j] = s.plan.sigmas[s.step + 1] - s.plan.sigmas[s.step]
-                cfg[j] = s.plan.cfg_scale
-            lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
-                                          ckv_p, ckv_n)
-            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
-            with self._lock:
-                self._stats["steps"] += 1
-                self._stats["slot_steps"] += len(active)
-
-            for j, s in enumerate(slots):
-                if s is None:
-                    continue
-                s.step += 1
-                s.req.progress = min(s.step / s.n, 1.0)
-                if not s.done:
-                    continue
-                try:
-                    s.req.result = self.stepper.decode(lat[j], s.plan)
-                except Exception as e:  # noqa: BLE001
+            except Exception as e:  # noqa: BLE001 - keep the server alive
+                # a batched-step/cross-kv failure (OOM, bad checkpoint...)
+                # cannot be attributed to one request: fail every active
+                # slot and reset, rather than silently killing the
+                # scheduler thread (which would hang all future requests)
+                for j, s in enumerate(slots):
+                    if s is None:
+                        continue
                     s.req.error = f"{type(e).__name__}: {e}"
-                s.req.progress = 1.0
-                slots[j] = None
-                self._finish(s.req)
+                    slots[j] = None
+                    self._finish(s.req)
+                state = None
+
+    def _tick(self, slots, state):
+        state = self._admit(slots, state)
+        active = [s for s in slots if s is not None]
+        if not active:
+            raise _Idle
+
+        lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+        t = np.zeros((self.num_slots,), np.float32)
+        dsig = np.zeros((self.num_slots,), np.float32)
+        cfg = np.ones((self.num_slots,), np.float32)
+        for j, s in enumerate(slots):
+            if s is None or s.done:
+                continue
+            t[j] = s.plan.timesteps[s.step]
+            dsig[j] = s.plan.sigmas[s.step + 1] - s.plan.sigmas[s.step]
+            cfg[j] = s.plan.cfg_scale
+        lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
+                                      ckv_p, ckv_n)
+        state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+        with self._lock:
+            self._stats["steps"] += 1
+            self._stats["slot_steps"] += len(active)
+
+        for j, s in enumerate(slots):
+            if s is None:
+                continue
+            s.step += 1
+            s.req.progress = min(s.step / s.n, 1.0)
+            if not s.done:
+                continue
+            try:
+                s.req.result = self.stepper.decode(lat[j], s.plan)
+            except Exception as e:  # noqa: BLE001
+                s.req.error = f"{type(e).__name__}: {e}"
+            s.req.progress = 1.0
+            slots[j] = None
+            self._finish(s.req)
+        return state

@@ -230,6 +230,7 @@ def video_generate_fn(pipe, *, fps: int = 15, loras=None):
     switching between buckets hot-swaps via clear_lora + hotload (no
     retrace when total ranks match — adapters stay unfused)."""
     state = {"active": (None, None)}
+    cache: Dict[str, Any] = {}  # name -> loaded state dict (path entries)
 
     def _select(name, alpha):
         if name is not None and (loras is None or name not in loras):
@@ -239,9 +240,21 @@ def video_generate_fn(pipe, *, fps: int = 15, loras=None):
             alpha = None  # base model: alpha irrelevant, avoid spurious swaps
         if state["active"] == (name, alpha):
             return
+        # invalidate BEFORE mutating: if load_lora fails after clear_lora,
+        # a later request for the old adapter must not be served base
+        # weights under the old label
+        state["active"] = (None, None)
         pipe.clear_lora()
         if name is not None:
-            pipe.load_lora(loras[name], alpha=alpha, hotload=True)
+            sd = loras[name]
+            if isinstance(sd, (str, bytes)):
+                # load each registry path once; swaps then skip disk/convert
+                sd = cache.get(name)
+                if sd is None:
+                    from ..core.io import load_state_dict
+
+                    sd = cache[name] = load_state_dict(loras[name])
+            pipe.load_lora(sd, alpha=alpha, hotload=True)
         state["active"] = (name, alpha)
 
     def fn(prompts, _progress=None, **params):

@@ -164,6 +164,41 @@ def test_stepper_rejects_unsupported_pipelines():
     with pytest.raises(ValueError, match="single-expert"):
         WanSlotStepper(pipe, height=H, width=W, num_frames=F)
 
+    import dataclasses
+    i2v = _mk_pipe()
+    i2v.dit_cfg = dataclasses.replace(CFG, has_image_input=True)
+    with pytest.raises(ValueError, match="t2v"):
+        WanSlotStepper(i2v, height=H, width=W, num_frames=F)
+
+
+def test_zero_step_request_errors_without_killing_the_scheduler():
+    """num_inference_steps=0 must surface as a per-request error (it used
+    to ZeroDivisionError the scheduler thread, hanging every request)."""
+    pipe = _mk_pipe()
+    eng = ContinuousEngine(WanSlotStepper(
+        pipe, height=H, width=W, num_frames=F), num_slots=2)
+    try:
+        bad = eng.submit(context=_ctx(1), num_inference_steps=0,
+                         cfg_scale=1.0, output_type="latents")
+        with pytest.raises(RuntimeError, match="num_inference_steps"):
+            bad.wait(timeout=60)
+        ok = eng.submit(context=_ctx(2), seed=5, num_inference_steps=2,
+                        cfg_scale=1.0, output_type="latents")
+        out = np.asarray(ok.wait(timeout=300))  # engine still serves
+    finally:
+        eng.shutdown()
+    assert out.shape == (1, 16, 2, 4, 4)
+
+
+def test_slot_parallel_rejects_indivisible_num_slots():
+    from fairygen_tpu.core.meshes import make_mesh
+
+    mesh = make_mesh(data=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        ContinuousEngine(WanSlotStepper(
+            pipe=_mk_pipe(), height=H, width=W, num_frames=F,
+            slot_mesh=mesh), num_slots=3)
+
 
 def test_continuous_engine_behind_http_server():
     """ContinuousEngine is a drop-in engine for InferenceServer: the async

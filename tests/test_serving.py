@@ -439,3 +439,90 @@ def test_video_per_request_lora_selection():
     np.testing.assert_allclose(outs[3], want_a, atol=1e-5)
     assert np.abs(want_a - want_base).max() > 1e-6
     assert np.abs(want_b - want_a).max() > 1e-6
+
+
+def test_video_lora_swap_failure_does_not_poison_active_state():
+    """If load_lora fails after clear_lora mid-swap, the engine must NOT
+    keep reporting the previous adapter as active — the next request for
+    it has to reload rather than silently serve base weights."""
+    import jax
+
+    import pytest
+    import jax.numpy as jnp
+
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.models.wan.vae import WanVAEConfig
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.serving.server import video_generate_fn
+
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2)
+    ctx = jnp.zeros((1, 7, 32), jnp.float32)
+
+    class PromptlessPipe(WanVideoPipeline):
+        def __call__(self, prompt=None, progress_callback=None, **params):
+            return super().__call__(
+                context=ctx, cfg_scale=1.0, seed=1, height=32, width=32,
+                num_frames=5, num_inference_steps=2, output_type="latents")
+
+    def mk():
+        return PromptlessPipe(
+            dit_params=init_dit_params(jax.random.key(0), cfg), dit_cfg=cfg,
+            vae_cfg=WanVAEConfig.wan21_16(), dtype=jnp.float32)
+
+    rs = np.random.RandomState(0)
+    sd_a = {"blocks.0.self_attn.q.lora_A.weight":
+                rs.randn(4, 96).astype(np.float32),
+            "blocks.0.self_attn.q.lora_B.weight":
+                rs.randn(96, 4).astype(np.float32)}
+    loras = {"a": sd_a, "b": "/nonexistent/adapter.safetensors"}
+
+    pipe = mk()
+    fn = video_generate_fn(pipe, loras=loras)
+    eng = BatchingEngine(fn, max_batch=1, max_wait_ms=1)
+    try:
+        out_a1 = np.asarray(eng.submit("x", lora="a").wait(timeout=120))
+        with pytest.raises(RuntimeError):  # clear_lora ran, load failed
+            eng.submit("x", lora="b").wait(timeout=120)
+        out_a2 = np.asarray(eng.submit("x", lora="a").wait(timeout=120))
+        out_base = np.asarray(eng.submit("x").wait(timeout=120))
+    finally:
+        eng.shutdown()
+
+    np.testing.assert_allclose(out_a2, out_a1, atol=1e-6)
+    assert np.abs(out_a2 - out_base).max() > 1e-6, (
+        "request for adapter 'a' after a failed swap was served base "
+        "weights under the old label")
+
+
+def test_hot_lora_refuses_to_stack_on_training_adapter():
+    """hotload onto a pipeline carrying an UNFUSED training adapter must
+    raise: a later clear_lora() would silently strip the trained weights
+    (the {A, B, scale} layout used to slip past the guard)."""
+    import jax
+
+    import pytest
+    import jax.numpy as jnp
+
+    from fairygen_tpu.models.adapters import add_lora_to_wan_dit
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.models.wan.vae import WanVAEConfig
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=128, out_dim=16, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2)
+    params = add_lora_to_wan_dit(
+        init_dit_params(jax.random.key(0), cfg), jax.random.key(1), rank=4,
+        targets=("q",))
+    pipe = WanVideoPipeline(dit_params=params, dit_cfg=cfg,
+                            vae_cfg=WanVAEConfig.wan21_16(),
+                            dtype=jnp.float32)
+    rs = np.random.RandomState(0)
+    sd = {"blocks.0.self_attn.q.lora_A.weight":
+              rs.randn(4, 96).astype(np.float32),
+          "blocks.0.self_attn.q.lora_B.weight":
+              rs.randn(96, 4).astype(np.float32)}
+    with pytest.raises(ValueError, match="training adapter"):
+        pipe.load_lora(sd, hotload=True)
