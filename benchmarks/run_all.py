@@ -23,6 +23,7 @@ SUITE = (
     "benchmark_img2img.py",
     "benchmark_controlnet.py",
     "benchmark_ip_adapters.py",
+    "benchmark_serving.py",
 )
 
 

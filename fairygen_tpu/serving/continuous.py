@@ -14,9 +14,14 @@ to **denoise-step-level** diffusion scheduling:
     context) inside one MXU-saturating dispatch.
   - **Step-boundary admission.** A request joins the batch at the next
     step boundary (sub-second at flagship shapes) instead of waiting for
-    in-flight requests to finish; it leaves at its own step count.  Free
-    slots ride along with ``dsig = 0`` (their rows are mathematically
-    frozen: the Euler update adds ``v * 0``).
+    in-flight requests to finish; it leaves at its own step count.
+  - **Occupancy-sized batches.** On a single device the step batch is the
+    CONCATENATION of the active slots' latent rows (one compiled program
+    per occupancy level): a lone request pays exactly the dedicated
+    pipeline's step cost, and joint steps only happen while requests
+    genuinely overlap.  In slot-parallel (mesh) mode the batch stays at
+    ``num_slots`` sharded over the data axis — idle slots ride with
+    ``dsig = 0`` on chips that would otherwise sit idle.
   - **Exactness.** Batch rows are independent in the DiT (per-sample
     norms/attention/timestep-modulation), so each request's trajectory is
     the same math as a dedicated ``WanVideoPipeline`` run of the text-only
@@ -48,19 +53,28 @@ import jax.numpy as jnp
 from .server import Request
 
 
-@functools.partial(jax.jit, static_argnames=("dit_cfg",), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "use_cfg"),
+                   donate_argnums=(1,))
 def _slot_step(params, lat, t, ctx, nctx, cfg, dsig, ckv_p, ckv_n, *,
-               dit_cfg):
+               dit_cfg, use_cfg: bool = True):
     """One batched denoise step; ``t``/``cfg``/``dsig`` are per-slot (B,).
 
     Same math as the dedicated pipeline's CFG step (_denoise_chunk,
     pipelines/wan_video.py: two sweeps, f32 CFG combine, Euler update cast
-    to the latent dtype)."""
+    to the latent dtype).  ``use_cfg=False`` (every active slot at
+    cfg_scale == 1) compiles the single-sweep program — the combine with
+    cfg == 1 is exactly ``v_posi``, so skipping the negative sweep is
+    mathematically identical and halves the step for distilled/Turbo
+    few-step workloads."""
     from ..models.wan.dit import wan_dit_forward
 
     v_posi = wan_dit_forward(params, dit_cfg, lat, t, ctx, cross_kv=ckv_p)
-    v_nega = wan_dit_forward(params, dit_cfg, lat, t, nctx, cross_kv=ckv_n)
-    v = v_nega + cfg[:, None, None, None, None] * (v_posi - v_nega)
+    if use_cfg:
+        v_nega = wan_dit_forward(params, dit_cfg, lat, t, nctx,
+                                 cross_kv=ckv_n)
+        v = v_nega + cfg[:, None, None, None, None] * (v_posi - v_nega)
+    else:
+        v = v_posi
     return lat + v.astype(lat.dtype) * dsig[:, None, None, None, None].astype(
         lat.dtype)
 
@@ -87,6 +101,7 @@ class _Slot:
     req: Request
     plan: _SlotPlan
     step: int = 0
+    lat: Optional[jnp.ndarray] = None  # (1, C, F, H, W); compact mode only
 
     @property
     def n(self) -> int:
@@ -205,12 +220,13 @@ class WanSlotStepper:
 
         return _cross_kv(self._dit_params, ctx_b, dit_cfg=self.pipe.dit_cfg)
 
-    def step_batch(self, lat, t, ctx_b, nctx_b, cfg, dsig, ckv_p, ckv_n):
+    def step_batch(self, lat, t, ctx_b, nctx_b, cfg, dsig, ckv_p, ckv_n,
+                   use_cfg: bool = True):
         return _slot_step(self._dit_params, lat,
                           jnp.asarray(t, jnp.float32), ctx_b, nctx_b,
                           jnp.asarray(cfg, jnp.float32),
                           jnp.asarray(dsig, jnp.float32), ckv_p, ckv_n,
-                          dit_cfg=self.pipe.dit_cfg)
+                          dit_cfg=self.pipe.dit_cfg, use_cfg=use_cfg)
 
     def decode(self, lat_row, plan: _SlotPlan):
         if self._batch_sharding is not None:
@@ -249,6 +265,7 @@ class ContinuousEngine:
         self._stop = False
         self._stats = {"requests": 0, "completed": 0, "errors": 0,
                        "steps": 0, "slot_steps": 0}
+        self._compact_cache: Dict[str, Any] = {}
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fairygen-continuous")
         self._thread.start()
@@ -297,8 +314,11 @@ class ContinuousEngine:
     def _admit(self, slots: List[Optional[_Slot]], state):
         """Fill free slots from the queue; returns the updated device state.
 
-        ``state`` is (lat, ctx_b, nctx_b, ckv_p, ckv_n) or None before the
-        first admission."""
+        In slot-parallel (mesh) mode ``state`` is the fixed-size
+        (lat, ctx_b, nctx_b, ckv_p, ckv_n) batch (None before the first
+        admission); in compact mode each slot carries its own latent row
+        and ``state`` stays None."""
+        fixed = self.stepper._batch_sharding is not None
         refreshed = False
         for j in range(self.num_slots):
             if slots[j] is not None:
@@ -309,23 +329,24 @@ class ContinuousEngine:
                 break
             try:
                 plan = self.stepper.prepare(req.prompt, **req.params)
-                if state is None:
+                if fixed and state is None:
                     state = self.stepper.init_batch(
                         self.num_slots, plan.ctx) + (None, None)
             except Exception as e:  # noqa: BLE001 - surfaced per-request
                 req.error = f"{type(e).__name__}: {e}"
                 self._finish(req)
                 continue
-            lat, ctx_b, nctx_b, ckv_p, ckv_n = state
-            # rows go in as host arrays: uncommitted operands adopt the
-            # batch's sharding (slot-parallel mode shards over 'data')
-            lat = lat.at[j].set(np.asarray(plan.lat0[0]))
-            ctx_b = ctx_b.at[j].set(np.asarray(plan.ctx[0]))
-            nctx_b = nctx_b.at[j].set(np.asarray(plan.nctx[0]))
-            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
-            slots[j] = _Slot(req=req, plan=plan)
+            if fixed:
+                lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+                # rows go in as host arrays: uncommitted operands adopt
+                # the batch's sharding (slot-parallel shards over 'data')
+                lat = lat.at[j].set(np.asarray(plan.lat0[0]))
+                ctx_b = ctx_b.at[j].set(np.asarray(plan.ctx[0]))
+                nctx_b = nctx_b.at[j].set(np.asarray(plan.nctx[0]))
+                state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+            slots[j] = _Slot(req=req, plan=plan, lat=plan.lat0)
             refreshed = True
-        if refreshed:
+        if fixed and refreshed:
             lat, ctx_b, nctx_b, _, _ = state
             state = (lat, ctx_b, nctx_b, self.stepper.cross_kv(ctx_b),
                      self.stepper.cross_kv(nctx_b))
@@ -355,42 +376,101 @@ class ContinuousEngine:
                     slots[j] = None
                     self._finish(s.req)
                 state = None
+                self._compact_cache = {}
 
     def _tick(self, slots, state):
         state = self._admit(slots, state)
-        active = [s for s in slots if s is not None]
-        if not active:
+        if not any(s is not None for s in slots):
             raise _Idle
+        if self.stepper._batch_sharding is not None:
+            return self._tick_fixed(slots, state)
+        self._tick_compact(slots)
+        return None
 
-        lat, ctx_b, nctx_b, ckv_p, ckv_n = state
-        t = np.zeros((self.num_slots,), np.float32)
-        dsig = np.zeros((self.num_slots,), np.float32)
-        cfg = np.ones((self.num_slots,), np.float32)
-        for j, s in enumerate(slots):
-            if s is None or s.done:
-                continue
-            t[j] = s.plan.timesteps[s.step]
-            dsig[j] = s.plan.sigmas[s.step + 1] - s.plan.sigmas[s.step]
-            cfg[j] = s.plan.cfg_scale
-        lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
-                                      ckv_p, ckv_n)
-        state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+    def _bookkeep(self, slots, order, lat_of):
+        """Advance per-slot counters after a step; decode + free finished
+        slots.  ``lat_of(j)`` returns slot j's (C, F, H, W) latent row."""
         with self._lock:
             self._stats["steps"] += 1
-            self._stats["slot_steps"] += len(active)
-
-        for j, s in enumerate(slots):
-            if s is None:
-                continue
+            self._stats["slot_steps"] += len(order)
+        for j in order:
+            s = slots[j]
             s.step += 1
             s.req.progress = min(s.step / s.n, 1.0)
             if not s.done:
                 continue
             try:
-                s.req.result = self.stepper.decode(lat[j], s.plan)
+                s.req.result = self.stepper.decode(lat_of(j), s.plan)
             except Exception as e:  # noqa: BLE001
                 s.req.error = f"{type(e).__name__}: {e}"
             s.req.progress = 1.0
             slots[j] = None
             self._finish(s.req)
-        return state
+
+    def _schedule(self, slots, order):
+        """Per-slot step inputs for the slots in ``order``; t/dsig/cfg
+        length len(order).  Idle entries never appear (order is active)."""
+        t = np.array([slots[j].plan.timesteps[slots[j].step]
+                      for j in order], np.float32)
+        dsig = np.array(
+            [slots[j].plan.sigmas[slots[j].step + 1]
+             - slots[j].plan.sigmas[slots[j].step] for j in order],
+            np.float32)
+        cfg = np.array([slots[j].plan.cfg_scale for j in order], np.float32)
+        # all-cfg==1 steps (distilled/Turbo workloads) skip the negative
+        # sweep — exactly v_posi, half the compute (both variants are
+        # shape-static programs)
+        return t, dsig, cfg, bool((cfg != 1.0).any())
+
+    def _tick_compact(self, slots):
+        """Single-device path: the batch is OCCUPANCY-sized — active slots'
+        latent rows concatenate into a (P, ...) batch, so a lone request
+        pays exactly the dedicated-pipeline step cost and joint steps only
+        happen while requests genuinely overlap.  Compiles one program per
+        occupancy level (≤ num_slots, typically 2-4)."""
+        order = tuple(j for j, s in enumerate(slots)
+                      if s is not None and not s.done)
+        if not order:
+            raise _Idle
+        c = self._compact_cache
+        # key by REQUEST identity, not just slot indices: a freed slot
+        # refilled while its neighbour stays active leaves the index tuple
+        # unchanged, but the new occupant must not step with the previous
+        # occupant's context
+        key = tuple((j, slots[j].req.id) for j in order)
+        if c.get("key") != key:
+            ctx = jnp.concatenate([slots[j].plan.ctx for j in order])
+            nctx = jnp.concatenate([slots[j].plan.nctx for j in order])
+            c = self._compact_cache = {
+                "key": key, "ctx": ctx, "nctx": nctx,
+                "ckv_p": self.stepper.cross_kv(ctx),
+                "ckv_n": self.stepper.cross_kv(nctx)}
+        lat_p = (slots[order[0]].lat if len(order) == 1 else
+                 jnp.concatenate([slots[j].lat for j in order]))
+        t, dsig, cfg, use_cfg = self._schedule(slots, order)
+        lat_p = self.stepper.step_batch(lat_p, t, c["ctx"], c["nctx"], cfg,
+                                        dsig, c["ckv_p"], c["ckv_n"],
+                                        use_cfg=use_cfg)
+        for i, j in enumerate(order):
+            slots[j].lat = lat_p[i:i + 1]
+        self._bookkeep(slots, order, lambda j: lat_p[order.index(j)])
+
+    def _tick_fixed(self, slots, state):
+        """Slot-parallel (mesh) path: fixed num_slots batch sharded over
+        the data axis — idle slots ride along (their chips would be idle
+        anyway), dsig=0 freezes their rows."""
+        lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+        order = tuple(j for j, s in enumerate(slots)
+                      if s is not None and not s.done)
+        if not order:
+            raise _Idle
+        t = np.zeros((self.num_slots,), np.float32)
+        dsig = np.zeros((self.num_slots,), np.float32)
+        cfg = np.ones((self.num_slots,), np.float32)
+        t_o, dsig_o, cfg_o, use_cfg = self._schedule(slots, order)
+        for i, j in enumerate(order):
+            t[j], dsig[j], cfg[j] = t_o[i], dsig_o[i], cfg_o[i]
+        lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
+                                      ckv_p, ckv_n, use_cfg=use_cfg)
+        self._bookkeep(slots, order, lambda j: lat[j])
+        return (lat, ctx_b, nctx_b, ckv_p, ckv_n)

@@ -141,3 +141,13 @@ def test_img2img_tiny(tmp_path):
     assert rows[0]["pipeline_cls"] == "SDXL-img2img"
     assert rows[0]["num_inference_steps"] == "1"  # ceil? 2 steps * 0.75 -> 1
     _check_csv(tmp_path / "i2i.csv", 1)
+
+
+@pytest.mark.slow
+def test_serving_tiny(tmp_path):
+    mod = _load("benchmark_serving")
+    rows = mod.run(_args(tmp_path / "serve.csv"))
+    assert [r["pipeline_cls"] for r in rows] == [
+        "WanServing-fifo", "WanServing-fifo-makespan",
+        "WanServing-continuous", "WanServing-continuous-makespan"]
+    _check_csv(tmp_path / "serve.csv", 4)

@@ -171,6 +171,32 @@ def test_stepper_rejects_unsupported_pipelines():
         WanSlotStepper(i2v, height=H, width=W, num_frames=F)
 
 
+def test_refilled_slot_uses_its_own_context():
+    """A slot freed and refilled while its neighbour stays active keeps
+    the slot-index tuple unchanged — the new occupant must still step
+    with ITS context (regression: the compact cache was keyed by slot
+    indices only and served the previous occupant's context)."""
+    pipe = _mk_pipe()
+    eng = ContinuousEngine(WanSlotStepper(
+        pipe, height=H, width=W, num_frames=F), num_slots=2)
+    try:
+        r_long = eng.submit(context=_ctx(1), seed=0, num_inference_steps=8,
+                            cfg_scale=1.0, output_type="latents")
+        r_s1 = eng.submit(context=_ctx(2), seed=1, num_inference_steps=2,
+                          cfg_scale=1.0, output_type="latents")
+        r_s2 = eng.submit(context=_ctx(3), seed=2, num_inference_steps=2,
+                          cfg_scale=1.0, output_type="latents")
+        outs = [np.asarray(r.wait(timeout=300))
+                for r in (r_long, r_s1, r_s2)]
+    finally:
+        eng.shutdown()
+    for out, (c, seed, n) in zip(outs, ((1, 0, 8), (2, 1, 2), (3, 2, 2))):
+        want = np.asarray(pipe(
+            context=_ctx(c), seed=seed, height=H, width=W, num_frames=F,
+            num_inference_steps=n, cfg_scale=1.0, output_type="latents"))
+        np.testing.assert_allclose(out, want, atol=2e-4, rtol=1e-4)
+
+
 def test_zero_step_request_errors_without_killing_the_scheduler():
     """num_inference_steps=0 must surface as a per-request error (it used
     to ZeroDivisionError the scheduler thread, hanging every request)."""
