@@ -131,8 +131,14 @@ def bench_continuous(pipe, ctx, shape, steps):
             return eng.submit(cfg_scale=1.0, seed=0, output_type="latents",
                               **p)
 
-        sync(submit(num_inference_steps=2,
-                    context=ctx).wait(timeout=3600))  # warm + drain
+        # warm EVERY occupancy level the scenario will hit: two staggered
+        # requests compile the B=2 joint-step program + its cross-kv, and
+        # the longer one finishes alone, compiling the B=1 pair — all
+        # outside the timed window
+        w1 = submit(num_inference_steps=8, context=ctx)
+        w2 = submit(num_inference_steps=3, context=ctx)
+        sync(w2.wait(timeout=3600))
+        sync(w1.wait(timeout=3600))
         return _submit_all(submit, ctx, shape, steps)
     finally:
         eng.shutdown()

@@ -248,7 +248,7 @@ class ContinuousEngine:
 
     def __init__(self, stepper: WanSlotStepper, *, num_slots: int = 2,
                  default_params: Optional[Dict[str, Any]] = None,
-                 max_finished: int = 256):
+                 max_finished: int = 256, max_inflight_steps: int = 2):
         self.stepper = stepper
         self.num_slots = num_slots
         if (stepper._batch_sharding is not None
@@ -266,6 +266,17 @@ class ContinuousEngine:
         self._stats = {"requests": 0, "completed": 0, "errors": 0,
                        "steps": 0, "slot_steps": 0}
         self._compact_cache: Dict[str, Any] = {}
+        # Backpressure: without it the scheduler thread enqueues EVERY
+        # remaining step of the current occupancy before a new request can
+        # influence anything — admission would happen on the dispatch
+        # timeline while the device executes the old schedule (the async
+        # dispatch queue is unbounded).  Bounding in-flight steps keeps
+        # step boundaries real: dispatch step k, then force step
+        # k - max_inflight to retire (scalar fetch) before the next
+        # admission decision.  W=2 keeps the device busy across the
+        # sync round-trip.
+        self.max_inflight_steps = max_inflight_steps
+        self._inflight: deque = deque()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fairygen-continuous")
         self._thread.start()
@@ -377,6 +388,7 @@ class ContinuousEngine:
                     self._finish(s.req)
                 state = None
                 self._compact_cache = {}
+                self._inflight.clear()
 
     def _tick(self, slots, state):
         state = self._admit(slots, state)
@@ -386,6 +398,16 @@ class ContinuousEngine:
             return self._tick_fixed(slots, state)
         self._tick_compact(slots)
         return None
+
+    def _backpressure(self, stepped):
+        """Queue a 1-element probe of this step's output; force the probe
+        from ``max_inflight_steps`` ago to materialize (which retires that
+        step and everything before it — the device stream is in-order).
+        The probe is its own tiny buffer, so later donation of the stepped
+        array never invalidates it."""
+        self._inflight.append(stepped[(0,) * stepped.ndim])
+        while len(self._inflight) > self.max_inflight_steps:
+            np.asarray(self._inflight.popleft())
 
     def _bookkeep(self, slots, order, lat_of):
         """Advance per-slot counters after a step; decode + free finished
@@ -451,6 +473,7 @@ class ContinuousEngine:
         lat_p = self.stepper.step_batch(lat_p, t, c["ctx"], c["nctx"], cfg,
                                         dsig, c["ckv_p"], c["ckv_n"],
                                         use_cfg=use_cfg)
+        self._backpressure(lat_p)
         for i, j in enumerate(order):
             slots[j].lat = lat_p[i:i + 1]
         self._bookkeep(slots, order, lambda j: lat_p[order.index(j)])
@@ -472,5 +495,6 @@ class ContinuousEngine:
             t[j], dsig[j], cfg[j] = t_o[i], dsig_o[i], cfg_o[i]
         lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
                                       ckv_p, ckv_n, use_cfg=use_cfg)
+        self._backpressure(lat)
         self._bookkeep(slots, order, lambda j: lat[j])
         return (lat, ctx_b, nctx_b, ckv_p, ckv_n)
