@@ -87,6 +87,9 @@ def main():
             and args.continuous % args.slot_data:
         p.error(f"--continuous {args.continuous} must be a multiple of "
                 f"--slot_data {args.slot_data}")
+    if args.continuous > 0 and args.hot_lora:
+        p.error("--hot_lora requires the request-level engine "
+                "(adapters ride whole batches, not slots)")
 
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
     from fairygen_tpu.serving import BatchingEngine, InferenceServer
@@ -121,9 +124,6 @@ def main():
         loras = dict(kv.split("=", 1) for kv in args.hot_lora)
 
     if args.continuous > 0:
-        if loras:
-            p.error("--hot_lora requires the request-level engine "
-                    "(adapters ride whole batches, not slots)")
         from fairygen_tpu.serving.continuous import (
             ContinuousEngine, WanSlotStepper)
 

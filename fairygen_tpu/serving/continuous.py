@@ -201,11 +201,14 @@ class WanSlotStepper:
         )
 
     # -- batched ------------------------------------------------------------
-    def init_batch(self, num_slots: int, ctx_proto: jnp.ndarray):
+    def validate_slots(self, num_slots: int) -> None:
         if self._batch_sharding is not None and num_slots % self.data_size:
             raise ValueError(
                 f"num_slots={num_slots} must be a multiple of the mesh "
                 f"data axis ({self.data_size}) for slot-parallel serving")
+
+    def init_batch(self, num_slots: int, ctx_proto: jnp.ndarray):
+        self.validate_slots(num_slots)
         lat = jnp.zeros((num_slots,) + self.latent_shape, self.pipe.dtype)
         ctx = jnp.zeros((num_slots,) + ctx_proto.shape[1:], ctx_proto.dtype)
         if self._batch_sharding is not None:
@@ -251,11 +254,7 @@ class ContinuousEngine:
                  max_finished: int = 256, max_inflight_steps: int = 2):
         self.stepper = stepper
         self.num_slots = num_slots
-        if (stepper._batch_sharding is not None
-                and num_slots % stepper.data_size):
-            raise ValueError(
-                f"num_slots={num_slots} must be a multiple of the mesh "
-                f"data axis ({stepper.data_size}) for slot-parallel serving")
+        stepper.validate_slots(num_slots)  # fail at construction, not admit
         self.default_params = default_params or {}
         self.max_finished = max_finished
         self._queue: deque = deque()
@@ -340,21 +339,24 @@ class ContinuousEngine:
                 break
             try:
                 plan = self.stepper.prepare(req.prompt, **req.params)
-                if fixed and state is None:
-                    state = self.stepper.init_batch(
-                        self.num_slots, plan.ctx) + (None, None)
+                if fixed:
+                    if state is None:
+                        state = self.stepper.init_batch(
+                            self.num_slots, plan.ctx) + (None, None)
+                    lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+                    # rows go in as host arrays: uncommitted operands
+                    # adopt the batch's sharding (slot-parallel shards
+                    # over 'data').  Inside the try: a failure here must
+                    # error THIS request, not vanish (the crash guard
+                    # only covers requests already in slots).
+                    lat = lat.at[j].set(np.asarray(plan.lat0[0]))
+                    ctx_b = ctx_b.at[j].set(np.asarray(plan.ctx[0]))
+                    nctx_b = nctx_b.at[j].set(np.asarray(plan.nctx[0]))
+                    state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
             except Exception as e:  # noqa: BLE001 - surfaced per-request
                 req.error = f"{type(e).__name__}: {e}"
                 self._finish(req)
                 continue
-            if fixed:
-                lat, ctx_b, nctx_b, ckv_p, ckv_n = state
-                # rows go in as host arrays: uncommitted operands adopt
-                # the batch's sharding (slot-parallel shards over 'data')
-                lat = lat.at[j].set(np.asarray(plan.lat0[0]))
-                ctx_b = ctx_b.at[j].set(np.asarray(plan.ctx[0]))
-                nctx_b = nctx_b.at[j].set(np.asarray(plan.nctx[0]))
-                state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
             slots[j] = _Slot(req=req, plan=plan, lat=plan.lat0)
             refreshed = True
         if fixed and refreshed:
@@ -462,11 +464,18 @@ class ContinuousEngine:
         key = tuple((j, slots[j].req.id) for j in order)
         if c.get("key") != key:
             ctx = jnp.concatenate([slots[j].plan.ctx for j in order])
-            nctx = jnp.concatenate([slots[j].plan.nctx for j in order])
+            ckv_p = self.stepper.cross_kv(ctx)
+            if all(slots[j].plan.cfg_scale == 1.0 for j in order):
+                # every step under this key runs use_cfg=False and never
+                # reads the negative side — alias it (nctx == ctx per
+                # prepare) instead of precomputing a dead ckv pytree
+                nctx, ckv_n = ctx, ckv_p
+            else:
+                nctx = jnp.concatenate([slots[j].plan.nctx for j in order])
+                ckv_n = self.stepper.cross_kv(nctx)
             c = self._compact_cache = {
                 "key": key, "ctx": ctx, "nctx": nctx,
-                "ckv_p": self.stepper.cross_kv(ctx),
-                "ckv_n": self.stepper.cross_kv(nctx)}
+                "ckv_p": ckv_p, "ckv_n": ckv_n}
         lat_p = (slots[order[0]].lat if len(order) == 1 else
                  jnp.concatenate([slots[j].lat for j in order]))
         t, dsig, cfg, use_cfg = self._schedule(slots, order)
