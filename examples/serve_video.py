@@ -16,6 +16,12 @@ GET /status/<id> (per-dispatch denoise progress), fetch GET /result/<id>.
       "prompt": "A cartoon pig walking in a forest",
       "async": true,
       "params": {"height": 480, "width": 832, "num_frames": 81}}'
+
+Step-level continuous batching (t2v single-expert; measured -54%
+short-request latency vs FIFO at equal makespan on one v5e):
+
+  python examples/serve_video.py ... --continuous 2 \
+      [--slot_data 2]   # slots sharded over a data=2 mesh
 """
 import argparse
 import base64
