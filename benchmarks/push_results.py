@@ -75,6 +75,12 @@ def annotate(current, previous):
     for row in current:
         prev = prev_by_key.get(tuple(row.get(k, "") for k in KEY_FIELDS))
         if prev is None:
+            # rows carried over from an older collated CSV may still hold a
+            # stale '(+x.xx%)' computed against an even older baseline —
+            # strip it rather than presenting it as a current delta
+            for field in DELTA_FIELDS:
+                if row.get(field):
+                    row[field] = _strip_annotation(row[field])
             continue
         for field in DELTA_FIELDS:
             try:

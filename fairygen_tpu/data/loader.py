@@ -78,6 +78,12 @@ class PrefetchLoader:
         self._lock = threading.Lock()
 
     def __len__(self):
+        if self.num_shards > 1:
+            # per-shard epoch length: the epoch is truncated to complete
+            # rounds of num_shards * shard_block and dealt out evenly, so
+            # each shard yields exactly this many items (not len(dataset))
+            rnd = self.num_shards * self.shard_block
+            return (len(self.dataset) // rnd) * self.shard_block
         return len(self.dataset)
 
     def _epoch_order(self):

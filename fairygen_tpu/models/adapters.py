@@ -265,6 +265,11 @@ def fuse_lora_into_wan_dit(params, lora_state_dict, cfg, alpha: float = 1.0):
             continue
         deltas.setdefault(key, [None] * L)[i] = delta
         n_fused += 1
+    if targets and n_fused == 0:
+        raise ValueError(
+            f"no LoRA target matched the Wan block layout (of "
+            f"{len(targets)}; e.g. {sorted(targets)[0]!r}) — is this a "
+            "Wan-DiT adapter?")
 
     for key, per_layer in deltas.items():
         _, sub, proj, _ = key
@@ -324,6 +329,13 @@ def hot_lora_into_wan_dit(params, lora_state_dict, alpha: float = 1.0,
             sd[t + ".lora_B.weight"].astype(np.float32),  # (out, r)
         )
         n += 1
+    if targets and n == 0:
+        # a LoRA in an unexpected layout must fail loudly, not report
+        # "0 tensors patched" as success (mirrors the fuse path's contract)
+        raise ValueError(
+            f"no LoRA target matched the Wan block layout (of "
+            f"{len(targets)}; e.g. {sorted(targets)[0]!r}) — is this a "
+            "Wan-DiT adapter?")
 
     for (sub, proj), entries in per_layer.items():
         outer = dict(blocks[sub])

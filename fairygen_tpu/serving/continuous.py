@@ -361,8 +361,16 @@ class ContinuousEngine:
             refreshed = True
         if fixed and refreshed:
             lat, ctx_b, nctx_b, _, _ = state
-            state = (lat, ctx_b, nctx_b, self.stepper.cross_kv(ctx_b),
-                     self.stepper.cross_kv(nctx_b))
+            ckv_p = self.stepper.cross_kv(ctx_b)
+            if all(s is None or s.plan.cfg_scale == 1.0 for s in slots):
+                # same dead-negative skip as the compact path: while every
+                # occupant runs use_cfg=False the nctx side is never read,
+                # so admissions shouldn't stall all slots for a second
+                # full-batch cross-KV pass (nctx rows == ctx rows here)
+                ckv_n = ckv_p
+            else:
+                ckv_n = self.stepper.cross_kv(nctx_b)
+            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
         return state
 
     def _run(self):
