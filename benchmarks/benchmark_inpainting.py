@@ -5,6 +5,13 @@ the framework's actual inpainting stack, SDXL/SD1.5 + BrushNet).
 Per model: VAE-encode the masked image, run the dual-branch CFG step
 (BrushNet conditioning branch + UNet) x steps, VAE-decode.  Zero weights
 (structure-true; wall-clock is weight-independent).
+
+``--few_step`` measures the BASELINE.md target workload ("SDXL + BrushNet
+1024px > 1 img/s/chip"): the LCM few-step no-CFG rollout (a single
+guidance-embedded sweep per step, ``examples/brushnet_stylize.py
+--scheduler lcm``), 4 steps.  The recipe that produces a real few-step
+BrushNet student is demonstrated in ``tests/test_distillation.py``
+(BrushNet-conditioned distillation).
 """
 import argparse
 import os
@@ -76,17 +83,19 @@ def bench_family(family, args):
     dtype = jnp.bfloat16
     ucfg, bcfg, vcfg, hw, pooled = _cfgs(family, args.preset)
     B = args.batch_size
+    # LCM few-step: guidance embedded in the student, single no-CFG sweep
+    nb = B if getattr(args, "few_step", False) else 2 * B
     up = init_unet2d_params(ucfg, dtype)
     bp = init_unet2d_params(bcfg, dtype, brushnet=True)
 
-    x = jnp.zeros((2 * B, ucfg.in_channels, hw, hw), dtype)
+    x = jnp.zeros((nb, ucfg.in_channels, hw, hw), dtype)
     t = jnp.asarray(500.0)
-    ehs = jnp.zeros((2 * B, 77, ucfg.cross_attention_dim), dtype)
-    cond = jnp.zeros((2 * B, 5, hw, hw), dtype)
+    ehs = jnp.zeros((nb, 77, ucfg.cross_attention_dim), dtype)
+    cond = jnp.zeros((nb, 5, hw, hw), dtype)
     kw = {}
     if pooled is not None:
-        kw = dict(text_embeds=jnp.zeros((2 * B, pooled), dtype),
-                  time_ids=jnp.zeros((2 * B, 6), jnp.float32))
+        kw = dict(text_embeds=jnp.zeros((nb, pooled), dtype),
+                  time_ids=jnp.zeros((nb, 6), jnp.float32))
 
     @jax.jit
     def step(up_p, bp_p, x):
@@ -117,7 +126,11 @@ def bench_family(family, args):
     total = dt * args.num_inference_steps + dt_enc + dt_dec
     label = {"sdxl": "1024px", "sd15": "512px"}[family] \
         if args.preset == "full" else "tiny"
-    return generate_csv_dict(f"{family.upper()}-BrushNet-inpaint", label,
+    name = f"{family.upper()}-BrushNet-inpaint"
+    if getattr(args, "few_step", False):
+        name = f"{family.upper()}-BrushNet-LCM"
+        label += "-nocfg"
+    return generate_csv_dict(name, label,
                              B, args.num_inference_steps, total,
                              memory_gbs=mem)
 
@@ -140,4 +153,10 @@ if __name__ == "__main__":
     add_common_args(p)
     p.add_argument("--models", nargs="+", choices=ALL_INPAINT_MODELS,
                    default=list(ALL_INPAINT_MODELS))
-    run(p.parse_args())
+    p.add_argument("--few_step", action="store_true",
+                   help="LCM few-step no-CFG mode (the >1 img/s target "
+                        "workload); pair with --num_inference_steps 4")
+    a = p.parse_args()
+    if a.few_step and a.num_inference_steps == 50:
+        a.num_inference_steps = 4
+    run(a)

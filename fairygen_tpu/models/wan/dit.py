@@ -244,6 +244,11 @@ def convert_dit_state_dict(sd: Dict[str, np.ndarray], cfg: WanDiTConfig, dtype=N
 
 # ------------------------------------------------------------------- forward
 def _apply_dense(p, x):
+    from ...ops import quant as _q
+
+    if _q._ACT_TAP is not None:  # stats tap (no-op when inactive)
+        w = p.get("w", p.get("w_int8"))
+        _q.record_activation_stats(f"dense_{x.shape[-1]}x{w.shape[-1]}", x)
     if "w_int8" in p:
         from ...ops.quant import quantized_dense
 

@@ -14,10 +14,76 @@ Usage: ``qp = quantize_dense_params(p)`` then ``quantized_dense(qp, x)``;
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+import contextlib
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+# ------------------------------------------------------- activation stats
+# Per-row symmetric int8 quantization has rms error ≈ step/√12 with
+# step = amax/127, so the per-row quantization SNR is
+#   SNR = rms / (amax/(127·√12)) = 127·√12 / crest ≈ 440 / crest,
+# where crest = amax/rms is the row's crest factor.  Outlier-heavy rows
+# (large crest) are exactly where W8A8 loses precision — these taps
+# measure that directly on real forwards instead of assuming
+# Gaussian-ness (crest ≈ 4–5 for Gaussian rows at dim 3072).
+_ACT_TAP: Optional[List] = None
+
+
+@contextlib.contextmanager
+def activation_stats_tap(tap: List):
+    """While active, every `_apply_dense`-style call that routes through
+    ``record_activation_stats`` appends a (label, stats-dict) entry to
+    ``tap``.  Entries are JAX values: captured eagerly they are concrete;
+    captured while tracing a function whose body runs entirely inside the
+    active context they are tracers the caller can return as outputs
+    (do NOT let scan-body tracers escape the scan — instrument a single
+    unrolled block instead, see tools/activation_stats.py)."""
+    global _ACT_TAP
+    prev = _ACT_TAP
+    _ACT_TAP = tap
+    try:
+        yield tap
+    finally:
+        _ACT_TAP = prev
+
+
+def activation_row_stats(x) -> Dict[str, Any]:
+    """Crest-factor statistics of the rows that per-row dynamic activation
+    scaling would quantize: (N, K) rows over the last axis."""
+    xf = jnp.asarray(x, jnp.float32).reshape(-1, x.shape[-1])
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    rms = jnp.sqrt(jnp.mean(xf * xf, axis=-1) + 1e-30)
+    crest = amax / rms
+    return {
+        "amax_max": jnp.max(amax),
+        "rms_mean": jnp.mean(rms),
+        "crest_mean": jnp.mean(crest),
+        "crest_p99": jnp.quantile(crest, 0.99),
+        "crest_max": jnp.max(crest),
+    }
+
+
+def record_activation_stats(label: str, x) -> None:
+    """Hook point for dense helpers (no-op unless a tap is active)."""
+    if _ACT_TAP is not None:
+        _ACT_TAP.append((label, activation_row_stats(x)))
+
+
+def weight_quant_report(w) -> Dict[str, float]:
+    """Per-column int8 weight-quant error for one (in, out) matrix:
+    relative rms reconstruction error and column crest factors."""
+    q = quantize_weight_int8(w)
+    wf = jnp.asarray(w, jnp.float32)
+    rec = q["w_int8"].astype(jnp.float32) * q["w_scale"][None, :]
+    rel = jnp.sqrt(jnp.sum((rec - wf) ** 2) / jnp.maximum(jnp.sum(wf**2), 1e-30))
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    rms = jnp.sqrt(jnp.mean(wf * wf, axis=0) + 1e-30)
+    crest = amax / rms
+    return {"rel_rms_err": float(rel), "crest_mean": float(jnp.mean(crest)),
+            "crest_max": float(jnp.max(crest))}
 
 
 def quantize_weight_int8(w) -> Dict[str, Any]:
