@@ -50,6 +50,25 @@ def test_sdxl_direct_distillation_trains_a_student():
 
 
 @pytest.mark.slow
+def test_brushnet_conditioned_distillation():
+    """BrushNet-CONDITIONED few-step student (VERDICT round-3 item 2): the
+    teacher is the dual-branch SDXL+BrushNet rollout on real converted tiny
+    golden weights; the student compresses the SAME conditioned function to
+    4 steps.  Gates: loss collapse, held-out PSNR gain, and a non-trivial
+    conditioning sensitivity (the distilled function must actually depend
+    on the masked-image⊕mask input, else the test is vacuous)."""
+    from fairygen_tpu.training.distill_experiment import (
+        run_brushnet_golden_experiment,
+    )
+
+    r = run_brushnet_golden_experiment(num_train_steps=120,
+                                       num_teacher_steps=25, lr=3e-4)
+    assert r["loss_last"] < 0.7 * r["loss_first"], r
+    assert r["psnr_after"] > r["psnr_before"] + 1.0, r
+    assert r["cond_sensitivity"] > 0.01, r
+
+
+@pytest.mark.slow
 def test_sdxl_consistency_distillation_recovers_perturbed_student():
     """Latent-consistency objective (LCM proper).  At student == teacher
     the objective sits near its fixed point (loss ~1e-3), so the
