@@ -260,6 +260,109 @@ def main():
         bench_720p(n_steps)
 
 
+def bench_720p(n_steps):
+    """Auxiliary north-star row: 720p (704x1280) 81f single-chip clip.
+
+    The BASELINE.md target is <60 s on a v5e-8; vs_baseline here is
+    measured against the single-chip-equivalent bar 60*8=480 s (the
+    v5e-8 run needs >=linear Ulysses sp=8 scaling, which the analytic
+    projection + HLO-structure tests support — docs/NOTES.md).  VAE
+    decode uses full-frame fpc=1 streaming: measured 11.90 s vs 25.65 s
+    for the reference's 9-tile default and 12.82 s for a 2-tile split
+    (tools/bench_vae_720p.py, 2026-08-19) — at 720p on 16 GB the tiling
+    is pure overlap redundancy (2.74x recompute), so it's off here.
+    """
+    import functools
+
+    from fairygen_tpu.diffusion.flow_match import FlowMatchScheduler
+    from fairygen_tpu.models.wan.dit import (
+        WanDiTConfig, init_dit_params, precompute_cross_kv, wan_dit_forward,
+    )
+    from fairygen_tpu.models.wan.vae import (
+        WanVAEConfig, init_vae_params, vae38_decode,
+    )
+
+    dtype = jnp.bfloat16
+    dit_cfg = WanDiTConfig.ti2v_5b()
+    lat_shape = (1, 48, 21, 44, 80)  # 81f @ 704x1280
+    ctx_shape = (1, 512, 4096)
+
+    dit_params = _zeros_params(jax.eval_shape(
+        lambda: init_dit_params(jax.random.key(0), dit_cfg, dtype=dtype)))
+    sched = FlowMatchScheduler("Wan").set_timesteps(n_steps, shift=5.0)
+    sigmas = jnp.asarray(np.append(sched.sigmas, 0.0), jnp.float32)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+    cfg_scale = 5.0
+    ctx_p = jnp.zeros(ctx_shape, dtype)
+    ctx_n = jnp.zeros(ctx_shape, dtype)
+    steps_per_dispatch = int(os.environ.get("FAIRYGEN_BENCH_CHUNK", "5"))
+
+    kv_fn = jax.jit(lambda p, c: precompute_cross_kv(p, dit_cfg, c))
+
+    @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(1,))
+    def denoise_chunk(params, latents, ffl, kv_p, kv_n, start, length):
+        def step(i, lat):
+            t1 = jnp.broadcast_to(timesteps[i], (1,))
+            v_p = wan_dit_forward(params, dit_cfg, lat, t1, ctx_p,
+                                  fuse_vae_embedding_in_latents=True,
+                                  cross_kv=kv_p)
+            v_n = wan_dit_forward(params, dit_cfg, lat, t1, ctx_n,
+                                  fuse_vae_embedding_in_latents=True,
+                                  cross_kv=kv_n)
+            v = v_n + cfg_scale * (v_p - v_n)
+            lat = lat + v.astype(lat.dtype) * (sigmas[i + 1] - sigmas[i]).astype(lat.dtype)
+            return lat.at[:, :, 0:1].set(ffl)
+
+        return jax.lax.fori_loop(start, start + length, step, latents)
+
+    ffl = jnp.zeros(lat_shape[:2] + (1,) + lat_shape[3:], dtype)
+    kv_p = kv_fn(dit_params, ctx_p)
+    kv_n = kv_fn(dit_params, ctx_n)
+
+    def denoise():
+        lat = jnp.zeros(lat_shape, dtype)
+        for s in range(0, n_steps, steps_per_dispatch):
+            lat = denoise_chunk(dit_params, lat, ffl, kv_p, kv_n,
+                                jnp.int32(s),
+                                min(steps_per_dispatch, n_steps - s))
+        return lat
+
+    # light warm-up: compile the chunk program once (full + remainder
+    # shapes), then time ONE full pass — a second full 50-step pass at
+    # ~4.6 s/step would double the several-minute runtime for nothing
+    float(denoise_chunk(dit_params, jnp.zeros(lat_shape, dtype), ffl,
+                        kv_p, kv_n, jnp.int32(0),
+                        min(steps_per_dispatch, n_steps)).sum())
+    rem = n_steps % steps_per_dispatch
+    if rem:
+        float(denoise_chunk(dit_params, jnp.zeros(lat_shape, dtype), ffl,
+                            kv_p, kv_n, jnp.int32(0), rem).sum())
+    t0 = time.perf_counter()
+    out = denoise()
+    float(out.sum())
+    denoise_s = time.perf_counter() - t0
+
+    del dit_params, kv_p, kv_n
+    vae_cfg = WanVAEConfig.wan22_38()
+    vae_params = jax.jit(lambda: init_vae_params(vae_cfg, dtype))()
+    decode = lambda: vae38_decode(vae_params, vae_cfg, out.astype(dtype),  # noqa: E731
+                                  streaming=True, frames_per_chunk=1)
+    float(decode().sum())  # warm-up
+    t0 = time.perf_counter()
+    float(decode().sum())
+    vae_s = time.perf_counter() - t0
+
+    total = denoise_s + vae_s
+    print(json.dumps({
+        "metric": "wan22_ti2v_5b_720p_81f_clip_seconds_1chip",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 * 8 / total, 3),
+    }))
+    print(f"# 720p denoise={denoise_s:.2f}s vae_decode={vae_s:.2f}s "
+          f"(full-frame fpc=1 stream, untiled)", file=sys.stderr)
+
+
 def _backend_ready(timeout_s=60):
     """Probe backend init in a SUBPROCESS (a failed in-process init is
     cached by jax and poisons every later attempt)."""

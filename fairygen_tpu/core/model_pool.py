@@ -62,6 +62,16 @@ def _build_wan_vae(state_dict, extra_kwargs, dtype):
     )
 
     keys = state_dict.keys()
+    fields = {f.name for f in dataclasses.fields(WanVAEConfig)}
+    kwargs = {k: v for k, v in extra_kwargs.items() if k in fields}
+    for tup in ("dim_mult", "temperal_downsample"):
+        if tup in kwargs:
+            kwargs[tup] = tuple(kwargs[tup])
+    if kwargs:  # resized/test checkpoints via hints / FAIRYGEN_MODEL_HINTS
+        cfg = WanVAEConfig(**kwargs)
+        convert = (convert_vae38_state_dict if cfg.arch == "38"
+                   else convert_vae_v1_state_dict)
+        return convert(state_dict, cfg, dtype=dtype), cfg
     probe = "model.conv2.weight" if "model.conv2.weight" in keys else "conv2.weight"
     z_dim = state_dict[probe].shape[0]
     if z_dim == 48:
@@ -74,7 +84,9 @@ def _build_wan_vae(state_dict, extra_kwargs, dtype):
 def _build_umt5(state_dict, extra_kwargs, dtype):
     from ..models.wan.text_encoder import UMT5Config, convert_umt5_state_dict
 
-    cfg = UMT5Config.umt5_xxl()
+    fields = {f.name for f in dataclasses.fields(UMT5Config)}
+    kwargs = {k: v for k, v in extra_kwargs.items() if k in fields}
+    cfg = UMT5Config(**kwargs) if kwargs else UMT5Config.umt5_xxl()
     return convert_umt5_state_dict(state_dict, cfg, dtype=dtype), cfg
 
 
@@ -465,10 +477,25 @@ class ModelPool:
         records (hub model_id + file pattern), which are resolved —
         downloading only if necessary — before loading
         (reference ``download_and_load_models``, base_pipeline.py:282).
+
+        ``FAIRYGEN_MODEL_HINTS`` (env) may name a JSON file of
+        ``{path: [model_name, extra_kwargs]}`` merged beneath explicit
+        hints — how CLIs load resized/custom checkpoints whose hash the
+        74-entry registry can't know (finetunes with changed dims, tiny
+        CI models) without per-CLI plumbing.
         """
+        import json as _json
+        import os as _os
+
         from .model_config import resolve_model_paths
 
-        hints = hints or {}
+        hints = dict(hints or {})
+        env_hints = _os.environ.get("FAIRYGEN_MODEL_HINTS")
+        if env_hints:
+            with open(env_hints) as f:
+                for p, (name, extra) in _json.load(f).items():
+                    hints.setdefault(_os.path.abspath(p), (name, extra))
+                    hints.setdefault(p, (name, extra))
         paths = resolve_model_paths(list(paths))
         for path in paths:
             if path in hints:

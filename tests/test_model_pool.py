@@ -38,6 +38,58 @@ def test_pool_loads_with_hints(tmp_path, goldens):
     assert params["blocks"]["modulation"].shape[0] == 2
 
 
+def test_env_model_hints(tmp_path, goldens, monkeypatch):
+    """FAIRYGEN_MODEL_HINTS: a JSON file of path -> [name, extra_kwargs]
+    lets every CLI load resized/custom checkpoints (tiny CI models,
+    finetunes with changed dims) without per-CLI hint plumbing."""
+    import json
+
+    g = goldens("wan_pipeline")
+    dit_sd = {k[5:]: g[k] for k in g.files if k.startswith("dit::")}
+    path = str(tmp_path / "dit.safetensors")
+    save_safetensors(path, dit_sd)
+    extra = dict(
+        dim=96, in_dim=4, ffn_dim=128, out_dim=4, text_dim=32, freq_dim=32,
+        patch_size=[1, 2, 2], num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    hints_file = tmp_path / "hints.json"
+    hints_file.write_text(json.dumps({path: ["wan_video_dit", extra]}))
+    monkeypatch.setenv("FAIRYGEN_MODEL_HINTS", str(hints_file))
+    pool = ModelPool().load([path], dtype=jnp.float32)
+    params, cfg = pool.fetch_model("wan_video_dit")
+    assert cfg.dim == 96 and cfg.patch_size == (1, 2, 2)
+
+
+def test_env_model_hints_umt5_and_vae_extra_kwargs(tmp_path, goldens, monkeypatch):
+    """The umt5/vae builders honor resized extra_kwargs (tiny configs)."""
+    import json
+
+    gu = goldens("umt5")
+    te_sd = {k[4:]: gu[k] for k in gu.files if k.startswith("sd::")}
+    te_path = str(tmp_path / "umt5.safetensors")
+    save_safetensors(te_path, te_sd)
+    gv = goldens("wan_pipeline")
+    vae_sd = {k[5:]: gv[k] for k in gv.files if k.startswith("vae::")}
+    vae_path = str(tmp_path / "vae.safetensors")
+    save_safetensors(vae_path, vae_sd)
+    hints_file = tmp_path / "hints.json"
+    hints_file.write_text(json.dumps({
+        te_path: ["wan_video_text_encoder", dict(
+            vocab=128, dim=32, dim_attn=32, dim_ffn=48, num_heads=4,
+            num_layers=2)],
+        vae_path: ["wan_video_vae", dict(
+            dim=8, z_dim=4, dec_dim=8, num_res_blocks=1)],
+    }))
+    monkeypatch.setenv("FAIRYGEN_MODEL_HINTS", str(hints_file))
+    pool = ModelPool().load([te_path, vae_path], dtype=jnp.float32)
+    _, te_cfg = pool.fetch_model("wan_video_text_encoder")
+    assert te_cfg.dim == 32 and te_cfg.num_layers == 2
+    _, vae_cfg = pool.fetch_model("wan_video_vae")
+    assert vae_cfg.z_dim == 4 and vae_cfg.arch == "38"
+
+
 @pytest.mark.slow
 def test_from_pretrained_with_hints(tmp_path, goldens):
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline

@@ -15,8 +15,10 @@ per-tile feather blend.  This tool measures, on the real chip:
 and prints a summary table.  Results land in docs/NOTES.md / BENCHMARKS.md.
 """
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fairygen_jax"))
 
