@@ -93,9 +93,6 @@ def main():
             and args.continuous % args.slot_data:
         p.error(f"--continuous {args.continuous} must be a multiple of "
                 f"--slot_data {args.slot_data}")
-    if args.continuous > 0 and args.hot_lora:
-        p.error("--hot_lora requires the request-level engine "
-                "(adapters ride whole batches, not slots)")
 
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
     from fairygen_tpu.serving import BatchingEngine, InferenceServer
@@ -145,7 +142,10 @@ def main():
             WanSlotStepper(pipe, height=args.bucket_height,
                            width=args.bucket_width,
                            num_frames=args.bucket_frames,
-                           slot_mesh=slot_mesh),
+                           slot_mesh=slot_mesh,
+                           # per-slot adapter gather inside the batched
+                           # step: mixed-LoRA traffic shares slots
+                           loras=loras),
             num_slots=args.continuous,
             default_params={"negative_prompt": args.negative_prompt})
     else:

@@ -37,8 +37,21 @@ import numpy as np
 # ------------------------------------------------------------------- forward
 def apply_adapter(base_out, x, p, mask=None):
     """Adapter update given the base layer output.  Called by dense layers
-    when p["lora"] exists.  mask: (B, N, 1) 0/1 token gate or None."""
+    when p["lora"] exists.  mask: (B, N, 1) 0/1 token gate or None.
+
+    Per-SAMPLE adapters (slot-level serving, serving/continuous.py): when
+    ``A`` carries a leading batch axis — (B, in, r) against x (B, N, in) —
+    each batch row applies its own adapter (hot-LoRA stack gathered by
+    slot), so mixed-adapter traffic shares one compiled batched step."""
     ap = p["lora"]
+    if ap["A"].ndim == x.ndim == 3:  # (B, in, r) per-sample hot adapters
+        xa = jnp.einsum("bni,bir->bnr", x, ap["A"].astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        upd = jnp.einsum("bnr,bro->bno", xa, ap["B"].astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if mask is not None:
+            upd = upd * mask.astype(upd.dtype)
+        return base_out + upd
     scale = ap.get("scale", 1.0)
     xa = jnp.dot(x, ap["A"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     upd = jnp.dot(xa, ap["B"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype) * scale
@@ -377,6 +390,89 @@ def hot_lora_into_wan_dit(params, lora_state_dict, alpha: float = 1.0,
         blocks[sub] = outer
     params["blocks"] = blocks
     return params, n
+
+
+def build_hot_lora_stack(params, lora_state_dicts, alphas=None, dtype=None):
+    """Stack K hot LoRAs for per-slot selection (serving/continuous.py).
+
+    Returns ``{(sub, proj): {"A": (L, K+1, in, r), "B": (L, K+1, r, out)}}``
+    — index 0 is the identity adapter (zeros; "no LoRA"), adapter i sits at
+    index i+1.  Ranks pad to the max rank with zero columns (exact).
+    Alphas fold into B like ``hot_lora_into_wan_dit``.  Layers no adapter
+    touches are absent from the stack (their dense path stays LoRA-free).
+    """
+    alphas = list(alphas or [1.0] * len(lora_state_dicts))
+    if len(alphas) != len(lora_state_dicts):
+        raise ValueError("alphas and lora_state_dicts length mismatch")
+    blocks = params["blocks"]
+    L = jax.tree.leaves(blocks["modulation"])[0].shape[0]
+    K = len(lora_state_dicts)
+
+    # (sub, proj) -> per adapter k -> {i: (down, up)}
+    per_layer: Dict[tuple, dict] = {}
+    for kdx, raw in enumerate(lora_state_dicts):
+        sd = normalize_lora_keys(raw)
+        targets = sorted({t[: -len(".lora_B.weight")] for t in sd
+                          if t.endswith(".lora_B.weight")})
+        n = 0
+        for t in targets:
+            loc = _wan_lora_layer_key(t)
+            if loc is None:
+                continue
+            i, sub, proj = loc
+            per_layer.setdefault((sub, proj), {}).setdefault(kdx, {})[i] = (
+                sd[t + ".lora_A.weight"].astype(np.float32),
+                sd[t + ".lora_B.weight"].astype(np.float32),
+            )
+            n += 1
+        if targets and n == 0:
+            raise ValueError(
+                f"adapter {kdx}: no LoRA target matched the Wan block "
+                f"layout (e.g. {sorted(targets)[0]!r})")
+
+    stack = {}
+    for (sub, proj), by_adapter in per_layer.items():
+        layer = blocks[sub][proj]
+        w = layer.get("w", layer.get("w_int8"))
+        d_in, d_out = w.shape[-2], w.shape[-1]
+        dt = dtype or (w.dtype if "w" in layer else jnp.bfloat16)
+        r = max(a.shape[0] for ent in by_adapter.values()
+                for a, _ in ent.values())
+        A = np.zeros((L, K + 1, d_in, r), np.float32)
+        B = np.zeros((L, K + 1, r, d_out), np.float32)
+        for kdx, entries in by_adapter.items():
+            for i, (down, up) in entries.items():
+                A[i, kdx + 1, :, : down.shape[0]] = down.T
+                B[i, kdx + 1, : down.shape[0], :] = alphas[kdx] * up.T
+        stack[(sub, proj)] = {"A": jnp.asarray(A, dt),
+                              "B": jnp.asarray(B, dt)}
+    return stack
+
+
+def select_slot_loras(params, stack, adapter_ids):
+    """Patch ``params`` with per-sample adapters gathered from ``stack``.
+
+    ``adapter_ids``: (B,) int — 0 = none, i+1 = adapter i.  The gather runs
+    once per slot-occupancy change (admission/eviction), NOT per step; the
+    returned pytree shares every base-weight leaf with ``params``.
+    Training adapters on a touched layer are rejected the same way
+    ``hot_lora_into_wan_dit`` rejects them."""
+    idx = jnp.asarray(adapter_ids, jnp.int32)
+    params = jax.tree.map(lambda x: x, params)  # shallow copy
+    blocks = dict(params["blocks"])
+    for (sub, proj), ab in stack.items():
+        outer = dict(blocks[sub])
+        layer = dict(outer[proj])
+        if "lora" in layer and (set(layer["lora"]) - {"A", "B"}):
+            raise ValueError(
+                f"{sub}.{proj} carries a training adapter; fuse it first "
+                "(load_lora(hotload=False)) before per-slot serving")
+        # (L, K+1, in, r)[:, idx] -> (L, B, in, r); scan slices layer 0
+        layer["lora"] = {"A": ab["A"][:, idx], "B": ab["B"][:, idx]}
+        outer[proj] = layer
+        blocks[sub] = outer
+    params["blocks"] = blocks
+    return params
 
 
 def clear_hot_lora(params):

@@ -27,6 +27,14 @@ to **denoise-step-level** diffusion scheduling:
     the same math as a dedicated ``WanVideoPipeline`` run of the text-only
     path, including the per-prompt cross-attention k/v hoist.
 
+  - **Per-slot hot LoRAs.** Register adapters at construction
+    (``WanSlotStepper(loras={name: path})``); each request selects one via
+    ``lora=name``.  The stacked registry is gathered into per-sample
+    ``(B, in, r)`` adapter leaves at admission (``select_slot_loras``) so
+    two requests with DIFFERENT adapters denoise in the same batched step
+    — no bucket swap, no retrace (the round-3 engine forced mixed-adapter
+    traffic through the request-level engine's swap path).
+
 Scope: the text-to-video conditioning path of ``WanVideoPipeline`` with a
 single DiT expert, one latent-shape bucket per engine (run one engine per
 (height, width, frames) bucket behind a router for mixed workloads), and
@@ -90,6 +98,7 @@ class _SlotPlan:
     cfg_scale: float
     output_type: str
     streaming_vae: bool
+    lora_id: int = 0         # 0 = none; i+1 = stepper's i-th hot LoRA
 
 
 class _Idle(Exception):
@@ -121,7 +130,8 @@ class WanSlotStepper:
 
     def __init__(self, pipe, *, height: int = 480, width: int = 832,
                  num_frames: int = 81, context_len: Optional[int] = None,
-                 slot_mesh=None):
+                 slot_mesh=None, loras: Optional[Dict[str, Any]] = None,
+                 lora_alphas: Optional[Dict[str, float]] = None):
         if pipe.dit2_params is not None:
             raise ValueError(
                 "continuous batching supports single-expert pipelines only "
@@ -155,6 +165,23 @@ class WanSlotStepper:
             self._batch_sharding = NamedSharding(slot_mesh, P("data"))
             self._dit_params = jax.device_put(
                 pipe.dit_params, NamedSharding(slot_mesh, P()))
+        # Per-slot hot LoRAs: a stacked registry gathered by slot id at
+        # ADMISSION time (select_slot_loras) so mixed-adapter traffic
+        # shares one compiled batched step instead of forcing bucket
+        # swaps (round-3 engine limitation).  Index 0 = no adapter.
+        self._lora_ids: Dict[str, int] = {}
+        self._lora_stack = None
+        if loras:
+            from ..core.io import load_state_dict
+            from ..models.adapters import build_hot_lora_stack
+
+            names = sorted(loras)
+            sds = [loras[n] if isinstance(loras[n], dict)
+                   else load_state_dict(loras[n]) for n in names]
+            alphas = [float((lora_alphas or {}).get(n, 1.0)) for n in names]
+            self._lora_stack = build_hot_lora_stack(
+                self._dit_params, sds, alphas, dtype=pipe.dtype)
+            self._lora_ids = {n: i + 1 for i, n in enumerate(names)}
 
     # -- per-request ------------------------------------------------------
     def prepare(self, prompt: Optional[str] = None, *, context=None,
@@ -162,7 +189,8 @@ class WanSlotStepper:
                 seed: int = 0, num_inference_steps: int = 50,
                 cfg_scale: float = 5.0, sigma_shift: float = 5.0,
                 output_type: str = "quantized",
-                streaming_vae: bool = False) -> _SlotPlan:
+                streaming_vae: bool = False,
+                lora: Optional[str] = None) -> _SlotPlan:
         from ..core.noise import generate_noise
         from ..diffusion.flow_match import FlowMatchScheduler
 
@@ -170,6 +198,13 @@ class WanSlotStepper:
         if num_inference_steps < 1:
             raise ValueError(f"num_inference_steps must be >= 1, got "
                              f"{num_inference_steps}")
+        lora_id = 0
+        if lora:
+            if lora not in self._lora_ids:
+                raise ValueError(
+                    f"unknown hot LoRA {lora!r}; registered: "
+                    f"{sorted(self._lora_ids) or '(none)'}")
+            lora_id = self._lora_ids[lora]
         if context is None:
             context = pipe.encode_prompt(prompt)
         if cfg_scale != 1.0 and negative_context is None:
@@ -197,7 +232,7 @@ class WanSlotStepper:
             sigmas=np.append(np.asarray(sched.sigmas, np.float32), 0.0),
             timesteps=np.asarray(sched.timesteps, np.float32),
             cfg_scale=float(cfg_scale), output_type=output_type,
-            streaming_vae=streaming_vae,
+            streaming_vae=streaming_vae, lora_id=lora_id,
         )
 
     # -- batched ------------------------------------------------------------
@@ -216,16 +251,31 @@ class WanSlotStepper:
             ctx = jax.device_put(ctx, self._batch_sharding)
         return lat, ctx, jnp.zeros_like(ctx)
 
-    def cross_kv(self, ctx_b):
+    def params_for(self, adapter_ids) -> Any:
+        """Per-slot adapter selection: gather each occupant's hot LoRA from
+        the stack into per-sample (B, in, r)/(B, r, out) leaves.  Runs at
+        admission/eviction (occupancy-key change), never per step.  All-0
+        ids (or no registry) return the base params — the LoRA-free
+        program."""
+        ids = np.asarray(adapter_ids, np.int32)
+        if self._lora_stack is None or not ids.any():
+            return self._dit_params
+        from ..models.adapters import select_slot_loras
+
+        return select_slot_loras(self._dit_params, self._lora_stack, ids)
+
+    def cross_kv(self, ctx_b, params=None):
         if not self.use_ckv:
             return None
         from ..pipelines.wan_video import _cross_kv
 
-        return _cross_kv(self._dit_params, ctx_b, dit_cfg=self.pipe.dit_cfg)
+        return _cross_kv(self._dit_params if params is None else params,
+                         ctx_b, dit_cfg=self.pipe.dit_cfg)
 
     def step_batch(self, lat, t, ctx_b, nctx_b, cfg, dsig, ckv_p, ckv_n,
-                   use_cfg: bool = True):
-        return _slot_step(self._dit_params, lat,
+                   use_cfg: bool = True, params=None):
+        return _slot_step(self._dit_params if params is None else params,
+                          lat,
                           jnp.asarray(t, jnp.float32), ctx_b, nctx_b,
                           jnp.asarray(cfg, jnp.float32),
                           jnp.asarray(dsig, jnp.float32), ckv_p, ckv_n,
@@ -342,8 +392,8 @@ class ContinuousEngine:
                 if fixed:
                     if state is None:
                         state = self.stepper.init_batch(
-                            self.num_slots, plan.ctx) + (None, None)
-                    lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+                            self.num_slots, plan.ctx) + (None, None, None)
+                    lat, ctx_b, nctx_b, ckv_p, ckv_n, sel = state
                     # rows go in as host arrays: uncommitted operands
                     # adopt the batch's sharding (slot-parallel shards
                     # over 'data').  Inside the try: a failure here must
@@ -352,7 +402,7 @@ class ContinuousEngine:
                     lat = lat.at[j].set(np.asarray(plan.lat0[0]))
                     ctx_b = ctx_b.at[j].set(np.asarray(plan.ctx[0]))
                     nctx_b = nctx_b.at[j].set(np.asarray(plan.nctx[0]))
-                    state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+                    state = (lat, ctx_b, nctx_b, ckv_p, ckv_n, sel)
             except Exception as e:  # noqa: BLE001 - surfaced per-request
                 req.error = f"{type(e).__name__}: {e}"
                 self._finish(req)
@@ -360,8 +410,11 @@ class ContinuousEngine:
             slots[j] = _Slot(req=req, plan=plan, lat=plan.lat0)
             refreshed = True
         if fixed and refreshed:
-            lat, ctx_b, nctx_b, _, _ = state
-            ckv_p = self.stepper.cross_kv(ctx_b)
+            lat, ctx_b, nctx_b, _, _, _ = state
+            # idle slots keep adapter id 0 (identity rows in the stack)
+            sel = self.stepper.params_for(
+                [0 if s is None else s.plan.lora_id for s in slots])
+            ckv_p = self.stepper.cross_kv(ctx_b, params=sel)
             if all(s is None or s.plan.cfg_scale == 1.0 for s in slots):
                 # same dead-negative skip as the compact path: while every
                 # occupant runs use_cfg=False the nctx side is never read,
@@ -369,8 +422,8 @@ class ContinuousEngine:
                 # full-batch cross-KV pass (nctx rows == ctx rows here)
                 ckv_n = ckv_p
             else:
-                ckv_n = self.stepper.cross_kv(nctx_b)
-            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+                ckv_n = self.stepper.cross_kv(nctx_b, params=sel)
+            state = (lat, ctx_b, nctx_b, ckv_p, ckv_n, sel)
         return state
 
     def _run(self):
@@ -471,8 +524,13 @@ class ContinuousEngine:
         # occupant's context
         key = tuple((j, slots[j].req.id) for j in order)
         if c.get("key") != key:
+            # per-slot hot-LoRA selection rides the same key: the gather
+            # happens once per occupancy change, and cross-KV below uses
+            # the SELECTED params (cross_attn k/v may carry adapters)
+            params = self.stepper.params_for(
+                [slots[j].plan.lora_id for j in order])
             ctx = jnp.concatenate([slots[j].plan.ctx for j in order])
-            ckv_p = self.stepper.cross_kv(ctx)
+            ckv_p = self.stepper.cross_kv(ctx, params=params)
             if all(slots[j].plan.cfg_scale == 1.0 for j in order):
                 # every step under this key runs use_cfg=False and never
                 # reads the negative side — alias it (nctx == ctx per
@@ -480,16 +538,16 @@ class ContinuousEngine:
                 nctx, ckv_n = ctx, ckv_p
             else:
                 nctx = jnp.concatenate([slots[j].plan.nctx for j in order])
-                ckv_n = self.stepper.cross_kv(nctx)
+                ckv_n = self.stepper.cross_kv(nctx, params=params)
             c = self._compact_cache = {
                 "key": key, "ctx": ctx, "nctx": nctx,
-                "ckv_p": ckv_p, "ckv_n": ckv_n}
+                "ckv_p": ckv_p, "ckv_n": ckv_n, "params": params}
         lat_p = (slots[order[0]].lat if len(order) == 1 else
                  jnp.concatenate([slots[j].lat for j in order]))
         t, dsig, cfg, use_cfg = self._schedule(slots, order)
         lat_p = self.stepper.step_batch(lat_p, t, c["ctx"], c["nctx"], cfg,
                                         dsig, c["ckv_p"], c["ckv_n"],
-                                        use_cfg=use_cfg)
+                                        use_cfg=use_cfg, params=c["params"])
         self._backpressure(lat_p)
         for i, j in enumerate(order):
             slots[j].lat = lat_p[i:i + 1]
@@ -499,7 +557,7 @@ class ContinuousEngine:
         """Slot-parallel (mesh) path: fixed num_slots batch sharded over
         the data axis — idle slots ride along (their chips would be idle
         anyway), dsig=0 freezes their rows."""
-        lat, ctx_b, nctx_b, ckv_p, ckv_n = state
+        lat, ctx_b, nctx_b, ckv_p, ckv_n, sel = state
         order = tuple(j for j, s in enumerate(slots)
                       if s is not None and not s.done)
         if not order:
@@ -511,7 +569,8 @@ class ContinuousEngine:
         for i, j in enumerate(order):
             t[j], dsig[j], cfg[j] = t_o[i], dsig_o[i], cfg_o[i]
         lat = self.stepper.step_batch(lat, t, ctx_b, nctx_b, cfg, dsig,
-                                      ckv_p, ckv_n, use_cfg=use_cfg)
+                                      ckv_p, ckv_n, use_cfg=use_cfg,
+                                      params=sel)
         self._backpressure(lat)
         self._bookkeep(slots, order, lambda j: lat[j])
-        return (lat, ctx_b, nctx_b, ckv_p, ckv_n)
+        return (lat, ctx_b, nctx_b, ckv_p, ckv_n, sel)

@@ -131,13 +131,18 @@ def test_slot_parallel_mesh_matches_single_device():
 
     mesh = make_mesh(data=2, devices=jax.devices()[:2])
     pipe = _mk_pipe()
+    # one slot rides a hot LoRA: covers the fixed-path per-slot adapter
+    # selection (idle/no-adapter slots gather the identity row)
+    sd_x = _mk_lora_sd(5, rank=2, targets={
+        "blocks.0.self_attn.q": (96, 96), "blocks.1.ffn.2": (128, 96)})
     eng = ContinuousEngine(WanSlotStepper(
-        pipe, height=H, width=W, num_frames=F, slot_mesh=mesh), num_slots=2)
+        pipe, height=H, width=W, num_frames=F, slot_mesh=mesh,
+        loras={"x": sd_x}), num_slots=2)
     ctx_a, ctx_b, nctx = _ctx(1), _ctx(2), _ctx(3)
     try:
         r_a = eng.submit(context=ctx_a, negative_context=nctx, seed=11,
                          num_inference_steps=3, cfg_scale=4.0,
-                         output_type="latents")
+                         output_type="latents", lora="x")
         r_b = eng.submit(context=ctx_b, seed=22, num_inference_steps=5,
                          cfg_scale=1.0, sigma_shift=3.0,
                          output_type="latents")
@@ -146,7 +151,12 @@ def test_slot_parallel_mesh_matches_single_device():
     finally:
         eng.shutdown()
 
-    want_a = np.asarray(pipe(
+    from fairygen_tpu.models.adapters import hot_lora_into_wan_dit
+
+    pipe_x = WanVideoPipeline(
+        dit_params=hot_lora_into_wan_dit(pipe.dit_params, sd_x)[0],
+        dit_cfg=CFG, vae_cfg=WanVAEConfig.wan21_16(), dtype=jnp.float32)
+    want_a = np.asarray(pipe_x(
         context=ctx_a, negative_context=nctx, seed=11, height=H, width=W,
         num_frames=F, num_inference_steps=3, cfg_scale=4.0,
         output_type="latents"))
@@ -156,6 +166,81 @@ def test_slot_parallel_mesh_matches_single_device():
         output_type="latents"))
     np.testing.assert_allclose(out_a, want_a, atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
+
+
+def _mk_lora_sd(seed, rank, targets):
+    """Random torch-layout Wan-DiT LoRA: targets like 'blocks.0.self_attn.q'
+    with (d_in, d_out) per target."""
+    rs = np.random.RandomState(seed)
+    sd = {}
+    for t, (d_in, d_out) in targets.items():
+        sd[f"{t}.lora_A.weight"] = (
+            0.3 * rs.randn(rank, d_in)).astype(np.float32)
+        sd[f"{t}.lora_B.weight"] = (
+            0.3 * rs.randn(d_out, rank)).astype(np.float32)
+    return sd
+
+
+def test_per_slot_loras_match_dedicated_hot_lora_runs():
+    """Two requests with DIFFERENT adapters (different ranks, different
+    target sets) + one adapter-free request share the batch, and each
+    matches its dedicated hot-LoRA pipeline run — the per-sample adapter
+    gather (VERDICT round-3 item 6)."""
+    from fairygen_tpu.models.adapters import hot_lora_into_wan_dit
+
+    sd_x = _mk_lora_sd(5, rank=2, targets={
+        "blocks.0.self_attn.q": (96, 96), "blocks.1.ffn.2": (128, 96)})
+    sd_y = _mk_lora_sd(6, rank=3, targets={
+        "blocks.1.cross_attn.v": (96, 96), "blocks.0.ffn.0": (96, 128)})
+    pipe = _mk_pipe()
+    eng = ContinuousEngine(WanSlotStepper(
+        pipe, height=H, width=W, num_frames=F,
+        loras={"x": sd_x, "y": sd_y}), num_slots=3)
+    ctx_a, ctx_b, ctx_c, nctx = _ctx(1), _ctx(2), _ctx(4), _ctx(3)
+    try:
+        r_a = eng.submit(context=ctx_a, negative_context=nctx, seed=11,
+                         num_inference_steps=3, cfg_scale=4.0,
+                         output_type="latents", lora="x")
+        r_b = eng.submit(context=ctx_b, seed=22, num_inference_steps=5,
+                         cfg_scale=1.0, output_type="latents", lora="y")
+        r_c = eng.submit(context=ctx_c, seed=33, num_inference_steps=4,
+                         cfg_scale=1.0, output_type="latents")
+        bad = eng.submit(context=_ctx(9), seed=1, num_inference_steps=2,
+                         output_type="latents", lora="nope")
+        out_a = np.asarray(r_a.wait(timeout=300))
+        out_b = np.asarray(r_b.wait(timeout=300))
+        out_c = np.asarray(r_c.wait(timeout=300))
+        with pytest.raises(RuntimeError, match="unknown hot LoRA"):
+            bad.wait(timeout=300)
+        stats = eng.stats()
+    finally:
+        eng.shutdown()
+
+    def dedicated(sd, ctx, **kw):
+        params = (hot_lora_into_wan_dit(pipe.dit_params, sd)[0]
+                  if sd is not None else pipe.dit_params)
+        p = WanVideoPipeline(dit_params=params, dit_cfg=CFG,
+                             vae_cfg=WanVAEConfig.wan21_16(),
+                             dtype=jnp.float32)
+        return np.asarray(p(context=ctx, height=H, width=W, num_frames=F,
+                            output_type="latents", **kw))
+
+    want_a = dedicated(sd_x, ctx_a, negative_context=nctx, seed=11,
+                       num_inference_steps=3, cfg_scale=4.0)
+    want_b = dedicated(sd_y, ctx_b, seed=22, num_inference_steps=5,
+                       cfg_scale=1.0)
+    want_c = dedicated(None, ctx_c, seed=33, num_inference_steps=4,
+                       cfg_scale=1.0)
+    np.testing.assert_allclose(out_a, want_a, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_c, want_c, atol=2e-4, rtol=1e-4)
+    # the adapters actually changed the outputs (the test is not vacuous)
+    assert np.abs(want_a - dedicated(None, ctx_a, negative_context=nctx,
+                                     seed=11, num_inference_steps=3,
+                                     cfg_scale=4.0)).max() > 1e-3
+    assert np.abs(want_b - want_c).max() > 1e-3
+    # mixed-adapter requests genuinely shared batched steps
+    assert stats["mean_occupancy"] > 1.0
 
 
 def test_stepper_rejects_unsupported_pipelines():

@@ -41,6 +41,10 @@ def _run(argv, env, timeout=900):
 
 def _cpu_env(**extra):
     env = dict(os.environ)
+    # the axon sitecustomize dials the (single) TPU pool from EVERY python
+    # process when PALLAS_AXON_POOL_IPS is set — a busy tunnel blocks the
+    # subprocess before main() runs; these CLIs must be pure-CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update(JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1",
                JAX_TRACEBACK_FILTERING="off")
