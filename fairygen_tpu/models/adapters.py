@@ -52,7 +52,13 @@ def apply_adapter(base_out, x, p, mask=None):
         if mask is not None:
             upd = upd * mask.astype(upd.dtype)
         return base_out + upd
-    scale = ap.get("scale", 1.0)
+    # scale reaches here either as a weak python float (fresh init) or as a
+    # STRONG f32 array leaf (device_put / checkpoint-restored params).  The
+    # strong form would promote a bf16 residual stream to f32 — a dtype
+    # change that breaks the scan carry in blocks_forward — so pin it to
+    # x.dtype (numerically identical to the weak-float path, which also
+    # multiplies in x.dtype).
+    scale = jnp.asarray(ap.get("scale", 1.0), dtype=x.dtype)
     xa = jnp.dot(x, ap["A"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     upd = jnp.dot(xa, ap["B"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype) * scale
     if "B2" in ap:
@@ -60,7 +66,9 @@ def apply_adapter(base_out, x, p, mask=None):
         upd = upd + upd2
     if "mag" in ap:
         # DoRA: column norm of W + s·AB (detached), magnitude rescale.
-        w_eff = p["w"].astype(jnp.float32) + scale * (
+        # (full-precision scale here — the norm is computed in f32)
+        w_eff = p["w"].astype(jnp.float32) + jnp.asarray(
+            ap.get("scale", 1.0), dtype=jnp.float32) * (
             ap["A"].astype(jnp.float32) @ ap["B"].astype(jnp.float32)
         )
         norm = jax.lax.stop_gradient(jnp.linalg.norm(w_eff, axis=0))  # (out,)
