@@ -54,8 +54,14 @@ def main():
     from fairygen_tpu.pipelines.sdxl_brushnet import SDXLBrushNetPipeline, scale_adapters
     from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
 
+    from fairygen_tpu.core.model_config import override_config
+
     dtype = jnp.bfloat16
-    unet_cfg = UNet2DConfig.sdxl_base()
+    unet_cfg = override_config("sdxl_unet", UNet2DConfig.sdxl_base())
+    vae_cfg = override_config("sdxl_vae", AutoencoderKLConfig.sdxl())
+    bn_cfg = override_config("brushnet", UNet2DConfig.brushnet_sdxl())
+    te1_cfg = override_config("sdxl_te1", CLIPTextConfig.sdxl_te1())
+    te2_cfg = override_config("sdxl_te2", CLIPTextConfig.sdxl_te2())
     unet_params = convert_unet2d_state_dict(load_state_dict(args.unet), unet_cfg, dtype)
     if args.dora:
         # runtime DoRA adapters (reference passes the scale via
@@ -70,21 +76,21 @@ def main():
         unet_params=unet_params,
         unet_cfg=unet_cfg,
         vae_params=convert_autoencoder_kl_state_dict(
-            load_state_dict(args.vae), AutoencoderKLConfig.sdxl(), jnp.float32
+            load_state_dict(args.vae), vae_cfg, jnp.float32
         ),
-        vae_cfg=AutoencoderKLConfig.sdxl(),
+        vae_cfg=vae_cfg,
         brushnet_params=convert_unet2d_state_dict(
-            load_state_dict(args.brushnet), UNet2DConfig.brushnet_sdxl(), dtype
+            load_state_dict(args.brushnet), bn_cfg, dtype
         ),
-        brushnet_cfg=UNet2DConfig.brushnet_sdxl(),
+        brushnet_cfg=bn_cfg,
         te1_params=convert_clip_text_state_dict(
-            load_state_dict(args.te1), CLIPTextConfig.sdxl_te1(), dtype
+            load_state_dict(args.te1), te1_cfg, dtype
         ),
-        te1_cfg=CLIPTextConfig.sdxl_te1(),
+        te1_cfg=te1_cfg,
         te2_params=convert_clip_text_state_dict(
-            load_state_dict(args.te2), CLIPTextConfig.sdxl_te2(), dtype
+            load_state_dict(args.te2), te2_cfg, dtype
         ),
-        te2_cfg=CLIPTextConfig.sdxl_te2(),
+        te2_cfg=te2_cfg,
         tokenizer1=CLIPTokenizerWrapper(args.tokenizer1),
         tokenizer2=CLIPTokenizerWrapper(args.tokenizer2),
         dtype=dtype,

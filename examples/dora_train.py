@@ -57,15 +57,18 @@ def main():
     )
     from fairygen_tpu.utils.tokenizer import CLIPTokenizerWrapper
 
-    unet_cfg = UNet2DConfig.sdxl_base()
+    from fairygen_tpu.core.model_config import override_config
+
+    unet_cfg = override_config("sdxl_unet", UNet2DConfig.sdxl_base())
     params = convert_unet2d_state_dict(load_state_dict(args.unet), unet_cfg, jnp.float32)
     params = add_dora_to_sdxl_unet(params, jax.random.key(args.seed), rank=args.rank)
 
-    vae_cfg = AutoencoderKLConfig.sdxl()
+    vae_cfg = override_config("sdxl_vae", AutoencoderKLConfig.sdxl())
     vae_params = convert_autoencoder_kl_state_dict(
         load_state_dict(args.vae), vae_cfg, jnp.float32
     )
-    te1_cfg, te2_cfg = CLIPTextConfig.sdxl_te1(), CLIPTextConfig.sdxl_te2()
+    te1_cfg = override_config("sdxl_te1", CLIPTextConfig.sdxl_te1())
+    te2_cfg = override_config("sdxl_te2", CLIPTextConfig.sdxl_te2())
     te1 = convert_clip_text_state_dict(load_state_dict(args.te1), te1_cfg, jnp.float32)
     te2 = convert_clip_text_state_dict(load_state_dict(args.te2), te2_cfg, jnp.float32)
     tok1 = CLIPTokenizerWrapper(args.tokenizer1)

@@ -91,6 +91,12 @@ def main():
     p.add_argument("--dora_rank", type=int, default=32)
     p.add_argument("--lora_scale", type=float, default=0.66)
     p.add_argument("--brushnet_conditioning_scale", type=float, default=0.7)
+    p.add_argument("--resolution", type=int, default=1024,
+                   help="stylization-side image size (dora --resolution, "
+                        "brushnet --size)")
+    p.add_argument("--stylize_steps", type=int, default=50)
+    p.add_argument("--mask_infer_size", type=int, default=0,
+                   help="create_mask --infer_size (0 = preset 1024)")
     # animation side
     p.add_argument("--wan_model_paths", type=str, default=None,
                    help="JSON list for WanVideoPipeline.from_pretrained")
@@ -101,6 +107,7 @@ def main():
     p.add_argument("--width", type=int, default=832)
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--cfg_scale", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--fps", type=int, default=15)
     args = p.parse_args()
@@ -117,8 +124,11 @@ def main():
         from tools.create_mask import main as mask_main
 
         assert args.isnet, "--isnet weights required for the mask stage"
-        _run_stage(mask_main, ["--input", character, "--output", mask,
-                               "--weights", args.isnet], "mask")
+        argv = ["--input", character, "--output", mask,
+                "--weights", args.isnet]
+        if args.mask_infer_size:
+            argv += ["--infer_size", str(args.mask_infer_size)]
+        _run_stage(mask_main, argv, "mask")
 
     if "style" in stages:
         from examples.dora_train import main as dora_main
@@ -132,6 +142,7 @@ def main():
             "--caption", args.caption,
             "--rank", str(args.dora_rank),
             "--max_train_steps", str(args.dora_steps),
+            "--resolution", str(args.resolution),
             "--output_path", os.path.join(ws, "dora"),
         ], "style")
 
@@ -151,6 +162,8 @@ def main():
             str(args.brushnet_conditioning_scale),
             "--image", character, "--mask", mask,
             "--prompt_dir", prompts, "--output_dir", shots,
+            "--size", str(args.resolution),
+            "--steps", str(args.stylize_steps),
             "--seed", "333",
         ], "stylize")
 
@@ -166,6 +179,7 @@ def main():
             "--height", str(args.height), "--width", str(args.width),
             "--num_frames", str(args.num_frames),
             "--num_inference_steps", str(args.steps),
+            "--cfg_scale", str(args.cfg_scale),
             "--seed", str(args.seed), "--fps", str(args.fps),
         ]
         if args.wan_tokenizer:

@@ -214,3 +214,37 @@ def resolve_model_paths(
         else:
             out.append(resolved)
     return out
+
+
+def override_config(name: str, cfg):
+    """Apply ``FAIRYGEN_CONFIG_OVERRIDES`` to a hardcoded CLI model config.
+
+    The env var names a JSON file ``{name: {field: value}}``; when ``name``
+    has an entry, the matching dataclass fields of ``cfg`` are replaced
+    (lists coerce to tuples where the current value is a tuple).  This is
+    the config-side sibling of ``FAIRYGEN_MODEL_HINTS`` (model_pool.py):
+    CLIs whose architectures are fixed at full size (e.g. ``dora_train.py``
+    pinning ``UNet2DConfig.sdxl_base()``) stay zero-flag for production
+    checkpoints while resized/tiny CI checkpoints remain loadable — the
+    reference gets this for free from per-checkpoint config.json files,
+    which the hash-registry design intentionally does not carry.
+    """
+    import dataclasses
+    import json
+    import os
+
+    path = os.environ.get("FAIRYGEN_CONFIG_OVERRIDES")
+    if not path:
+        return cfg
+    with open(path) as f:
+        table = json.load(f)
+    fields = table.get(name)
+    if not fields:
+        return cfg
+    coerced = {}
+    for k, v in fields.items():
+        cur = getattr(cfg, k)  # raises on unknown field names: typo guard
+        if isinstance(cur, tuple) and isinstance(v, list):
+            v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+        coerced[k] = v
+    return dataclasses.replace(cfg, **coerced)

@@ -333,14 +333,19 @@ PRESETS = {
 
 def extract_mask(params, cfg: ISNetConfig, image_u8: np.ndarray,
                  preset: str = "isnet-anime",
-                 threshold: int = 127) -> np.ndarray:
+                 threshold: int = 127, size=None) -> np.ndarray:
     """uint8 HWC image -> uint8 {0,255} HW mask.
 
     Mirrors rembg's DIS predict + the reference's binarization
     (create_mask.py:22-27): min-max normalize the d1 side output, scale
     to [0,255], threshold >127.
+
+    size: (h, w) inference resolution overriding the preset's (the
+    mean/std normalization still comes from the preset) — for resized
+    checkpoints and CI-scale models.
     """
-    size, mean, std = PRESETS[preset]
+    psize, mean, std = PRESETS[preset]
+    size = size or psize
     h, w = image_u8.shape[:2]
     x = jax.image.resize(
         jnp.asarray(image_u8, jnp.float32) / 255.0,

@@ -206,3 +206,183 @@ def test_wan_two_stage_cli_flow(tmp_path, tiny_wan_ckpts):
     outputs = [p for p in os.listdir(tmp_path) if p.startswith("out.")]
     assert outputs, sorted(os.listdir(tmp_path))
     assert os.path.getsize(tmp_path / outputs[0]) > 0
+
+
+# --------------------------------------------------------------- story flow
+def _write_tiny_clip_tokenizer(dirpath):
+    """Offline CLIPTokenizer dir: char-level BPE (no merges), eos id 1."""
+    import json as _json
+
+    from transformers import CLIPTokenizer
+
+    os.makedirs(dirpath, exist_ok=True)
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for ch in "abcdefghijklmnopqrstuvwxyz ":
+        if ch == " ":
+            continue
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    vpath = os.path.join(dirpath, "vocab.json")
+    mpath = os.path.join(dirpath, "merges.txt")
+    with open(vpath, "w") as f:
+        _json.dump(vocab, f)
+    with open(mpath, "w") as f:
+        f.write("#version: 0.2\n")
+    tok = CLIPTokenizer(vpath, mpath)
+    tok.save_pretrained(dirpath)
+    return len(vocab)
+
+
+def _tiny_clip_te_sd(rng, hidden=16, layers=2, inter=32, vocab=64,
+                     max_pos=77, proj=None):
+    """Synthetic torch-layout CLIP text-encoder state dict (tiny dims)."""
+    def w(*shape, scale=0.02):
+        return rng.randn(*shape).astype(np.float32) * scale
+
+    sd = {
+        "text_model.embeddings.token_embedding.weight": w(vocab, hidden),
+        "text_model.embeddings.position_embedding.weight": w(max_pos, hidden),
+        "text_model.final_layer_norm.weight": np.ones(hidden, np.float32),
+        "text_model.final_layer_norm.bias": np.zeros(hidden, np.float32),
+    }
+    for i in range(layers):
+        lp = f"text_model.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{lp}.{ln}.weight"] = np.ones(hidden, np.float32)
+            sd[f"{lp}.{ln}.bias"] = np.zeros(hidden, np.float32)
+        for pr in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{lp}.self_attn.{pr}.weight"] = w(hidden, hidden)
+            sd[f"{lp}.self_attn.{pr}.bias"] = np.zeros(hidden, np.float32)
+        sd[f"{lp}.mlp.fc1.weight"] = w(inter, hidden)
+        sd[f"{lp}.mlp.fc1.bias"] = np.zeros(inter, np.float32)
+        sd[f"{lp}.mlp.fc2.weight"] = w(hidden, inter)
+        sd[f"{lp}.mlp.fc2.bias"] = np.zeros(hidden, np.float32)
+    if proj is not None:
+        sd["text_projection.weight"] = w(proj, hidden)
+    return sd
+
+
+@pytest.fixture
+def tiny_story_ckpts(tmp_path, goldens):
+    """Everything the four-stage story needs: tiny ISNet + SDXL/BrushNet
+    (from the committed pipeline goldens) + synthetic CLIP TEs/tokenizers
+    + config-overrides JSON keyed for FAIRYGEN_CONFIG_OVERRIDES."""
+    import dataclasses
+
+    import torch
+
+    from fairygen_tpu.core.io import save_safetensors
+    from fairygen_tpu.models.isnet import ISNetConfig
+    from fairygen_tpu.models.sdxl.clip import CLIPTextConfig
+    from test_brushnet_pipeline import BN_CFG, UNET_CFG, VAE_CFG
+    from test_isnet import ISNetTorch, _randomize_bn_stats
+
+    paths = {}
+    # --- ISNet (mask stage): the torch test double at tiny config
+    isnet_cfg = ISNetConfig.tiny()
+    gen = torch.Generator().manual_seed(0)
+    model = ISNetTorch(isnet_cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(model, gen)
+    model.eval()
+    isnet_sd = {k: v.numpy() for k, v in model.state_dict().items()
+                if "num_batches_tracked" not in k}
+    paths["isnet"] = str(tmp_path / "isnet.safetensors")
+    save_safetensors(paths["isnet"], isnet_sd)
+
+    # --- SDXL UNet / BrushNet / VAE: reference-layout golden state dicts
+    g = goldens("brushnet_pipeline")
+
+    def _sd(prefix):
+        n = len(prefix) + 2
+        return {k[n:]: g[k] for k in g.files if k.startswith(prefix + "::")}
+
+    # "sdxl_" prefix: tiny_wan_ckpts shares this tmp_path and writes its
+    # own vae.safetensors
+    for name, key in (("unet", "unet"), ("brushnet", "bn"), ("vae", "vae")):
+        paths[name] = str(tmp_path / f"sdxl_{name}.safetensors")
+        save_safetensors(paths[name], _sd(key))
+
+    # --- text encoders: hidden 16+16 => concat == unet cross_attention 32;
+    # te2 projection 32 => pooled(32) + 6*addition_time(8) == class_emb 80
+    rng = np.random.RandomState(7)
+    vocab = _write_tiny_clip_tokenizer(str(tmp_path / "tok1"))
+    _write_tiny_clip_tokenizer(str(tmp_path / "tok2"))
+    paths["tok1"], paths["tok2"] = str(tmp_path / "tok1"), str(tmp_path / "tok2")
+    te_kw = dict(hidden=16, layers=2, inter=32, vocab=vocab)
+    paths["te1"] = str(tmp_path / "te1.safetensors")
+    save_safetensors(paths["te1"], _tiny_clip_te_sd(rng, **te_kw))
+    paths["te2"] = str(tmp_path / "te2.safetensors")
+    save_safetensors(paths["te2"], _tiny_clip_te_sd(rng, proj=32, **te_kw))
+
+    te_cfg = dict(vocab_size=vocab, hidden_size=16, intermediate_size=32,
+                  num_layers=2, num_heads=2, max_position_embeddings=77,
+                  eos_token_id=1)
+    overrides = {
+        "isnet": dataclasses.asdict(isnet_cfg),
+        "sdxl_unet": dataclasses.asdict(UNET_CFG),
+        "brushnet": dataclasses.asdict(BN_CFG),
+        "sdxl_vae": dataclasses.asdict(VAE_CFG),
+        "sdxl_te1": dataclasses.asdict(CLIPTextConfig(**te_cfg)),
+        "sdxl_te2": dataclasses.asdict(
+            CLIPTextConfig(projection_dim=32, **te_cfg)),
+    }
+    op = tmp_path / "overrides.json"
+    op.write_text(json.dumps(overrides))
+    paths["overrides"] = str(op)
+    return paths
+
+
+@pytest.mark.slow
+def test_fairygen_story_four_stage_flow(tmp_path, tiny_story_ckpts,
+                                        tiny_wan_ckpts):
+    """mask -> style (DoRA) -> stylize (BrushNet) -> animate (Wan) through
+    examples/fairygen_story.py on tiny checkpoints, asserting every file
+    handoff the orchestrator makes (reference README.md:27 flow)."""
+    from PIL import Image
+
+    sk = tiny_story_ckpts
+    wk = tiny_wan_ckpts
+    ws = tmp_path / "ws"
+    (ws / "prompts").mkdir(parents=True)
+    (ws / "motion").mkdir()
+    rng = np.random.RandomState(3)
+    img = np.full((64, 64, 3), 255, np.uint8)
+    img[16:48, 16:48] = rng.randint(0, 128, (32, 32, 3), np.uint8)
+    Image.fromarray(img).save(str(ws / "character.png"))
+    (ws / "prompts" / "01.txt").write_text("a pig in the meadow")
+    (ws / "motion" / "01.txt").write_text("a pig walks")
+
+    env = _cpu_env(FAIRYGEN_MODEL_HINTS=wk["hints"],
+                   FAIRYGEN_CONFIG_OVERRIDES=sk["overrides"])
+    wan_paths = json.dumps([wk["paths"]["dit"], wk["paths"]["vae"],
+                            wk["paths"]["umt5"]])
+    _run([os.path.join(REPO, "examples", "fairygen_story.py"),
+          "--workspace", str(ws),
+          "--stages", "mask,style,stylize,animate",
+          "--isnet", sk["isnet"], "--mask_infer_size", "64",
+          "--sdxl_unet", sk["unet"], "--sdxl_vae", sk["vae"],
+          "--sdxl_te1", sk["te1"], "--sdxl_te2", sk["te2"],
+          "--tokenizer1", sk["tok1"], "--tokenizer2", sk["tok2"],
+          "--brushnet", sk["brushnet"],
+          "--caption", "a drawing", "--dora_steps", "2", "--dora_rank", "2",
+          "--resolution", "64", "--stylize_steps", "2",
+          "--wan_model_paths", wan_paths,
+          "--wan_tokenizer", wk["tokenizer"],
+          "--height", "32", "--width", "32", "--num_frames", "5",
+          "--steps", "2", "--cfg_scale", "1.0",
+          ], env, timeout=2400)
+
+    # every inter-stage artifact the orchestrator hands forward:
+    mask = np.asarray(Image.open(ws / "mask.png"))
+    assert set(np.unique(mask)) <= {0, 255}          # binarized mask
+    dora = ws / "dora" / "pytorch_lora_weights.safetensors"
+    assert dora.exists()                             # style stage output
+    shot = ws / "shots" / "01.png"
+    assert shot.exists()                             # stylize stage output
+    assert Image.open(shot).size == (64, 64)
+    assert (ws / "shots" / "01.txt").exists()        # staged motion prompt
+    assert (ws / "shots" / "01.txt").read_text() == "a pig walks"
+    clips = [f for f in os.listdir(ws / "clips") if f.startswith("01.")]
+    assert clips, sorted(os.listdir(ws / "clips"))   # animate stage output
+    assert os.path.getsize(ws / "clips" / clips[0]) > 0

@@ -30,6 +30,9 @@ def main():
                    choices=["isnet-anime", "isnet-general-use"])
     p.add_argument("--threshold", type=int, default=127,
                    help="binarize at >threshold (create_mask.py:26)")
+    p.add_argument("--infer_size", type=int, default=0,
+                   help="override the preset's inference resolution "
+                        "(0 = preset default, 1024)")
     args = p.parse_args()
 
     from PIL import Image
@@ -40,10 +43,15 @@ def main():
         extract_mask,
     )
 
+    from fairygen_tpu.core.model_config import override_config
+    from fairygen_tpu.models.isnet import ISNetConfig
+
     image = np.asarray(Image.open(args.input).convert("RGB"))
-    params, cfg = convert_isnet_state_dict(load_state_dict(args.weights))
+    cfg = override_config("isnet", ISNetConfig.dis())
+    params, cfg = convert_isnet_state_dict(load_state_dict(args.weights), cfg)
     mask = extract_mask(params, cfg, image, preset=args.preset,
-                        threshold=args.threshold)
+                        threshold=args.threshold,
+                        size=(args.infer_size,) * 2 if args.infer_size else None)
     Image.fromarray(mask, mode="L").save(args.output)
     print(f"mask saved to {args.output}")
 
