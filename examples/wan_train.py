@@ -108,6 +108,8 @@ def main():
     mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
                      pipe=args.mesh_pipe)
     trainable = lora_trainable_filter(("B2",) if stage2 else ("A", "B"))
+    remat = ("offload" if args.use_gradient_checkpointing_offload
+             else args.use_gradient_checkpointing)
     if args.task.startswith("direct_distill"):
         if args.mesh_pipe > 1:
             parser.error("--mesh_pipe is only supported for the sft task")
@@ -118,7 +120,7 @@ def main():
                            args.weight_decay, args.max_grad_norm),
             mesh=mesh,
             num_inference_steps=args.distill_steps,
-            remat=args.use_gradient_checkpointing,
+            remat=remat,
             trainable_filter=trainable,
         )
     else:
@@ -127,7 +129,7 @@ def main():
             make_optimizer(args.optimizer, args.learning_rate,
                            args.weight_decay, args.max_grad_norm),
             mesh=mesh,
-            remat=args.use_gradient_checkpointing,
+            remat=remat,
             trainable_filter=trainable,
             lora_b_dropout=("B2", 0.5) if stage2 else ("B", 0.8),
             gradient_accumulation_steps=args.gradient_accumulation_steps,

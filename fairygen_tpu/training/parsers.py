@@ -98,6 +98,12 @@ def add_gradient_config(parser):
 
     parser.add_argument("--use_gradient_checkpointing", default=True,
                         action=argparse.BooleanOptionalAction)
+    parser.add_argument(
+        "--use_gradient_checkpointing_offload", action="store_true",
+        help="Park remat carry residuals in pinned host memory (the "
+        "reference's save_on_cpu() variant, gradient_checkpoint.py:10-34; "
+        "same flag name, trainers/utils.py:164) — frees ~L*B*S*D*2 bytes "
+        "HBM for bigger per-chip batches.")
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
     return parser
 

@@ -159,9 +159,14 @@ def test_wan_two_stage_cli_flow(tmp_path, tiny_wan_ckpts):
     assert not any("lora_B2" in k for k in sd1)
 
     # --- stage 2 (motion: frozen A1/B1 + trained B2) ---
+    # argparse last-wins: stage 2 re-enables remat in its host-offload
+    # variant so the --use_gradient_checkpointing_offload path is
+    # CLI-exercised end-to-end (reference trainers/utils.py:164)
     s2 = tmp_path / "stage2"
     _run([os.path.join(REPO, "examples", "wan_train.py"),
           *common, "--lora_checkpoint", str(s1_ckpt),
+          "--use_gradient_checkpointing",
+          "--use_gradient_checkpointing_offload",
           "--output_path", str(s2)], env)
     s2_ckpt = s2 / "epoch-0.safetensors"
     assert s2_ckpt.exists(), sorted(os.listdir(s2))

@@ -1,5 +1,6 @@
 """Wan DiT forward parity vs the reference model_fn_wan_video (goldens)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -88,6 +89,82 @@ def test_remat_matches_plain(goldens):
     a = wan_dit_forward(params, cfg, *args, fuse_vae_embedding_in_latents=True)
     b = wan_dit_forward(params, cfg, *args, fuse_vae_embedding_in_latents=True, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_offload_matches_full_remat(goldens):
+    """remat='offload' (carry residuals parked in pinned host memory — the
+    XLA-native analogue of the reference's save_on_cpu() gradient
+    checkpoint, gradient_checkpoint.py:10-34): forward AND gradients match
+    the on-device full-remat path."""
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    params = convert_dit_state_dict(_sd(g, "ti"), cfg)
+    args = (
+        jnp.asarray(g["ti_latents"]),
+        jnp.asarray(g["ti_timestep"]),
+        jnp.asarray(g["ti_context"]),
+    )
+    a = wan_dit_forward(params, cfg, *args,
+                        fuse_vae_embedding_in_latents=True, remat=True)
+    b = wan_dit_forward(params, cfg, *args,
+                        fuse_vae_embedding_in_latents=True, remat="offload")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(p, remat):
+        out = wan_dit_forward(p, cfg, *args,
+                              fuse_vae_embedding_in_latents=True, remat=remat)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_full = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    g_off = jax.jit(jax.grad(lambda p: loss(p, "offload")))(params)
+    key = lambda kv: jax.tree_util.keystr(kv[0])
+    for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g_full), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(g_off), key=key)):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   atol=2e-5, err_msg=str(ka))
+
+
+def test_train_step_offload_remat_matches(goldens):
+    """A full SFT train step with remat='offload' reproduces the
+    remat=True loss and updated params."""
+    import optax
+
+    from fairygen_tpu.training.train_step import make_wan_sft_train_step
+
+    g = goldens("wan_dit")
+    cfg = WanDiTConfig(
+        dim=96, in_dim=8, ffn_dim=128, out_dim=8, text_dim=32, freq_dim=32,
+        patch_size=(1, 2, 2), num_heads=4, num_layers=2,
+        seperated_timestep=True, require_clip_embedding=False,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True,
+    )
+    params = convert_dit_state_dict(_sd(g, "ti"), cfg)
+    batch = {
+        "latents": jnp.asarray(g["ti_latents"]),
+        "context": jnp.asarray(g["ti_context"]),
+    }
+    rng = jax.random.key(7)
+    outs = {}
+    for remat in (True, "offload"):
+        init_state, train_step = make_wan_sft_train_step(
+            cfg, optax.sgd(1e-3), remat=remat)
+        state, loss = train_step(init_state(params), batch, rng)
+        outs[str(remat)] = (float(loss), state.params)
+    assert np.isclose(outs["True"][0], outs["offload"][0], atol=1e-6)
+    key = lambda kv: jax.tree_util.keystr(kv[0])
+    for (ka, va), (kb, vb) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(outs["True"][1]), key=key),
+            sorted(jax.tree_util.tree_leaves_with_path(outs["offload"][1]), key=key)):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   atol=2e-5, err_msg=str(ka))
 
 
 def test_cross_kv_precompute_matches(goldens):

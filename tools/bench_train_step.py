@@ -22,7 +22,7 @@ from fairygen_tpu.training.train_step import make_wan_sft_train_step
 DEPTHS = (2, 6)
 
 
-def _time_step(depth):
+def _time_step(depth, remat=True):
     cfg = WanDiTConfig.ti2v_5b()
     import dataclasses
 
@@ -34,7 +34,7 @@ def _time_step(depth):
         lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
 
     init_state, train_step = make_wan_sft_train_step(
-        cfg, optax.sgd(1e-5), remat=True)
+        cfg, optax.sgd(1e-5), remat=remat)
     state = init_state(params)
     batch = {
         "latents": jnp.zeros((1, 48, 21, 30, 52), dtype),
@@ -53,7 +53,13 @@ def _time_step(depth):
 
 
 def main():
-    t = {d: _time_step(d) for d in DEPTHS}
+    import sys
+
+    remat = "offload" if "offload" in sys.argv[1:] else True
+    if remat == "offload":
+        print("remat=offload: carry residuals in pinned host memory "
+              "(--use_gradient_checkpointing_offload)")
+    t = {d: _time_step(d, remat) for d in DEPTHS}
     for d, dt in t.items():
         print(f"depth {d}: {dt*1e3:8.1f} ms/step")
     per_block = (t[DEPTHS[1]] - t[DEPTHS[0]]) / (DEPTHS[1] - DEPTHS[0])
