@@ -59,7 +59,7 @@ def _int8qk_kernel(q_ref, k_ref, qs_ref, ks_ref, v_ref, o_ref, acc_ref,
     k = k_ref[0]          # (bk, d) int8
     s32 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    scale = qs_ref[0].reshape(-1, 1) * ks_ref[0].reshape(1, -1)
+    scale = qs_ref[0] * ks_ref[0].reshape(1, -1)  # (bq,1)*(1,bk)
     p = jnp.exp2(s32.astype(jnp.float32) * scale)
     l_ref[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] += jax.lax.dot_general(
@@ -107,6 +107,7 @@ def flash_attention_int8qk(q, k, v, bq=2048, bk=512):
 
     qi, qs = _quant_rows(qh)
     ki, ks = _quant_rows(kh)
+    qs, ks = qs[..., None], ks[..., None]  # (H, S, 1) for the block spec
 
     grid = (b * n, sq_p // bq, sk_p // bk)
     out = pl.pallas_call(
@@ -115,8 +116,11 @@ def flash_attention_int8qk(q, k, v, bq=2048, bk=512):
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
             pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
-            pl.BlockSpec((1, bq), lambda h, i, j: (h, i)),
-            pl.BlockSpec((1, bk), lambda h, i, j: (h, j)),
+            # scales carry a trailing unit dim: pallas requires the last
+            # two block dims (bq, 1) to divide (8, =array) — (1, bq)
+            # would put the row axis in the 128-lane slot
+            pl.BlockSpec((1, bq, 1), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bk, 1), lambda h, i, j: (h, j, 0)),
             pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
@@ -145,8 +149,10 @@ def _time(fn, *args, n_iter=20):
 def main():
     dtype = jnp.bfloat16
     b, n, hd = 1, 24, 128
-    for name, sq, sk in (("self 480p", 8190, 8190),
-                         ("self 720p", 18480, 18480)):
+    cases = (("self 480p", 8190, 8190), ("self 720p", 18480, 18480))
+    if len(sys.argv) > 1:  # e.g. `480p` to run one case (slow tunnel compiles)
+        cases = [c for c in cases if sys.argv[1] in c[0]]
+    for name, sq, sk in cases:
         ksit = iter(jax.random.split(jax.random.key(0), 3))
         q = jax.random.normal(next(ksit), (b, sq, n, hd), dtype)
         k = jax.random.normal(next(ksit), (b, sk, n, hd), dtype)
