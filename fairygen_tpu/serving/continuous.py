@@ -295,13 +295,19 @@ class ContinuousEngine:
     boundaries and drives one batched denoise step per iteration.
 
     The denoise loop never blocks on admission (prepare/encode runs on the
-    scheduler thread between steps); a finished slot's VAE decode runs
-    inline — at flagship shapes that is ~8% of a clip, amortized across
-    the other slots' progress."""
+    scheduler thread between steps), and with ``decode_async`` (default) a
+    finished slot's VAE decode — ~8% of a clip at flagship shapes, host-
+    blocking for its full device time because the result must materialize
+    — runs on a dedicated decode thread: the slot frees immediately, the
+    scheduler admits and dispatches the next steps while the decode
+    executes, and the request completes when its video lands.  Decodes of
+    one engine are serialized with each other (one worker), preserving
+    submission-order completion among simultaneous finishes."""
 
     def __init__(self, stepper: WanSlotStepper, *, num_slots: int = 2,
                  default_params: Optional[Dict[str, Any]] = None,
-                 max_finished: int = 256, max_inflight_steps: int = 2):
+                 max_finished: int = 256, max_inflight_steps: int = 2,
+                 decode_async: bool = True):
         self.stepper = stepper
         self.num_slots = num_slots
         stepper.validate_slots(num_slots)  # fail at construction, not admit
@@ -326,6 +332,16 @@ class ContinuousEngine:
         # sync round-trip.
         self.max_inflight_steps = max_inflight_steps
         self._inflight: deque = deque()
+        self.decode_async = decode_async
+        self._decode_thread = None
+        if decode_async:
+            import queue as _queue
+
+            self._decode_q: Any = _queue.Queue()
+            self._decode_thread = threading.Thread(
+                target=self._decode_worker, daemon=True,
+                name="fairygen-decode")
+            self._decode_thread.start()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fairygen-continuous")
         self._thread.start()
@@ -354,10 +370,35 @@ class ContinuousEngine:
         return out
 
     def shutdown(self, timeout: float = 30.0):
+        import time as _time
+
+        t0 = _time.monotonic()
         with self._lock:
             self._stop = True
             self._lock.notify()
         self._thread.join(timeout)
+        if self._decode_thread is not None:
+            # drain pending decodes: the worker exits on the sentinel,
+            # which the scheduler thread can no longer enqueue behind
+            self._decode_q.put(None)
+            self._decode_thread.join(
+                max(0.0, timeout - (_time.monotonic() - t0)))
+
+    def _decode_worker(self):
+        """Dedicated VAE-decode thread: finished slots hand off
+        (request, latent row, plan) so the scheduler keeps stepping the
+        remaining occupancy during the decode."""
+        while True:
+            job = self._decode_q.get()
+            if job is None:
+                return
+            req, lat_row, plan = job
+            try:
+                req.result = self.stepper.decode(lat_row, plan)
+            except Exception as e:  # noqa: BLE001 - surfaced per-request
+                req.error = f"{type(e).__name__}: {e}"
+            req.progress = 1.0
+            self._finish(req)
 
     # -- scheduler thread --------------------------------------------------
     def _finish(self, req: Request):
@@ -483,6 +524,12 @@ class ContinuousEngine:
             s.step += 1
             s.req.progress = min(s.step / s.n, 1.0)
             if not s.done:
+                continue
+            if self.decode_async:
+                # the sliced row is its own buffer: later donation of the
+                # batched latent array cannot invalidate it
+                self._decode_q.put((s.req, lat_of(j), s.plan))
+                slots[j] = None
                 continue
             try:
                 s.req.result = self.stepper.decode(lat_of(j), s.plan)

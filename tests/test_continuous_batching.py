@@ -98,6 +98,37 @@ def test_short_request_is_not_blocked_by_long_one():
         eng.shutdown()
 
 
+def test_sync_decode_mode_matches_async():
+    """decode_async=False (inline decode on the scheduler thread, the
+    pre-round-4 behavior) stays available and bit-matches the default
+    decode-thread path — with a real (tiny) VAE so the worker thread
+    actually runs the decode, not just the handoff."""
+    from fairygen_tpu.models.wan.vae import init_vae_params
+
+    vcfg = WanVAEConfig.tiny()
+    dcfg = WanDiTConfig(
+        dim=96, in_dim=vcfg.z_dim, ffn_dim=128, out_dim=vcfg.z_dim,
+        text_dim=32, freq_dim=32, patch_size=(1, 2, 2), num_heads=4,
+        num_layers=2)
+    pipe = WanVideoPipeline(
+        dit_params=init_dit_params(jax.random.key(0), dcfg), dit_cfg=dcfg,
+        vae_params=init_vae_params(vcfg), vae_cfg=vcfg, dtype=jnp.float32)
+    outs = {}
+    for mode in (True, False):
+        eng = ContinuousEngine(WanSlotStepper(
+            pipe, height=H, width=W, num_frames=F), num_slots=2,
+            decode_async=mode)
+        try:
+            r = eng.submit(context=_ctx(4), seed=5, num_inference_steps=2,
+                           cfg_scale=1.0, output_type="floatpoint")
+            outs[mode] = np.asarray(r.wait(timeout=300))
+            assert eng.stats()["completed"] == 1
+        finally:
+            eng.shutdown()
+    assert outs[True].shape[-3:] == (F, H, W), outs[True].shape
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
 def test_admission_beyond_capacity_queues_and_errors_surface():
     """Requests beyond num_slots queue for the next free slot; a bad
     request errors without poisoning its neighbours."""
