@@ -50,6 +50,7 @@ from .train_step import make_wan_sft_train_step
 
 __all__ = [
     "train_tiny_wan_dit",
+    "train_tiny_wan_dit_cached",
     "wan_rollout",
     "per_layer_activation_stats",
     "run_wan_quant_experiment",
@@ -61,6 +62,28 @@ TINY_CFG = WanDiTConfig(
 )
 _LAT_SHAPE = (1, 8, 3, 8, 8)
 _CTX_LEN = 6
+
+
+_TRAIN_CACHE: dict = {}
+
+
+def train_tiny_wan_dit_cached(*, num_train_steps: int = 800, lr: float = 3e-3,
+                              pool: int = 1, seed: int = 0, log_every: int = 0):
+    """Process-memoized ``train_tiny_wan_dit`` (default TINY_CFG only).
+
+    The trained-weights quant gate and the TeaCache calibrate->gate demo
+    train the IDENTICAL model (same cfg/seed/schedule); within one test
+    process the ~8-min CPU training run should be paid once.  Training is
+    deterministic for fixed arguments, so the cache is observationally
+    pure; callers must not mutate the returned params (functional JAX
+    code never does).
+    """
+    key = (num_train_steps, lr, pool, seed)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = train_tiny_wan_dit(
+            num_train_steps=num_train_steps, lr=lr, pool=pool, seed=seed,
+            log_every=log_every)
+    return _TRAIN_CACHE[key]
 
 
 def train_tiny_wan_dit(
@@ -207,7 +230,7 @@ def run_wan_quant_experiment(
     """Full trained-vs-random int8 quality experiment; returns a dict with
     losses, both rollout PSNRs, activation crest stats, and per-group
     weight reconstruction errors."""
-    trained, cfg, train_info = train_tiny_wan_dit(
+    trained, cfg, train_info = train_tiny_wan_dit_cached(
         num_train_steps=num_train_steps, lr=lr, pool=pool, seed=seed,
         log_every=log_every)
     random_init = init_dit_params(jax.random.PRNGKey(seed + 100), cfg)
