@@ -13,6 +13,13 @@ fairygen_tpu.utils.tea_cache.TEACACHE_COEFFICIENTS (or
 register_tea_cache_coefficients at runtime), after which
 ``pipe(tea_cache_l1_thresh=..., tea_cache_model_id=<model_id>)``
 thresholds mean accumulated predicted relative output error.
+
+With ``--target_calc_frac`` the tool also picks the operating threshold:
+it replays the runtime accumulator rule over the captured drift trace and
+binary-searches the threshold that computes the requested fraction of
+steps (training/tea_cache_experiment.py — flow demonstrated end-to-end at
+trained-tiny scale in test_tea_cache_experiment.py, 70 dB vs dense at
+0.7 compute).
 """
 import argparse
 import json
@@ -34,6 +41,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_id", type=str, default="calibrated")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--target_calc_frac", type=float, default=None,
+                   help="also pick the threshold whose replayed schedule "
+                   "computes this fraction of steps (e.g. 0.7)")
     args = p.parse_args()
 
     import jax
@@ -62,10 +72,24 @@ def main():
         pipe.dit_params, cfg, lats, ctxs,
         num_inference_steps=args.steps)
     entry = {args.model_id: coeffs}
-    print(json.dumps({"coefficients": entry,
-                      "pairs": len(xs),
-                      "x_range": [float(xs.min()), float(xs.max())],
-                      "y_range": [float(ys.min()), float(ys.max())]}))
+    report = {"coefficients": entry,
+              "pairs": len(xs),
+              "x_range": [float(xs.min()), float(xs.max())],
+              "y_range": [float(ys.min()), float(ys.max())]}
+    if args.target_calc_frac is not None:
+        from fairygen_tpu.training.tea_cache_experiment import (
+            pick_threshold,
+            simulate_calc_schedule,
+        )
+
+        xs_one = xs[: args.steps - 1]  # t_mod depends only on the timestep
+        thresh = pick_threshold(coeffs, xs_one, args.steps,
+                                args.target_calc_frac)
+        mask = simulate_calc_schedule(coeffs, xs_one, thresh, args.steps)
+        report["threshold"] = float(thresh)
+        report["predicted_calc_steps"] = int(mask.sum())
+        report["predicted_skip_steps"] = int(args.steps - mask.sum())
+    print(json.dumps(report))
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(entry, fh, indent=1)
