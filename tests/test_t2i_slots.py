@@ -1,0 +1,159 @@
+"""FLUX slot stepper for the continuous-batching engine (serving/t2i_slots.py).
+
+Mirrors test_continuous_batching.py's exactness contract on the t2i side:
+a slot's trajectory must equal a dedicated ``FluxImagePipeline`` run (same
+seed/steps/guidance) even while sharing the batch with requests on
+different schedules — the few-step-Turbo-behind-50-step-dev mixing case
+the stepper exists for.  Uses the committed flux_pipeline goldens' tiny
+converted weights so the decode tail is exercised with a real VAE.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fairygen_tpu.models.flux.dit import FluxDiTConfig, init_flux_dit_params
+from fairygen_tpu.models.flux.vae import (
+    AutoencoderKLConfig,
+    convert_flux_vae_state_dict,
+)
+from fairygen_tpu.pipelines.flux_image import FluxImagePipeline
+from fairygen_tpu.serving import ContinuousEngine, FluxSlotStepper
+
+DIT_CFG = FluxDiTConfig.tiny()
+H, W = 64, 96
+LT = 11
+
+
+def _mk_pipe(vae=False):
+    pipe = FluxImagePipeline(
+        dit_params=init_flux_dit_params(jax.random.key(0), DIT_CFG),
+        dit_cfg=DIT_CFG, dtype=jnp.float32)
+    if vae:
+        g = np.load("tests/goldens/flux_pipeline.npz")
+        vae_cfg = AutoencoderKLConfig(
+            latent_channels=4, block_out_channels=(8, 16, 32, 32),
+            norm_num_groups=4, scaling_factor=0.3611, shift_factor=0.1159,
+            use_quant_conv=False)
+        sd = {k[4:]: g[k] for k in g.files if k.startswith("vae.")}
+        enc = np.load("tests/goldens/flux_vae.npz")
+        sd.update({k[3:]: enc[k] for k in enc.files
+                   if k.startswith("sd.encoder.")})
+        pipe.vae_params = convert_flux_vae_state_dict(sd, vae_cfg)
+        pipe.vae_cfg = vae_cfg
+    return pipe
+
+
+def _emb(seed):
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    return (jax.random.normal(k1, (1, LT, DIT_CFG.context_dim), jnp.float32),
+            jax.random.normal(k2, (1, DIT_CFG.pooled_dim), jnp.float32))
+
+
+def test_flux_slots_match_dedicated_pipeline_runs():
+    """A 3-step high-guidance request and a 7-step guidance-1 request share
+    the batch yet each reproduces its dedicated pipeline run (latents)."""
+    pipe = _mk_pipe()
+    eng = ContinuousEngine(FluxSlotStepper(pipe, height=H, width=W),
+                           num_slots=2)
+    (pa, ppa), (pb, ppb) = _emb(1), _emb(2)
+    try:
+        r_a = eng.submit(prompt_emb=pa, pooled_prompt_emb=ppa, seed=11,
+                         num_inference_steps=3, embedded_guidance=3.5,
+                         output_type="latent")
+        r_b = eng.submit(prompt_emb=pb, pooled_prompt_emb=ppb, seed=22,
+                         num_inference_steps=7, embedded_guidance=1.0,
+                         sigma_shift=6.0, output_type="latent")
+        out_a = np.asarray(r_a.wait(timeout=300))
+        out_b = np.asarray(r_b.wait(timeout=300))
+        stats = eng.stats()
+    finally:
+        eng.shutdown()
+
+    # zc falls back to in_dim // 4 with no VAE loaded (both sides)
+    want_a = np.asarray(pipe(
+        prompt_emb=pa, pooled_prompt_emb=ppa, seed=11, height=H, width=W,
+        num_inference_steps=3, embedded_guidance=3.5, output_type="latent"))
+    want_b = np.asarray(pipe(
+        prompt_emb=pb, pooled_prompt_emb=ppb, seed=22, height=H, width=W,
+        num_inference_steps=7, embedded_guidance=1.0, sigma_shift=6.0,
+        output_type="latent"))
+    np.testing.assert_allclose(out_a, want_a, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
+    assert np.abs(want_a - want_b).max() > 1e-3
+    # the requests overlapped: fewer engine ticks than sequential steps
+    assert stats["steps"] < 3 + 7
+    assert stats["mean_occupancy"] > 1.0
+
+
+@pytest.mark.slow
+def test_flux_slot_decode_matches_pipeline():
+    """output_type='np' runs the same fp32 VAE decode tail as the
+    dedicated pipeline (goldens' converted tiny VAE)."""
+    pipe = _mk_pipe(vae=True)
+    eng = ContinuousEngine(FluxSlotStepper(pipe, height=H, width=W),
+                           num_slots=2)
+    pa, ppa = _emb(3)
+    try:
+        r = eng.submit(prompt_emb=pa, pooled_prompt_emb=ppa, seed=5,
+                       num_inference_steps=2, embedded_guidance=2.0,
+                       output_type="np")
+        out = np.asarray(r.wait(timeout=300))
+    finally:
+        eng.shutdown()
+    want = np.asarray(pipe(
+        prompt_emb=pa, pooled_prompt_emb=ppa, seed=5, height=H, width=W,
+        num_inference_steps=2, embedded_guidance=2.0, output_type="np"))
+    # uint8 images: identical up to the decode's last-bit rounding
+    assert out.shape == want.shape and out.dtype == want.dtype
+    assert np.mean(np.abs(out.astype(np.int16) - want.astype(np.int16))) \
+        < 0.05
+
+
+def test_flux_slot_parallel_mesh_matches_single_device():
+    """Fixed-mode (mesh) slot serving: the packed pooled-row transport and
+    per-slot guidance survive the data-axis sharded batch."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, ("data",))
+    pipe = _mk_pipe()
+    eng = ContinuousEngine(
+        FluxSlotStepper(pipe, height=H, width=W, slot_mesh=mesh),
+        num_slots=2)
+    (pa, ppa), (pb, ppb) = _emb(4), _emb(5)
+    try:
+        r_a = eng.submit(prompt_emb=pa, pooled_prompt_emb=ppa, seed=7,
+                         num_inference_steps=2, embedded_guidance=4.0,
+                         output_type="latent")
+        r_b = eng.submit(prompt_emb=pb, pooled_prompt_emb=ppb, seed=8,
+                         num_inference_steps=4, embedded_guidance=1.0,
+                         output_type="latent")
+        out_a = np.asarray(r_a.wait(timeout=300))
+        out_b = np.asarray(r_b.wait(timeout=300))
+    finally:
+        eng.shutdown()
+    want_a = np.asarray(pipe(
+        prompt_emb=pa, pooled_prompt_emb=ppa, seed=7, height=H, width=W,
+        num_inference_steps=2, embedded_guidance=4.0, output_type="latent"))
+    want_b = np.asarray(pipe(
+        prompt_emb=pb, pooled_prompt_emb=ppb, seed=8, height=H, width=W,
+        num_inference_steps=4, embedded_guidance=1.0, output_type="latent"))
+    np.testing.assert_allclose(out_a, want_a, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
+
+
+def test_flux_stepper_rejects_bad_buckets():
+    pipe = _mk_pipe()
+    with pytest.raises(ValueError, match="/16"):
+        FluxSlotStepper(pipe, height=60, width=W)
+    st = FluxSlotStepper(pipe, height=H, width=W)
+    pa, ppa = _emb(6)
+    st.prepare(prompt_emb=pa, pooled_prompt_emb=ppa)  # locks LT
+    long_emb = jnp.zeros((1, LT + 4, DIT_CFG.context_dim), jnp.float32)
+    with pytest.raises(ValueError, match="context length"):
+        st.prepare(prompt_emb=long_emb, pooled_prompt_emb=ppa)
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        st.prepare(prompt_emb=pa, pooled_prompt_emb=ppa,
+                   num_inference_steps=0)
