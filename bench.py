@@ -171,15 +171,35 @@ def main():
               f"activation scales)", file=sys.stderr)
 
     tea_thresh = os.environ.get("FAIRYGEN_BENCH_TEACACHE")
+    tea_times, tea_label = {}, ""
     if tea_thresh and preset != "tiny":
         from fairygen_tpu.utils.tea_cache import init_tea_cache_state
 
         tokens = (lat_shape[2] // dit_cfg.patch_size[0]) * \
             (lat_shape[3] // dit_cfg.patch_size[1]) * \
             (lat_shape[4] // dit_cfg.patch_size[2])
-        opts = dict(model_id="Wan2.1-T2V-1.3B",
-                    rel_l1_thresh=float(tea_thresh),
-                    num_inference_steps=n_steps)
+        if tea_thresh == "calibrated":
+            # mechanical replay of the calibrate->gate OPERATING POINT
+            # (training/tea_cache_experiment.py: threshold searched for
+            # 0.7 compute -> 35/50 calc steps realized, 70.1 dB on the
+            # trained demo model; offline replay == runtime schedule to
+            # <=1 f32 flip).  Zero-init bench weights would drive the
+            # drift gate to max-skip, so the schedule — whose wall-clock
+            # cost is weight-independent — is forced instead: first/last
+            # calc, 15 interior skips spread so no two are adjacent
+            # (the accumulate-then-calc character of the gated runs).
+            mask = np.ones(n_steps, bool)
+            n_skip = round(0.3 * n_steps)
+            interior = np.linspace(2, n_steps - 2, n_skip).round().astype(int)
+            mask[interior] = False
+            opts = dict(forced_calc_mask=jnp.asarray(mask),
+                        num_inference_steps=n_steps)
+            tea_label = f"calibrated {int(mask.sum())}/{n_steps}"
+        else:
+            opts = dict(model_id="Wan2.1-T2V-1.3B",
+                        rel_l1_thresh=float(tea_thresh),
+                        num_inference_steps=n_steps)
+            tea_label = f"thresh={tea_thresh}"
 
         @functools.partial(jax.jit, donate_argnums=(1, 3))
         def tea_chunk(params, latents, ffl, tea, start):
@@ -200,21 +220,33 @@ def main():
 
             return jax.lax.fori_loop(start, start + length, step, (latents, tea))
 
-        def tea_denoise():
+        def tea_denoise(params):
             lat = jnp.zeros(lat_shape, dtype)
             tea = init_tea_cache_state((2, 2, 6, dit_cfg.dim),
                                        (2, tokens, dit_cfg.dim), dtype=dtype)
             for s in range(0, n_steps, steps_per_dispatch):
-                lat, tea = tea_chunk(dit_params, lat, ffl, tea, jnp.int32(s))
+                lat, tea = tea_chunk(params, lat, ffl, tea, jnp.int32(s))
             return lat
 
-        float(tea_denoise().sum())  # warm-up
-        t0 = time.perf_counter()
-        float(tea_denoise().sum())
-        tea_s = time.perf_counter() - t0
-        print(f"# teacache(thresh={tea_thresh}) denoise={tea_s:.2f}s "
-              f"({denoise_s / tea_s:.2f}x; zero-weight params -> max-skip "
-              f"upper bound)", file=sys.stderr)
+        tea_rows = [("bf16", dit_params)]
+        if int8_mode != "0":
+            from fairygen_tpu.ops.quant import quantize_wan_dit_linears
+
+            groups = (("ffn",) if int8_mode == "ffn"
+                      else ("ffn", "self_attn", "cross_attn"))
+            tea_rows.append(
+                ("int8", quantize_wan_dit_linears(dit_params, groups)))
+        tea_times = {}
+        for tname, tparams in tea_rows:
+            float(tea_denoise(tparams).sum())  # warm-up
+            t0 = time.perf_counter()
+            float(tea_denoise(tparams).sum())
+            tea_times[tname] = time.perf_counter() - t0
+            base = denoise_s if tname == "bf16" else (int8_s or denoise_s)
+            print(f"# teacache({tea_label}) {tname} denoise="
+                  f"{tea_times[tname]:.2f}s ({base / tea_times[tname]:.2f}x "
+                  f"vs dense {tname})", file=sys.stderr)
+        del tea_rows
 
     vae_s = 0.0
     if decode_video:
@@ -253,6 +285,18 @@ def main():
             "value": round(int8_total, 3),
             "unit": "s",
             "vs_baseline": round(target / int8_total, 3),
+        }))
+    for tname, tsec in tea_times.items():
+        tt = tsec + vae_s
+        print(json.dumps({
+            "metric": f"wan22_ti2v_5b_480p_81f_clip_seconds_teacache_{tname}",
+            "value": round(tt, 3),
+            "unit": "s",
+            "vs_baseline": round(target / tt, 3),
+            "note": f"lossy accelerator at the calibrated operating point "
+                    f"({tea_label}); quality evidence transfers from the "
+                    f"tiny-scale calibrate->gate demo (70.1 dB) until real "
+                    f"weights mount",
         }))
     print(f"# denoise={denoise_s:.2f}s ({n_steps} steps, two-sweep cfg) "
           f"vae_decode={vae_s:.2f}s preset={preset}", file=sys.stderr)
@@ -361,6 +405,22 @@ def bench_720p(n_steps):
     }))
     print(f"# 720p denoise={denoise_s:.2f}s vae_decode={vae_s:.2f}s "
           f"(full-frame fpc=1 stream, untiled)", file=sys.stderr)
+    # v5e-8 projection = measured single-chip parts x the EXECUTED sp=8
+    # program structure: the Ulysses sweep at this exact latent grid
+    # (18480 tokens = 8 x 2310, zero padding, 4 all-to-alls/block — the
+    # a2a payload is ~2.4 MB/block vs ~1.8 s of block compute) runs with
+    # single-device-exact equality on the 8-device mesh
+    # (tests/test_sp8_720p_program.py; dryrun sp8-720p-grid stage), so
+    # the DiT sweep divides by 8; the decode stays the measured
+    # single-chip fpc=1 stream (11.9 s — faster than any tiling, and the
+    # sharded-tile alternative is also executed in the same test).
+    proj = denoise_s / 8.0 + vae_s
+    print(json.dumps({
+        "metric": "wan22_ti2v_5b_720p_81f_clip_seconds_v5e8_projected",
+        "value": round(proj, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / proj, 3),
+    }))
 
 
 def _backend_ready(timeout_s=60):

@@ -30,24 +30,34 @@ import jax.numpy as jnp
 # measure that directly on real forwards instead of assuming
 # Gaussian-ness (crest ≈ 4–5 for Gaussian rows at dim 3072).
 _ACT_TAP: Optional[List] = None
+_ACT_TAP_MODE: str = "stats"
 
 
 @contextlib.contextmanager
-def activation_stats_tap(tap: List):
+def activation_stats_tap(tap: List, mode: str = "stats"):
     """While active, every `_apply_dense`-style call that routes through
     ``record_activation_stats`` appends a (label, stats-dict) entry to
     ``tap``.  Entries are JAX values: captured eagerly they are concrete;
     captured while tracing a function whose body runs entirely inside the
     active context they are tracers the caller can return as outputs
     (do NOT let scan-body tracers escape the scan — instrument a single
-    unrolled block instead, see tools/activation_stats.py)."""
-    global _ACT_TAP
-    prev = _ACT_TAP
+    unrolled block instead, see tools/activation_stats.py).
+
+    mode="channel_amax" records the per-INPUT-channel absolute maximum
+    (a (K,) array) instead of the scalar crest stats — the calibration
+    signal for SmoothQuant-style scale migration (entries arrive in
+    call order; callers map them to layers by the block's static dense
+    call order, see training/quant_experiment.calibrate_wan_dit_act_amax).
+    """
+    global _ACT_TAP, _ACT_TAP_MODE
+    prev, prev_mode = _ACT_TAP, _ACT_TAP_MODE
     _ACT_TAP = tap
+    _ACT_TAP_MODE = mode
     try:
         yield tap
     finally:
         _ACT_TAP = prev
+        _ACT_TAP_MODE = prev_mode
 
 
 def activation_row_stats(x) -> Dict[str, Any]:
@@ -69,7 +79,11 @@ def activation_row_stats(x) -> Dict[str, Any]:
 def record_activation_stats(label: str, x) -> None:
     """Hook point for dense helpers (no-op unless a tap is active)."""
     if _ACT_TAP is not None:
-        _ACT_TAP.append((label, activation_row_stats(x)))
+        if _ACT_TAP_MODE == "channel_amax":
+            xf = jnp.asarray(x, jnp.float32).reshape(-1, x.shape[-1])
+            _ACT_TAP.append((label, jnp.max(jnp.abs(xf), axis=0)))
+        else:
+            _ACT_TAP.append((label, activation_row_stats(x)))
 
 
 def weight_quant_report(w) -> Dict[str, float]:
@@ -95,6 +109,79 @@ def quantize_weight_int8(w) -> Dict[str, Any]:
     return {"w_int8": q, "w_scale": scale}
 
 
+# ------------------------------------------- outlier-robust W8A8 (round 5)
+# Per-row dynamic activation scaling keeps the int8 error budget bounded
+# ONLY while rows are outlier-free: one channel at A x the typical
+# magnitude sets step = A·σ/127, burying every other channel's signal at
+# SNR ≈ 440·σ/amax.  Published W8A8 literature (SmoothQuant, LLM.int8())
+# shows trained-transformer activation outliers are CHANNEL-structured
+# and grow with scale — so the mitigation below is engineered in before
+# real Wan-5B weights can break the deployment mode (VERDICT r4 item 1):
+#
+#  1. scale migration (SmoothQuant): per-input-channel smoothing scales
+#     s_j = amax_j^α / wmax_j^(1-α) folded INTO the stored weight
+#     (w' = s ⊙ w); runtime pays one fused elementwise multiply
+#     x' = x ⊙ (1/s) before quantization.  Works for any dense, no
+#     predecessor analysis (the canonical worst case — the GELU-tailed
+#     ffn down-proj input — has no linear predecessor to fold into).
+#  2. bf16 outlier-channel fallback (LLM.int8()-style): the top-k
+#     channels by *smoothed* calibration amax are zeroed out of both the
+#     int8 weight and the quantized activation (so they stop inflating
+#     row scales) and contribute through an exact thin (k × out) bf16
+#     matmul added to the int8 result.
+#
+# Reference anchor this replaces/beats: the FP8 linear's plain dynamic
+# per-row scaling, animation/diffsynth/core/vram/layers.py:321-357,
+# which has no outlier story at all.
+
+
+def smooth_scales(act_amax, w, alpha: float = 0.5):
+    """SmoothQuant migration scales s (K,): divide the activation by s,
+    multiply the weight rows by s.  s_j = amax_j^α / wmax_j^(1-α) with
+    wmax_j = max_out |w[j, :]|; channels with degenerate stats keep s=1.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.asarray(act_amax, jnp.float32)
+    wmax = jnp.max(jnp.abs(wf), axis=-1)  # (K,)
+    ok = (amax > 1e-12) & (wmax > 1e-12)
+    s = jnp.power(jnp.maximum(amax, 1e-12), alpha) / \
+        jnp.power(jnp.maximum(wmax, 1e-12), 1.0 - alpha)
+    # normalize the geometric mean (over live channels) to 1 so the
+    # smoothing is a pure redistribution (keeps weight magnitudes in a
+    # sane float range)
+    log_s = jnp.where(ok, jnp.log(s), 0.0)
+    denom = jnp.maximum(jnp.sum(ok), 1)
+    s = jnp.exp(log_s - jnp.sum(log_s) / denom)
+    return jnp.where(ok, s, 1.0)
+
+
+def quantize_weight_int8_robust(w, act_amax, alpha: float = 0.5,
+                                outlier_k: int = 0,
+                                out_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """(in, out) weight + calibration per-channel activation amax (K,)
+    -> outlier-robust W8A8 params: {"w_int8", "w_scale", "act_smooth"
+    [, "outlier_idx", "outlier_mask", "w_outlier"]}.
+
+    ``quantized_dense`` consumes every key; layers quantized this way
+    remain drop-in for the scan-stacked layouts (all aux arrays stack on
+    a leading L axis and slice per scan step)."""
+    wf = jnp.asarray(w, jnp.float32)
+    s = smooth_scales(act_amax, wf, alpha) if alpha is not None \
+        else jnp.ones((wf.shape[0],), jnp.float32)
+    w2 = wf * s[:, None]
+    out: Dict[str, Any] = {"act_smooth": (1.0 / s)}
+    if outlier_k:
+        smoothed_amax = jnp.asarray(act_amax, jnp.float32) / s
+        _, idx = jax.lax.top_k(smoothed_amax, outlier_k)
+        mask = jnp.ones((wf.shape[0],), jnp.float32).at[idx].set(0.0)
+        out["outlier_idx"] = idx.astype(jnp.int32)
+        out["outlier_mask"] = mask
+        out["w_outlier"] = w2[idx, :].astype(out_dtype)
+        w2 = w2 * mask[:, None]
+    out.update(quantize_weight_int8(w2))
+    return out
+
+
 def quantize_dense_params(p: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(quantize_weight_int8(p["w"]))
     if "b" in p:
@@ -106,9 +193,19 @@ def quantized_dense(p: Dict[str, Any], x):
     """y = (x_q @ w_q) · (row_scale ⊗ col_scale) + b, int32 accumulation.
 
     Dynamic symmetric per-row activation scaling (reference layers.py:342:
-    per-row amax -> fp8; here -> int8)."""
+    per-row amax -> fp8; here -> int8).  Optional outlier-robust keys
+    (quantize_weight_int8_robust): "act_smooth" applies the SmoothQuant
+    migration (one fused multiply), "outlier_idx"/"outlier_mask"/
+    "w_outlier" route the top-k outlier channels through an exact thin
+    bf16 matmul while excluding them from the int8 row scales."""
     orig_shape = x.shape
     xf = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    if "act_smooth" in p:
+        xf = xf * p["act_smooth"][None, :]
+    x_out = None
+    if "outlier_idx" in p:
+        x_out = jnp.take(xf, p["outlier_idx"], axis=1)  # (N, k)
+        xf = xf * p["outlier_mask"][None, :]
     row_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # (N, 1)
     row_scale = jnp.maximum(row_scale, 1e-12)
     xq = jnp.clip(jnp.round(xf / row_scale), -127, 127).astype(jnp.int8)
@@ -117,6 +214,9 @@ def quantized_dense(p: Dict[str, Any], x):
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * row_scale * p["w_scale"][None, :]
+    if x_out is not None:
+        y = y + jnp.dot(x_out.astype(p["w_outlier"].dtype), p["w_outlier"],
+                        preferred_element_type=jnp.float32)
     y = y.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -158,7 +258,10 @@ def _quantizers(consume: bool):
 
 
 def quantize_wan_dit_linears(params, groups=("ffn",),
-                             consume: bool = False) -> Any:
+                             consume: bool = False,
+                             act_amax: Optional[Dict[str, Any]] = None,
+                             alpha: float = 0.5,
+                             outlier_k: int = 0) -> Any:
     """Swap the (stacked) DiT block projections in ``groups`` to W8A8.
 
     groups ⊆ {"ffn", "self_attn", "cross_attn"} — every dense layer
@@ -166,9 +269,24 @@ def quantize_wan_dit_linears(params, groups=("ffn",),
     by {"w_int8", "w_scale"}; ``_apply_dense`` dispatches on the key.
     consume=True DESTROYS the input tree's quantized weights (donated
     buffers) — use when the caller replaces its params with the result.
+
+    act_amax: optional calibration stats {group: {name: (L, K) amax}}
+    (training/quant_experiment.calibrate_wan_dit_act_amax) — layers with
+    stats get the outlier-robust path (SmoothQuant migration at the given
+    ``alpha`` + bf16 fallback for the ``outlier_k`` worst channels);
+    layers without stay plain W8A8.
     """
     _check_int8_backend()
     qmap, qone = _quantizers(consume)
+    if act_amax is not None:
+        def _robust(args):
+            w, amax = args
+            return quantize_weight_int8_robust(w, amax, alpha=alpha,
+                                               outlier_k=outlier_k)
+
+        rmap = jax.jit(lambda ws, am: jax.lax.map(_robust, (ws, am)))
+        rone = jax.jit(lambda w, am: quantize_weight_int8_robust(
+            w, am, alpha=alpha, outlier_k=outlier_k))
     params = dict(params)
     blocks = dict(params["blocks"])
     for g in groups:
@@ -181,10 +299,15 @@ def quantize_wan_dit_linears(params, groups=("ffn",),
             w = layer.pop("w")
             if consume:
                 orig.pop("w")  # drop the tree's reference for donation
-            qw = qmap(w) if w.ndim == 3 else qone(w)
+            amax = None if act_amax is None else \
+                act_amax.get(g, {}).get(name)
+            if amax is not None:
+                qw = rmap(w, jnp.asarray(amax)) if w.ndim == 3 \
+                    else rone(w, jnp.asarray(amax))
+            else:
+                qw = qmap(w) if w.ndim == 3 else qone(w)
             del w
-            layer["w_int8"] = qw["w_int8"]
-            layer["w_scale"] = qw["w_scale"]
+            layer.update(qw)
             grp[name] = layer
         blocks[g] = grp
     params["blocks"] = blocks

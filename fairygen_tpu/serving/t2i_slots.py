@@ -91,6 +91,26 @@ class FluxSlotStepper:
         if height % 16 or width % 16:
             raise ValueError(f"height/width must be /16, got "
                              f"({height}, {width})")
+        if getattr(pipe, "mesh", None) is not None:
+            # mirrors the Wan stepper's guard (continuous.py): mixing a
+            # tensor-parallel pipe with slot serving either re-replicates
+            # the TP-sharded 12B weights onto a different mesh (OOM) or
+            # silently mixes two sharding schemes
+            raise ValueError(
+                "FluxSlotStepper does not support a tensor-parallel pipe "
+                "(pipe.use_mesh); slot-parallel serving shards the BATCH "
+                "via slot_mesh instead")
+        if pipe.vae_cfg is not None and \
+                cfg.in_dim != 4 * pipe.vae_cfg.latent_channels:
+            # Flex/inpaint-style DiTs take extra packed conditioning
+            # channels the slot step never injects — without this guard
+            # admission dies in an opaque matmul shape error (or, with no
+            # VAE, serves garbage noise); route those variants through the
+            # request-level BatchingEngine
+            raise ValueError(
+                f"DiT in_dim {cfg.in_dim} != 4 x latent_channels "
+                f"{pipe.vae_cfg.latent_channels}: this variant needs extra "
+                "conditioning channels — serve it via BatchingEngine")
         self.pipe = pipe
         self.height, self.width = height, width
         zc = pipe.vae_cfg.latent_channels if pipe.vae_cfg else \
@@ -129,6 +149,16 @@ class FluxSlotStepper:
                 prompt, t5_sequence_length)
         if pooled_prompt_emb is None:
             raise ValueError("prompt_emb without pooled_prompt_emb")
+        if jnp.asarray(pooled_prompt_emb).dtype != \
+                jnp.asarray(prompt_emb).dtype:
+            # the packed-row transport casts pooled to prompt_emb.dtype;
+            # a wider hand-passed pooled dtype would round and break the
+            # docstring's exact-bit recovery claim (encode_prompt always
+            # emits matching dtypes)
+            raise ValueError(
+                f"pooled_prompt_emb dtype {jnp.asarray(pooled_prompt_emb).dtype} "
+                f"!= prompt_emb dtype {jnp.asarray(prompt_emb).dtype}: the "
+                "packed-row transport requires matching dtypes")
         if self.context_len is None:
             self.context_len = int(prompt_emb.shape[1])
         if prompt_emb.shape[1] != self.context_len:

@@ -58,28 +58,43 @@ def tea_cache_blocks(
     t_mod,
     blocks_fn,
     *,
-    model_id: str,
-    rel_l1_thresh: float,
-    num_inference_steps: int,
+    model_id: Optional[str] = None,
+    rel_l1_thresh: float = 0.0,
+    num_inference_steps: int = 50,
+    forced_calc_mask=None,
 ):
     """Run ``blocks_fn(x)`` or reuse the cached residual, per the reference
-    decision rule (wan_video.py:1037-1065). Returns (x_out, new_state)."""
-    if model_id not in TEACACHE_COEFFICIENTS:
-        raise KeyError(
-            f"unknown TeaCache model_id {model_id!r}; known ids: "
-            f"{sorted(TEACACHE_COEFFICIENTS)}"
-        )
-    coeffs = jnp.asarray(TEACACHE_COEFFICIENTS[model_id], jnp.float32)
+    decision rule (wan_video.py:1037-1065). Returns (x_out, new_state).
 
-    drift = jnp.abs(t_mod.astype(jnp.float32) - state.prev_modulated.astype(jnp.float32)).mean()
-    denom = jnp.abs(state.prev_modulated.astype(jnp.float32)).mean()
-    rel = drift / jnp.maximum(denom, 1e-12)
-    rescaled = jnp.polyval(coeffs, rel)
-    accumulated = state.accumulated + rescaled
+    ``forced_calc_mask``: optional (num_inference_steps,) bool array that
+    REPLACES the drift-accumulator rule — step i calculates iff
+    mask[i].  This is the mechanical-replay mode: the calibrate->gate
+    flow (training/tea_cache_experiment.py) selects an operating
+    schedule offline (its replayed accumulator rule matches the runtime
+    gate to <=1 f32 boundary flip), and the bench replays that schedule
+    on the flagship program to measure wall-clock at the operating point
+    independent of the weights loaded (zero-init bench weights would
+    otherwise drive the drift gate to max-skip)."""
+    if forced_calc_mask is not None:
+        accumulated = state.accumulated
+        should_calc = jnp.asarray(forced_calc_mask)[state.step]
+    else:
+        if model_id not in TEACACHE_COEFFICIENTS:
+            raise KeyError(
+                f"unknown TeaCache model_id {model_id!r}; known ids: "
+                f"{sorted(TEACACHE_COEFFICIENTS)}"
+            )
+        coeffs = jnp.asarray(TEACACHE_COEFFICIENTS[model_id], jnp.float32)
 
-    is_edge = (state.step == 0) | (state.step == num_inference_steps - 1)
-    should_calc = is_edge | (accumulated >= rel_l1_thresh)
-    accumulated = jnp.where(is_edge | (accumulated >= rel_l1_thresh), 0.0, accumulated)
+        drift = jnp.abs(t_mod.astype(jnp.float32) - state.prev_modulated.astype(jnp.float32)).mean()
+        denom = jnp.abs(state.prev_modulated.astype(jnp.float32)).mean()
+        rel = drift / jnp.maximum(denom, 1e-12)
+        rescaled = jnp.polyval(coeffs, rel)
+        accumulated = state.accumulated + rescaled
+
+        is_edge = (state.step == 0) | (state.step == num_inference_steps - 1)
+        should_calc = is_edge | (accumulated >= rel_l1_thresh)
+        accumulated = jnp.where(is_edge | (accumulated >= rel_l1_thresh), 0.0, accumulated)
 
     def calc(_):
         y = blocks_fn(x)

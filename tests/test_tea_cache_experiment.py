@@ -16,12 +16,12 @@ import pytest
 
 
 @pytest.mark.slow
-def test_tea_cache_calibrate_then_gate_on_trained_model():
-    from fairygen_tpu.training.tea_cache_experiment import (
-        run_tea_cache_experiment,
-    )
-
-    r = run_tea_cache_experiment(target_calc_frac=0.7)
+def test_tea_cache_calibrate_then_gate_on_trained_model(trained_experiments):
+    # the experiment runs subprocess-isolated (conftest
+    # ``trained_experiments``, VERDICT r4 weak #3 — this very test was
+    # where the r4 one-process full suite SIGSEGVed)
+    r = {k: (np.asarray(v) if k.endswith("mask") else v)
+         for k, v in trained_experiments["tea"].items()}
 
     # 1. the model demonstrably trained (same collapse gate as the quant
     #    experiment; the claim is about a *trained* model's drift curve)
