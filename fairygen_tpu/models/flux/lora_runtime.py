@@ -244,12 +244,24 @@ def scale_hot_lora(hot_lora, scales):
 def hot_dense(p, x, hot):
     """Base linear + hot-LoRA stack: plain sum without a merger
     (core/vram/layers.py:418-420), learned LoraMerger gates with one
-    (:421-426).  Works for any leading shape (tokens or AdaLN vectors)."""
+    (:421-426).  Works for any leading shape (tokens or AdaLN vectors).
+
+    Per-SLOT form (keys "As"/"Bs", shapes (B, din, r)/(B, r, dout)): each
+    batch row applies its OWN adapter — the FLUX analogue of the Wan
+    engine's select_slot_loras (models/adapters.apply_adapter), gathered
+    at admission by ``select_flux_slot_loras`` so mixed-adapter t2i
+    traffic shares one compiled batched step."""
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     if hot is None:
         return y
+    if "As" in hot:
+        lo = jnp.einsum("b...d,bdr->b...r", x, hot["As"].astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        lo = jnp.einsum("b...r,bro->b...o", lo, hot["Bs"].astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        return y + lo
     lead = x.shape[:-1]
     xf = x.reshape(-1, x.shape[-1])
     lo = jnp.einsum("md,ndr->nmr", xf, hot["A"].astype(x.dtype))
@@ -258,6 +270,53 @@ def hot_dense(p, x, hot):
     if "merger" not in hot:
         return y + lo.sum(axis=0)
     return lora_merger_apply(hot["merger"], y, lo)
+
+
+def build_flux_slot_lora_stack(loras: List[Dict[str, Any]], cfg,
+                               alphas=None, dtype=None):
+    """Stack K hot FLUX LoRAs for per-slot selection (serving/t2i_slots).
+
+    Accepts any supported LoRA layout (normalized to the reference
+    naming); returns {"double": {suffix: {"A": (L, K+1, din, r),
+    "B": (L, K+1, r, dout)}}, "single": ...} — index 0 the identity
+    (zeros) adapter, adapter i at i+1, ranks zero-padded to the max
+    (exact).  ``alphas`` fold into B, matching the Wan stack
+    (models/adapters.build_hot_lora_stack)."""
+    alphas = list(alphas or [1.0] * len(loras))
+    if len(alphas) != len(loras):
+        raise ValueError("alphas and loras length mismatch")
+    loras = [normalize_flux_lora_to_reference(l) for l in loras]
+    hot = stack_hot_lora(loras, cfg, dtype=dtype)
+
+    def fam(entries):
+        out = {}
+        for suffix, e in entries.items():
+            A, B = e["A"], e["B"]
+            a = jnp.asarray(alphas, B.dtype)[None, :, None, None]
+            zA = jnp.zeros(A.shape[:1] + (1,) + A.shape[2:], A.dtype)
+            zB = jnp.zeros(B.shape[:1] + (1,) + B.shape[2:], B.dtype)
+            out[suffix] = {
+                "A": jnp.concatenate([zA, A], axis=1),
+                "B": jnp.concatenate([zB, B * a], axis=1),
+            }
+        return out
+
+    return {k: fam(v) for k, v in hot.items()}
+
+
+def select_flux_slot_loras(stack, adapter_ids):
+    """Gather per-sample adapters from a ``build_flux_slot_lora_stack``
+    registry: adapter_ids (B,) int (0 = none, i+1 = adapter i) ->
+    the ``hot_lora`` argument of ``flux_dit_forward`` in per-slot form
+    ({"As": (L, B, din, r), ...}; the block scans slice the leading L).
+    Runs once per slot-occupancy change, not per step."""
+    idx = jnp.asarray(adapter_ids, jnp.int32)
+
+    def fam(entries):
+        return {suffix: {"As": e["A"][:, idx], "Bs": e["B"][:, idx]}
+                for suffix, e in entries.items()}
+
+    return {k: fam(v) for k, v in stack.items()}
 
 
 # ------------------------------------------------------------------ encoder

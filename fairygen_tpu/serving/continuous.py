@@ -36,8 +36,9 @@ to **denoise-step-level** diffusion scheduling:
     traffic through the request-level engine's swap path).
 
 Scope: the text-to-video conditioning path of ``WanVideoPipeline`` with a
-single DiT expert, one latent-shape bucket per engine (run one engine per
-(height, width, frames) bucket behind a router for mixed workloads), and
+single DiT expert, one latent-shape bucket per engine — mixed-shape
+traffic routes through ``router.BucketRouter``, which owns one engine per
+(height, width, frames) compile signature under a slot budget — and
 two DiT sweeps per step (slots with ``cfg_scale == 1`` reuse the positive
 context for the negative sweep, which keeps the program uniform).
 
@@ -190,6 +191,8 @@ class WanSlotStepper:
                 cfg_scale: float = 5.0, sigma_shift: float = 5.0,
                 output_type: str = "quantized",
                 streaming_vae: bool = False,
+                height: Optional[int] = None, width: Optional[int] = None,
+                num_frames: Optional[int] = None,
                 lora: Optional[str] = None) -> _SlotPlan:
         from ..core.noise import generate_noise
         from ..diffusion.flow_match import FlowMatchScheduler
@@ -198,6 +201,15 @@ class WanSlotStepper:
         if num_inference_steps < 1:
             raise ValueError(f"num_inference_steps must be >= 1, got "
                              f"{num_inference_steps}")
+        # requests routed through BucketRouter carry their shape params;
+        # this stepper IS one (height, width, frames) bucket
+        want = (height or self.height, width or self.width,
+                num_frames or self.num_frames)
+        if want != (self.height, self.width, self.num_frames):
+            raise ValueError(
+                f"request shape {want} != engine bucket "
+                f"({self.height}, {self.width}, {self.num_frames}); route "
+                "mixed shapes via serving.BucketRouter")
         lora_id = 0
         if lora:
             if lora not in self._lora_ids:
@@ -368,6 +380,14 @@ class ContinuousEngine:
         out["mean_occupancy"] = (out["slot_steps"] / out["steps"]
                                  if out["steps"] else 0.0)
         return out
+
+    def idle(self) -> bool:
+        """No queued or in-flight requests (async decodes included) —
+        the router's spin-down eligibility test."""
+        with self._lock:
+            s = self._stats
+            return (not self._queue
+                    and s["requests"] == s["completed"] + s["errors"])
 
     def shutdown(self, timeout: float = 30.0):
         import time as _time

@@ -51,14 +51,15 @@ from .continuous import _SlotPlan
 @functools.partial(jax.jit, static_argnames=("dit_cfg", "use_cfg"),
                    donate_argnums=(1,))
 def _flux_slot_step(params, lat, t, ctx, nctx, guidance, dsig, ckv_p, ckv_n,
-                    *, dit_cfg, use_cfg: bool = True):
+                    hot=None, *, dit_cfg, use_cfg: bool = True):
     """One batched FLUX Euler step; ``t``/``guidance``/``dsig`` are (B,).
 
     Same math as the dedicated pipeline's no-CFG step
     (_flux_denoise_chunk, pipelines/flux_image.py): one sweep, Euler
     update cast to the latent dtype.  ``nctx``/``ckv_*``/``use_cfg`` are
     engine-protocol slots FLUX never reads (guidance is embedded, not a
-    two-sweep combine)."""
+    two-sweep combine).  ``hot``: per-slot adapters in the "As"/"Bs"
+    form (models/flux/lora_runtime.select_flux_slot_loras)."""
     del nctx, ckv_p, ckv_n, use_cfg
     from ..models.flux.dit import flux_dit_forward
 
@@ -66,7 +67,8 @@ def _flux_slot_step(params, lat, t, ctx, nctx, guidance, dsig, ckv_p, ckv_n,
     pooled = ctx[:, -1, : dit_cfg.pooled_dim]
     v = flux_dit_forward(
         params, dit_cfg, lat, t, emb, pooled,
-        guidance if dit_cfg.guidance_embed else None)
+        guidance if dit_cfg.guidance_embed else None,
+        hot_lora=hot)
     return lat + v.astype(lat.dtype) * dsig[:, None, None, None].astype(
         lat.dtype)
 
@@ -81,7 +83,8 @@ class FluxSlotStepper:
     init_batch / params_for / cross_kv / step_batch / decode)."""
 
     def __init__(self, pipe, *, height: int = 1024, width: int = 1024,
-                 context_len: Optional[int] = None, slot_mesh=None):
+                 context_len: Optional[int] = None, slot_mesh=None,
+                 loras=None, lora_alphas=None):
         cfg = pipe.dit_cfg
         if cfg.pooled_dim > cfg.context_dim:
             raise ValueError(
@@ -120,6 +123,22 @@ class FluxSlotStepper:
         self.context_len = context_len
         self._batch_sharding = None
         self._dit_params = pipe.dit_params
+        # per-slot hot LoRA registry, mirroring WanSlotStepper(loras=):
+        # stacked (L, K+1, din, r) per touched layer, identity at 0;
+        # gathered per-sample at admission (select_flux_slot_loras)
+        self._lora_ids = {}
+        self._lora_stack = None
+        if loras:
+            from ..core.io import load_state_dict
+            from ..models.flux.lora_runtime import build_flux_slot_lora_stack
+
+            names = sorted(loras)
+            sds = [loras[n] if isinstance(loras[n], dict)
+                   else load_state_dict(loras[n]) for n in names]
+            alphas = [float((lora_alphas or {}).get(n, 1.0)) for n in names]
+            self._lora_stack = build_flux_slot_lora_stack(
+                sds, cfg, alphas=alphas, dtype=pipe.dtype)
+            self._lora_ids = {n: i + 1 for i, n in enumerate(names)}
         if slot_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -136,6 +155,8 @@ class FluxSlotStepper:
                 sigma_shift: Optional[float] = None,
                 denoising_strength: float = 1.0,
                 t5_sequence_length: int = 512,
+                lora: Optional[str] = None,
+                height: Optional[int] = None, width: Optional[int] = None,
                 output_type: str = "np") -> _SlotPlan:
         from ..core.noise import generate_noise
         from ..diffusion.flow_match import FlowMatchScheduler
@@ -144,11 +165,27 @@ class FluxSlotStepper:
         if num_inference_steps < 1:
             raise ValueError(f"num_inference_steps must be >= 1, got "
                              f"{num_inference_steps}")
+        # requests routed through BucketRouter carry their shape params;
+        # this stepper IS one (height, width) bucket — accept matching
+        # values, reject mismatches loudly (a mis-keyed router)
+        if (height is not None and height != self.height) or \
+                (width is not None and width != self.width):
+            raise ValueError(
+                f"request shape ({height}, {width}) != engine bucket "
+                f"({self.height}, {self.width}); route mixed shapes via "
+                "serving.BucketRouter")
         if prompt_emb is None:
             prompt_emb, pooled_prompt_emb = pipe.encode_prompt(
                 prompt, t5_sequence_length)
         if pooled_prompt_emb is None:
             raise ValueError("prompt_emb without pooled_prompt_emb")
+        # HTTP-borne requests (client-side embedding caches) arrive as
+        # JSON lists; both sides convert identically so the dtype-match
+        # guard below stays meaningful
+        if not hasattr(prompt_emb, "shape"):
+            prompt_emb = jnp.asarray(prompt_emb, jnp.float32)
+        if not hasattr(pooled_prompt_emb, "shape"):
+            pooled_prompt_emb = jnp.asarray(pooled_prompt_emb, jnp.float32)
         if jnp.asarray(pooled_prompt_emb).dtype != \
                 jnp.asarray(prompt_emb).dtype:
             # the packed-row transport casts pooled to prompt_emb.dtype;
@@ -181,11 +218,18 @@ class FluxSlotStepper:
         # dedicated pipeline's on-device f32 subtraction bit-for-bit
         sigmas = np.concatenate([np.asarray(sched.sigmas, np.float32),
                                  np.zeros(1, np.float32)])
+        lora_id = 0
+        if lora:
+            if lora not in self._lora_ids:
+                raise ValueError(
+                    f"unknown hot LoRA {lora!r}; registered: "
+                    f"{sorted(self._lora_ids) or '(none)'}")
+            lora_id = self._lora_ids[lora]
         return _SlotPlan(
             lat0=lat0, ctx=ctx, nctx=ctx, sigmas=sigmas,
             timesteps=np.asarray(sched.timesteps, np.float32),
             cfg_scale=float(embedded_guidance), output_type=output_type,
-            streaming_vae=False,
+            streaming_vae=False, lora_id=lora_id,
         )
 
     # -- batched ----------------------------------------------------------
@@ -205,22 +249,32 @@ class FluxSlotStepper:
         return lat, ctx, jnp.zeros_like(ctx)
 
     def params_for(self, adapter_ids) -> Any:
-        # per-slot hot LoRA is a Wan-stepper feature for now; plans here
-        # always carry lora_id == 0
-        return self._dit_params
+        """(base params, per-slot hot selection or None): the FLUX hot
+        adapters ride ``flux_dit_forward(hot_lora=)`` rather than the
+        params tree, so the engine's opaque params channel carries both.
+        The gather runs once per occupancy change (engine key), not per
+        step."""
+        ids = np.asarray(adapter_ids, np.int32)
+        if self._lora_stack is None or not ids.any():
+            return (self._dit_params, None)
+        from ..models.flux.lora_runtime import select_flux_slot_loras
+
+        return (self._dit_params, select_flux_slot_loras(self._lora_stack,
+                                                         ids))
 
     def cross_kv(self, ctx_b, params=None):
         return None  # FLUX joint attention has no hoistable cross k/v
 
     def step_batch(self, lat, t, ctx_b, nctx_b, cfg, dsig, ckv_p, ckv_n,
                    use_cfg: bool = True, params=None):
+        base, hot = (params if isinstance(params, tuple)
+                     else (params or self._dit_params, None))
         # pin use_cfg: the FLUX step ignores it, so both scheduler values
         # must map to ONE compiled program (not two cache entries)
         return _flux_slot_step(
-            self._dit_params if params is None else params, lat,
-            jnp.asarray(t, jnp.float32), ctx_b, nctx_b,
+            base, lat, jnp.asarray(t, jnp.float32), ctx_b, nctx_b,
             jnp.asarray(cfg, jnp.float32), jnp.asarray(dsig, jnp.float32),
-            ckv_p, ckv_n, dit_cfg=self.pipe.dit_cfg, use_cfg=True)
+            ckv_p, ckv_n, hot, dit_cfg=self.pipe.dit_cfg, use_cfg=True)
 
     def decode(self, lat_row, plan: _SlotPlan):
         if self._batch_sharding is not None:

@@ -368,16 +368,28 @@ def rollout_calibration_samples(params, cfg: WanDiTConfig, noise, ctx,
     return samples
 
 
-def inject_ffn_channel_outliers(params, channels, scale: float):
+def inject_ffn_channel_outliers(params, channels, scale: float,
+                                compensate: float = 0.0):
     """Channel-structured activation-outlier stressor: scale the fc1
-    output columns in ``channels`` by ``scale`` and the matching fc2
-    input rows by 1/scale.  The ffn down-proj (fc2) input — the measured
-    worst crest site on trained weights (docs/NOTES.md r4 session A) —
-    then exhibits amax/typical ≈ scale, exactly the LLM.int8()/
-    SmoothQuant failure structure.  GELU's quasi-linearity keeps the
-    network function close to the original, but the A/B below compares
-    int8-vs-bf16 of the SAME modified model, so exactness of the
-    compensation is not load-bearing."""
+    output columns in ``channels`` by ``scale``.  The ffn down-proj (fc2)
+    input — the measured worst crest site on trained weights
+    (docs/NOTES.md r4 session A) — then exhibits amax/typical ≈ scale
+    with UNCHANGED fc2 weight magnitudes: exactly the LLM.int8() outlier
+    structure (hot activation channels, ordinary weights).  That
+    structure is what makes the bf16 fallback load-bearing: SmoothQuant
+    migration at α=0.5 only moves half the outlier (in log space) into
+    the weight — and inflates the migrated rows' weight-quant error —
+    while the fallback removes those channels from the int8 path
+    entirely.
+
+    ``compensate``: scale fc2's matching input rows by scale^-compensate.
+    compensate=1.0 keeps the network function ~unchanged (GELU
+    quasi-linearity) but makes sqrt(amax*wmax) — the α=0.5 smoothing
+    invariant — constant across channels, so migration ALONE fully
+    normalizes the stressor and the fallback is never exercised (round-5
+    smoke measured plain 50.7 dB at scale 40, no 40 dB failure).  The
+    default 0.0 is the faithful stressor; the A/B compares int8-vs-bf16
+    of the SAME modified model either way."""
     params = dict(params)
     blocks = dict(params["blocks"])
     ffn = dict(blocks["ffn"])
@@ -391,8 +403,10 @@ def inject_ffn_channel_outliers(params, channels, scale: float):
                 ).astype(ffn["fc1"]["w"].dtype)
     fc1["b"] = (fc1["b"].astype(jnp.float32) * col[None, :]
                 ).astype(ffn["fc1"]["b"].dtype)
-    fc2["w"] = (fc2["w"].astype(jnp.float32) * (1.0 / col)[None, :, None]
-                ).astype(ffn["fc2"]["w"].dtype)
+    if compensate:
+        comp = col ** (-float(compensate))
+        fc2["w"] = (fc2["w"].astype(jnp.float32) * comp[None, :, None]
+                    ).astype(ffn["fc2"]["w"].dtype)
     ffn["fc1"], ffn["fc2"] = fc1, fc2
     blocks["ffn"] = ffn
     params["blocks"] = blocks
@@ -407,10 +421,11 @@ WIDE_CFG = WanDiTConfig(
 
 def run_wan_outlier_experiment(
     *,
-    num_train_steps: int = 250,
+    num_train_steps: int = 400,
     rollout_steps: int = 50,
     n_outlier_channels: int = 8,
-    outlier_scale: float = 40.0,
+    outlier_scale: float = 640.0,
+    compensate: float = 0.75,
     outlier_k: int = 8,
     alpha: float = 0.5,
     groups=("ffn", "self_attn", "cross_attn"),
@@ -425,6 +440,16 @@ def run_wan_outlier_experiment(
     injects ``n_outlier_channels`` channel outliers at ``outlier_scale``,
     then measures 50-step rollout PSNR (int8 vs the SAME model's bf16)
     for plain W8A8, smooth-only, and smooth+bf16-fallback.
+
+    The default ``compensate=0.75`` is the measured failure regime
+    (round-5 smoke sweep, docs/NOTES.md): at compensate=1.0 the α=0.5
+    smoothing invariant sqrt(amax·wmax) is constant so migration alone
+    trivially normalizes the stressor; at 0.0 the outlier channels
+    dominate the OUTPUT and — being themselves the row amax, hence
+    well-represented — floor plain W8A8's rollout PSNR near 45 dB.  At
+    0.75 the outliers inflate every row scale while carrying modest
+    output weight: plain drops to ~30 dB (a demonstrated 40 dB-gate
+    failure) and the mitigated paths recover >60 dB.
     """
     from ..ops.quant import quantize_wan_dit_linears
 
@@ -436,7 +461,8 @@ def run_wan_outlier_experiment(
     rng = np.random.default_rng(seed + 13)
     channels = np.sort(rng.choice(cfg.ffn_dim, n_outlier_channels,
                                   replace=False))
-    params = inject_ffn_channel_outliers(params, channels, outlier_scale)
+    params = inject_ffn_channel_outliers(params, channels, outlier_scale,
+                                        compensate=compensate)
 
     k = jax.random.PRNGKey(seed + 7)
     noise = jax.random.normal(k, _LAT_SHAPE, jnp.float32)

@@ -157,3 +157,90 @@ def test_flux_stepper_rejects_bad_buckets():
     with pytest.raises(ValueError, match="num_inference_steps"):
         st.prepare(prompt_emb=pa, pooled_prompt_emb=ppa,
                    num_inference_steps=0)
+
+
+def _mk_flux_lora(seed, cfg, rank=3):
+    """Reference-layout FLUX LoRA dict touching double qkv/ff and the
+    single-block fused projection (the layers the encoder/patcher dim
+    tables name, lora_runtime.DOUBLE/SINGLE_LORA_DIMS)."""
+    from fairygen_tpu.models.flux.lora_runtime import (
+        DOUBLE_LORA_DIMS, SINGLE_LORA_DIMS, _scaled_dims)
+
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def put(prefix, n_blocks, dims, suffixes):
+        for i in range(n_blocks):
+            for sfx in suffixes:
+                din, dout = dims[sfx]
+                sd[f"{prefix}.{i}.{sfx}.lora_A.weight"] = (
+                    rng.normal(size=(rank, din)).astype(np.float32) * 0.05)
+                sd[f"{prefix}.{i}.{sfx}.lora_B.weight"] = (
+                    rng.normal(size=(dout, rank)).astype(np.float32) * 0.05)
+
+    put("blocks", cfg.num_double_blocks, _scaled_dims(DOUBLE_LORA_DIMS, cfg),
+        ("attn.a_to_qkv", "ff_a.0"))
+    put("single_blocks", cfg.num_single_blocks,
+        _scaled_dims(SINGLE_LORA_DIMS, cfg), ("to_qkv_mlp",))
+    return sd
+
+
+@pytest.mark.slow
+def test_flux_slots_per_slot_hot_lora_matches_fused():
+    """Mixed-adapter t2i traffic in ONE batched step: requests with
+    different hot LoRAs (and none) share the engine, and each reproduces
+    a dedicated pipeline with that LoRA FUSED into the weights — the
+    FLUX analogue of the Wan engine's per-slot stack (VERDICT r4 #6)."""
+    pipe = _mk_pipe()
+    sd1, sd2 = _mk_flux_lora(21, DIT_CFG), _mk_flux_lora(22, DIT_CFG)
+    eng = ContinuousEngine(
+        FluxSlotStepper(pipe, height=H, width=W,
+                        loras={"s1": sd1, "s2": sd2}),
+        num_slots=2)
+    (pa, ppa), (pb, ppb), (pc, ppc) = _emb(31), _emb(32), _emb(33)
+    try:
+        r_a = eng.submit(prompt_emb=pa, pooled_prompt_emb=ppa, seed=11,
+                         num_inference_steps=3, embedded_guidance=3.5,
+                         lora="s1", output_type="latent")
+        r_b = eng.submit(prompt_emb=pb, pooled_prompt_emb=ppb, seed=22,
+                         num_inference_steps=4, embedded_guidance=1.0,
+                         output_type="latent")
+        r_c = eng.submit(prompt_emb=pc, pooled_prompt_emb=ppc, seed=33,
+                         num_inference_steps=2, embedded_guidance=2.0,
+                         lora="s2", output_type="latent")
+        out_a = np.asarray(r_a.wait(timeout=600))
+        out_b = np.asarray(r_b.wait(timeout=600))
+        out_c = np.asarray(r_c.wait(timeout=600))
+    finally:
+        eng.shutdown()
+
+    def hot_ref(sd, pe, ppe, seed, steps, g):
+        # dedicated-pipeline reference: the request's LoRA loaded through
+        # the golden-tested HOT runtime (load_hot_loras / hot_dense's
+        # stacked-n path — a different application path than the
+        # per-slot "As"/"Bs" gather under test)
+        p2 = _mk_pipe()
+        if sd is not None:
+            p2.load_hot_loras([sd])
+        return np.asarray(p2(
+            prompt_emb=pe, pooled_prompt_emb=ppe, seed=seed, height=H,
+            width=W, num_inference_steps=steps, embedded_guidance=g,
+            output_type="latent"))
+
+    want_a = hot_ref(sd1, pa, ppa, 11, 3, 3.5)
+    want_b = hot_ref(None, pb, ppb, 22, 4, 1.0)
+    want_c = hot_ref(sd2, pc, ppc, 33, 2, 2.0)
+    np.testing.assert_allclose(out_a, want_a, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(out_c, want_c, atol=5e-4, rtol=1e-3)
+    # the adapters actually did something
+    assert np.abs(want_a - hot_ref(None, pa, ppa, 11, 3, 3.5)).max() > 1e-4
+
+
+def test_flux_stepper_rejects_unknown_lora():
+    pipe = _mk_pipe()
+    st = FluxSlotStepper(pipe, height=H, width=W,
+                         loras={"s1": _mk_flux_lora(5, DIT_CFG)})
+    pa, ppa = _emb(7)
+    with pytest.raises(ValueError, match="unknown hot LoRA"):
+        st.prepare(prompt_emb=pa, pooled_prompt_emb=ppa, lora="nope")
