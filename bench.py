@@ -228,25 +228,30 @@ def main():
                 lat, tea = tea_chunk(params, lat, ffl, tea, jnp.int32(s))
             return lat
 
-        tea_rows = [("bf16", dit_params)]
+        def tea_row(tname, tparams, base):
+            float(tea_denoise(tparams).sum())  # warm-up
+            t0 = time.perf_counter()
+            float(tea_denoise(tparams).sum())
+            tea_times[tname] = time.perf_counter() - t0
+            print(f"# teacache({tea_label}) {tname} denoise="
+                  f"{tea_times[tname]:.2f}s ({base / tea_times[tname]:.2f}x "
+                  f"vs dense {tname})", file=sys.stderr)
+
+        # bf16 row FIRST with only the bf16 params resident: the tea
+        # program is the batch-2 joint-CFG form, and bf16 (10 GB) + an
+        # int8 copy (5 GB) + its activations OOMed a 16 GB chip
+        # (round-5 log).  The int8 row then quantizes with consume=True,
+        # freeing each bf16 weight as its int8 replacement appears.
+        tea_row("bf16", dit_params, denoise_s)
         if int8_mode != "0":
             from fairygen_tpu.ops.quant import quantize_wan_dit_linears
 
             groups = (("ffn",) if int8_mode == "ffn"
                       else ("ffn", "self_attn", "cross_attn"))
-            tea_rows.append(
-                ("int8", quantize_wan_dit_linears(dit_params, groups)))
-        tea_times = {}
-        for tname, tparams in tea_rows:
-            float(tea_denoise(tparams).sum())  # warm-up
-            t0 = time.perf_counter()
-            float(tea_denoise(tparams).sum())
-            tea_times[tname] = time.perf_counter() - t0
-            base = denoise_s if tname == "bf16" else (int8_s or denoise_s)
-            print(f"# teacache({tea_label}) {tname} denoise="
-                  f"{tea_times[tname]:.2f}s ({base / tea_times[tname]:.2f}x "
-                  f"vs dense {tname})", file=sys.stderr)
-        del tea_rows
+            qtea = quantize_wan_dit_linears(dit_params, groups,
+                                            consume=True)
+            tea_row("int8", qtea, int8_s or denoise_s)
+            del qtea
 
     vae_s = 0.0
     if decode_video:

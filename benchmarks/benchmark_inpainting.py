@@ -156,7 +156,55 @@ if __name__ == "__main__":
     p.add_argument("--few_step", action="store_true",
                    help="LCM few-step no-CFG mode (the >1 img/s target "
                         "workload); pair with --num_inference_steps 4")
+    p.add_argument("--quality", action="store_true",
+                   help="ALSO measure the few-step row's quality cost at "
+                        "executable scale: the BrushNet-conditioned "
+                        "distillation A/B on real converted tiny golden "
+                        "weights (training/distill_experiment."
+                        "run_brushnet_golden_experiment) — 4-step student "
+                        "vs 50-step dual-branch teacher PSNR — appended "
+                        "to benchmarks/quality_results.csv.  Full-scale "
+                        "CLIPScore/PSNR vs real checkpoints is the "
+                        "environment-blocked tier "
+                        "(tests/test_real_weights_parity.py).")
     a = p.parse_args()
     if a.few_step and a.num_inference_steps == 50:
         a.num_inference_steps = 4
     run(a)
+    if getattr(a, "quality", False):
+        import csv
+        import subprocess
+
+        from fairygen_tpu.training.distill_experiment import (
+            run_brushnet_golden_experiment,
+        )
+
+        r = run_brushnet_golden_experiment(
+            num_train_steps=300, num_student_steps=a.num_inference_steps,
+            num_teacher_steps=50, lr=3e-4)
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__)))
+                             ).stdout.strip() or "unknown"
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "quality_results.csv")
+        new = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["workload", "metric", "value", "scale",
+                            "note", "git_sha"])
+            w.writerow([
+                "SDXL-BrushNet-LCM",
+                f"psnr_student{a.num_inference_steps}_vs_teacher50_db",
+                f"{r['psnr_after']:.2f}", "tiny-golden-weights",
+                f"before-distill {r['psnr_before']:.2f} dB; "
+                f"cond_sensitivity {r['cond_sensitivity']:.4f}; "
+                "full-scale gate env-blocked "
+                "(tests/test_real_weights_parity.py)", sha])
+        print(f"quality: student {a.num_inference_steps}-step vs teacher "
+              f"50-step PSNR {r['psnr_after']:.2f} dB "
+              f"(pre-distill {r['psnr_before']:.2f}), "
+              f"cond_sensitivity {r['cond_sensitivity']:.4f} "
+              f"-> {path}")

@@ -70,6 +70,85 @@ def _build(preset):
     return pipe, ctx, shape, steps
 
 
+def _build_flux(preset):
+    from fairygen_tpu.models.flux.dit import (
+        FluxDiTConfig, init_flux_dit_params)
+    from fairygen_tpu.pipelines.flux_image import FluxImagePipeline
+
+    if preset == "tiny":
+        cfg = FluxDiTConfig.tiny()
+        shape = dict(height=64, width=64)
+        steps = dict(long=16, short=2, n_short=3)
+        lt = 11
+    else:
+        # mid-size: flagship 1024px token grid (4096 packed tokens),
+        # half width / ~1/3 depth — dev-vs-schnell scheduling at
+        # seconds-cost (same scaling idea as the Wan mid-size build)
+        cfg = FluxDiTConfig(dim=1536, num_heads=12,
+                            num_double_blocks=6, num_single_blocks=12)
+        shape = dict(height=1024, width=1024)
+        steps = dict(long=50, short=4, n_short=3)
+        lt = 512
+
+    dtype = jnp.bfloat16 if preset != "tiny" else jnp.float32
+    shapes = jax.eval_shape(
+        lambda: init_flux_dit_params(jax.random.key(0), cfg, dtype=dtype))
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    pipe = FluxImagePipeline(dit_params=params, dit_cfg=cfg, dtype=dtype)
+    emb = jnp.zeros((1, lt, cfg.context_dim), dtype)
+    pooled = jnp.zeros((1, cfg.pooled_dim), dtype)
+    return pipe, (emb, pooled), shape, steps
+
+
+def bench_flux_fifo(pipe, embs, shape, steps):
+    from fairygen_tpu.serving import BatchingEngine
+    from utils import sync
+
+    emb, pooled = embs
+
+    def gen(prompts, **params):
+        return [pipe(prompt_emb=emb, pooled_prompt_emb=pooled, seed=0,
+                     num_inference_steps=params["num_inference_steps"],
+                     embedded_guidance=params.get("embedded_guidance", 3.5),
+                     output_type="latent", **shape)
+                for _ in prompts]
+
+    eng = BatchingEngine(gen, max_batch=1, max_wait_ms=1)
+    try:
+        sync(eng.submit("w",
+                        num_inference_steps=steps["long"]).wait(timeout=3600))
+        sync(eng.submit("w",
+                        num_inference_steps=steps["short"]).wait(timeout=3600))
+        return _submit_all(
+            lambda context=None, **p: eng.submit("x", **p), None, shape,
+            steps)
+    finally:
+        eng.shutdown()
+
+
+def bench_flux_continuous(pipe, embs, shape, steps):
+    from fairygen_tpu.serving import ContinuousEngine, FluxSlotStepper
+    from utils import sync
+
+    emb, pooled = embs
+    eng = ContinuousEngine(
+        FluxSlotStepper(pipe, **shape), num_slots=2)
+    try:
+        def submit(context=None, **p):
+            return eng.submit(prompt_emb=emb, pooled_prompt_emb=pooled,
+                              seed=0, output_type="latent", **p)
+
+        # warm every occupancy level (see bench_continuous)
+        w1 = submit(num_inference_steps=8)
+        w2 = submit(num_inference_steps=3)
+        sync(w2.wait(timeout=3600))
+        sync(w1.wait(timeout=3600))
+        return _submit_all(submit, None, shape, steps)
+    finally:
+        eng.shutdown()
+
+
 def _submit_all(submit, ctx, shape_kw, steps):
     """Submit 1 long + n_short shorts; returns ([short latencies], makespan).
 
@@ -145,14 +224,23 @@ def bench_continuous(pipe, ctx, shape, steps):
 
 
 def run(args):
-    pipe, ctx, shape, steps = _build(args.preset)
-    cfg_str = (f"long{steps['long']}/short{steps['short']}"
-               f"x{steps['n_short']}@{shape['height']}x{shape['width']}"
-               f"x{shape['num_frames']}f")
+    if getattr(args, "family", "wan") == "flux":
+        pipe, ctx, shape, steps = _build_flux(args.preset)
+        cfg_str = (f"long{steps['long']}/short{steps['short']}"
+                   f"x{steps['n_short']}@{shape['height']}x"
+                   f"{shape['width']}")
+        benches = (("FluxServing-fifo", bench_flux_fifo),
+                   ("FluxServing-continuous", bench_flux_continuous))
+    else:
+        pipe, ctx, shape, steps = _build(args.preset)
+        cfg_str = (f"long{steps['long']}/short{steps['short']}"
+                   f"x{steps['n_short']}@{shape['height']}x"
+                   f"{shape['width']}x{shape['num_frames']}f")
+        benches = (("WanServing-fifo", bench_fifo),
+                   ("WanServing-continuous", bench_continuous))
 
     rows = []
-    for name, fn in (("WanServing-fifo", bench_fifo),
-                     ("WanServing-continuous", bench_continuous)):
+    for name, fn in benches:
         lats, makespan = fn(pipe, ctx, shape, steps)
         short_mean = float(np.mean(lats))
         print(f"{name}: short latencies "
@@ -174,6 +262,9 @@ def run(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", choices=("tiny", "full"), default="full")
+    p.add_argument("--family", choices=("wan", "flux"), default="wan",
+                   help="flux = the t2i scenario (one 50-step dev render "
+                        "+ 4-step schnell-class previews; VERDICT r4 #6)")
     p.add_argument("--csv", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=1,
                    help="accepted for run_all.py uniformity; the scenario "

@@ -70,10 +70,37 @@ def main():
     blk_flops = 3 * (2 * s * d_model * d_model * (4 + 2)
                      + 2 * s * d_model * ffn * 2
                      + 4 * s * s * 128 * 24 + 4 * s * 512 * 128 * 24)
+    eff_tfs = blk_flops / per_block / 1e12
     print(f"per-block fwd+bwd+sgd: {per_block*1e3:.1f} ms "
-          f"({blk_flops/per_block/1e12:.0f} TF/s eff incl. remat recompute)")
+          f"({eff_tfs:.0f} TF/s eff incl. remat recompute)")
     print(f"EXTRAPOLATED 30-block 480p/81f train step: {full:.2f} s/step "
           f"(batch 1, remat; real training shards batch+tokens over the mesh)")
+
+    # training-throughput scoreboard row (VERDICT r4 #8): committed next
+    # to the inference rows so training perf is tracked round-over-round.
+    # Reference anchor: the stage-1/2 budgets in animation/stage1_id.sh.
+    import csv
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd=repo).stdout.strip() or "unknown"
+    path = os.path.join(repo, "benchmarks", "training_results.csv")
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(["workload", "remat", "ms_per_block",
+                        "s_per_step_30blk", "tokens_per_s", "eff_tf_s",
+                        "backend", "git_sha"])
+        w.writerow(["Wan-TI2V-5B-sft-480p81f-b1",
+                    "offload" if remat == "offload" else "full",
+                    f"{per_block * 1e3:.1f}", f"{full:.2f}",
+                    f"{s / full:.0f}", f"{eff_tfs:.0f}",
+                    jax.devices()[0].platform, sha])
+    print(f"row appended -> {path}")
 
 
 if __name__ == "__main__":
