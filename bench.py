@@ -305,6 +305,16 @@ def main():
         }))
     print(f"# denoise={denoise_s:.2f}s ({n_steps} steps, two-sweep cfg) "
           f"vae_decode={vae_s:.2f}s preset={preset}", file=sys.stderr)
+    if not tea_times and preset != "tiny":
+        # committed operating rows (FAIRYGEN_BENCH_TEACACHE=calibrated,
+        # 2026-08-20 on-chip: benchmarks/collated_results.csv): TeaCache
+        # at the calibrate->gate 35/50 schedule = 47.24 s bf16 (1.27x
+        # target) / 38.64 s composed with int8 (1.55x target); quality
+        # transfers from the tiny-scale demo (70.1 dB) until real
+        # weights mount
+        print("# teacache operating rows committed: bf16 47.24 s / "
+              "int8 38.64 s at 35/50 (rerun with "
+              "FAIRYGEN_BENCH_TEACACHE=calibrated)", file=sys.stderr)
     if os.environ.get("FAIRYGEN_BENCH_720P") == "1" and preset != "tiny":
         bench_720p(n_steps)
 
