@@ -168,14 +168,22 @@ def quantize_weight_int8_robust(w, act_amax, alpha: float = 0.5,
     wf = jnp.asarray(w, jnp.float32)
     s = smooth_scales(act_amax, wf, alpha) if alpha is not None \
         else jnp.ones((wf.shape[0],), jnp.float32)
+    inv_s = 1.0 / s
     w2 = wf * s[:, None]
-    out: Dict[str, Any] = {"act_smooth": (1.0 / s)}
+    out: Dict[str, Any] = {"act_smooth": inv_s}
     if outlier_k:
         smoothed_amax = jnp.asarray(act_amax, jnp.float32) / s
         _, idx = jax.lax.top_k(smoothed_amax, outlier_k)
         mask = jnp.ones((wf.shape[0],), jnp.float32).at[idx].set(0.0)
-        out["outlier_idx"] = idx.astype(jnp.int32)
-        out["outlier_mask"] = mask
+        # the runtime multiplies ONE premul vector (smooth + outlier
+        # zeroing fused) and routes the outlier channels through two
+        # thin MXU matmuls via a one-hot selection matrix with the
+        # smoothing folded in — a per-row gather here measured +27%
+        # on-chip (TPU lane gathers), the matmul form ~free
+        out["act_smooth"] = inv_s * mask
+        sel = jnp.zeros((wf.shape[0], outlier_k), jnp.float32)
+        sel = sel.at[idx, jnp.arange(outlier_k)].set(inv_s[idx])
+        out["outlier_sel"] = sel.astype(out_dtype)
         out["w_outlier"] = w2[idx, :].astype(out_dtype)
         w2 = w2 * mask[:, None]
     out.update(quantize_weight_int8(w2))
@@ -195,26 +203,38 @@ def quantized_dense(p: Dict[str, Any], x):
     Dynamic symmetric per-row activation scaling (reference layers.py:342:
     per-row amax -> fp8; here -> int8).  Optional outlier-robust keys
     (quantize_weight_int8_robust): "act_smooth" applies the SmoothQuant
-    migration (one fused multiply), "outlier_idx"/"outlier_mask"/
-    "w_outlier" route the top-k outlier channels through an exact thin
-    bf16 matmul while excluding them from the int8 row scales."""
+    migration + outlier zeroing in ONE fused multiply;
+    "outlier_sel"/"w_outlier" route the top-k outlier channels through
+    two thin MXU matmuls (x @ sel @ w_outlier — the smoothing is folded
+    into sel; no gather, which measured +27% on-chip)."""
     orig_shape = x.shape
-    xf = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    x2d = x.reshape(-1, orig_shape[-1])
+    xf = x2d.astype(jnp.float32)
     if "act_smooth" in p:
-        xf = xf * p["act_smooth"][None, :]
-    x_out = None
-    if "outlier_idx" in p:
-        x_out = jnp.take(xf, p["outlier_idx"], axis=1)  # (N, k)
-        xf = xf * p["outlier_mask"][None, :]
-    row_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0  # (N, 1)
-    row_scale = jnp.maximum(row_scale, 1e-12)
-    xq = jnp.clip(jnp.round(xf / row_scale), -127, 127).astype(jnp.int8)
+        # fused form: the smoothing multiply is inlined into BOTH
+        # consumers (the amax reduction and the quantize elementwise)
+        # instead of materializing a smoothed f32 copy — measured
+        # +3.6% -> ~free at flagship scale (x is read twice either way;
+        # the recomputed multiply is ALU-cheap)
+        sm = p["act_smooth"][None, :]
+        row_scale = jnp.max(jnp.abs(xf) * sm, axis=-1,
+                            keepdims=True) / 127.0  # (N, 1)
+        row_scale = jnp.maximum(row_scale, 1e-12)
+        xq = jnp.clip(jnp.round(xf * (sm / row_scale)), -127, 127
+                      ).astype(jnp.int8)
+    else:
+        row_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        row_scale = jnp.maximum(row_scale, 1e-12)
+        xq = jnp.clip(jnp.round(xf / row_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, p["w_int8"], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * row_scale * p["w_scale"][None, :]
-    if x_out is not None:
+    if "outlier_sel" in p:
+        x_out = jnp.dot(x2d.astype(p["outlier_sel"].dtype),
+                        p["outlier_sel"],
+                        preferred_element_type=jnp.float32)  # (N, k)
         y = y + jnp.dot(x_out.astype(p["w_outlier"].dtype), p["w_outlier"],
                         preferred_element_type=jnp.float32)
     y = y.astype(x.dtype)
@@ -275,18 +295,33 @@ def quantize_wan_dit_linears(params, groups=("ffn",),
     stats get the outlier-robust path (SmoothQuant migration at the given
     ``alpha`` + bf16 fallback for the ``outlier_k`` worst channels);
     layers without stay plain W8A8.
+
+    ``outlier_k``: int (every calibrated layer), or a dict selecting
+    WHERE the fallback pays its rank-k matmul pair — {"ffn": 8} or
+    {"ffn": {"fc2": 8}}.  The fallback on every dense measured +14% at
+    flagship scale (the rank-8 contraction pads to MXU tiles); the
+    ffn-down-proj-only form — the measured worst outlier site — is the
+    deployment recommendation (smoothing itself is ~free everywhere).
     """
     _check_int8_backend()
     qmap, qone = _quantizers(consume)
-    if act_amax is not None:
+
+    def _k_for(g, name):
+        if isinstance(outlier_k, dict):
+            gk = outlier_k.get(g, 0)
+            return gk.get(name, 0) if isinstance(gk, dict) else gk
+        return outlier_k
+
+    def _robust_fns(k):
         def _robust(args):
             w, amax = args
             return quantize_weight_int8_robust(w, amax, alpha=alpha,
-                                               outlier_k=outlier_k)
+                                               outlier_k=k)
 
         rmap = jax.jit(lambda ws, am: jax.lax.map(_robust, (ws, am)))
         rone = jax.jit(lambda w, am: quantize_weight_int8_robust(
-            w, am, alpha=alpha, outlier_k=outlier_k))
+            w, am, alpha=alpha, outlier_k=k))
+        return rmap, rone
     params = dict(params)
     blocks = dict(params["blocks"])
     for g in groups:
@@ -302,6 +337,7 @@ def quantize_wan_dit_linears(params, groups=("ffn",),
             amax = None if act_amax is None else \
                 act_amax.get(g, {}).get(name)
             if amax is not None:
+                rmap, rone = _robust_fns(_k_for(g, name))
                 qw = rmap(w, jnp.asarray(amax)) if w.ndim == 3 \
                     else rone(w, jnp.asarray(amax))
             else:

@@ -492,6 +492,11 @@ def run_wan_outlier_experiment(
         "plain": dict(act_amax=None),
         "smooth": dict(act_amax=amax, alpha=alpha, outlier_k=0),
         "robust": dict(act_amax=amax, alpha=alpha, outlier_k=outlier_k),
+        # the DEPLOYMENT config (tools/bench_int8_robust.py): smooth only
+        # where outliers live (ffn), fallback only at the measured worst
+        # site (fc2 input) — the <=5%-overhead form must ALSO recover
+        "deploy": dict(act_amax={"ffn": amax["ffn"]}, alpha=alpha,
+                       outlier_k={"ffn": {"fc2": outlier_k}}),
     }
     for name, kw in variants.items():
         q = quantize_wan_dit_linears(params, groups, **kw)

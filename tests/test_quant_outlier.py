@@ -89,9 +89,12 @@ def test_outlier_fallback_recovers_hot_channel():
         return 20 * np.log10(rms / float(jnp.sqrt(jnp.mean((y - ref) ** 2))))
 
     snr_plain = snr_db(quantized_dense(quantize_weight_int8(w), x))
-    qr = quantize_weight_int8_robust(w, amax, outlier_k=4)
-    assert hot in np.asarray(qr["outlier_idx"]).tolist()
-    assert float(qr["outlier_mask"][hot]) == 0.0
+    qr = quantize_weight_int8_robust(w, amax, outlier_k=4,
+                                     out_dtype=jnp.float32)
+    # the hot channel is selected: nonzero row in the selection matrix,
+    # zeroed in the fused premul (it no longer reaches the int8 path)
+    assert float(jnp.abs(qr["outlier_sel"][hot]).max()) > 0.0
+    assert float(qr["act_smooth"][hot]) == 0.0
     snr_robust = snr_db(quantized_dense(qr, x))
     assert snr_robust > snr_plain + 12.0, (snr_plain, snr_robust)
     # smooth-only (no fallback) already helps on its own
@@ -180,3 +183,8 @@ def test_outlier_stressor_breaks_plain_int8_and_robust_recovers(
     assert r["psnr_robust"] > 40.0, r["psnr_robust"]
     assert r["psnr_robust"] > r["psnr_plain"] + 10.0, (
         r["psnr_plain"], r["psnr_robust"])
+    # ...and so does the <=5%-overhead DEPLOYMENT config (ffn-only
+    # smoothing + fc2-only fallback, tools/bench_int8_robust.py)
+    assert r["psnr_deploy"] > 40.0, r["psnr_deploy"]
+    assert r["psnr_deploy"] > r["psnr_plain"] + 10.0, (
+        r["psnr_plain"], r["psnr_deploy"])
