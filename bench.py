@@ -170,7 +170,15 @@ def main():
               f"({denoise_s / int8_s:.2f}x vs bf16; W8A8 dynamic per-row "
               f"activation scales)", file=sys.stderr)
 
-    tea_thresh = os.environ.get("FAIRYGEN_BENCH_TEACACHE")
+    # TeaCache rows default ON since round 5: same evidence class as the
+    # int8 line (quality gated at trained-tiny scale — 70.08 dB at the
+    # 35/50 operating point the calibrate->gate flow selects; the JSON
+    # "note" carries the caveat until real weights mount).  Set
+    # FAIRYGEN_BENCH_TEACACHE=0 to disable, or a float threshold for the
+    # drift-gate mode.
+    tea_thresh = os.environ.get("FAIRYGEN_BENCH_TEACACHE", "calibrated")
+    if tea_thresh == "0":
+        tea_thresh = None
     tea_times, tea_label = {}, ""
     if tea_thresh and preset != "tiny":
         from fairygen_tpu.utils.tea_cache import init_tea_cache_state
@@ -242,16 +250,23 @@ def main():
         # int8 copy (5 GB) + its activations OOMed a 16 GB chip
         # (round-5 log).  The int8 row then quantizes with consume=True,
         # freeing each bf16 weight as its int8 replacement appears.
-        tea_row("bf16", dit_params, denoise_s)
-        if int8_mode != "0":
-            from fairygen_tpu.ops.quant import quantize_wan_dit_linears
+        # Failures here must not cost the primary lines (the rows are
+        # auxiliary; the tunneled backend can be flaky).
+        try:
+            tea_row("bf16", dit_params, denoise_s)
+            if int8_mode != "0":
+                from fairygen_tpu.ops.quant import (
+                    quantize_wan_dit_linears)
 
-            groups = (("ffn",) if int8_mode == "ffn"
-                      else ("ffn", "self_attn", "cross_attn"))
-            qtea = quantize_wan_dit_linears(dit_params, groups,
-                                            consume=True)
-            tea_row("int8", qtea, int8_s or denoise_s)
-            del qtea
+                groups = (("ffn",) if int8_mode == "ffn"
+                          else ("ffn", "self_attn", "cross_attn"))
+                qtea = quantize_wan_dit_linears(dit_params, groups,
+                                                consume=True)
+                tea_row("int8", qtea, int8_s or denoise_s)
+                del qtea
+        except Exception as e:  # noqa: BLE001
+            print(f"# teacache rows failed non-fatally: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
 
     vae_s = 0.0
     if decode_video:

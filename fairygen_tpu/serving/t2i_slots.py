@@ -28,9 +28,12 @@ ride existing channels so the SCHEDULER stays untouched:
     scope for slot serving; route it through ``BatchingEngine``.
 
 Scope: one (height, width) + T5-length bucket per stepper (the compiled
-program is shape-static, as in the Wan stepper), text conditioning only
-(no ControlNet/IP-Adapter/Kontext extras — those are per-request
-structured conditionings, served via the request-level engine).
+program is shape-static, as in the Wan stepper; mixed shapes route via
+``serving.BucketRouter``), text conditioning plus per-slot hot LoRAs
+(``loras=`` registry, gathered per-sample at admission — mixed-adapter
+traffic shares one batched step, models/flux/lora_runtime).  No
+ControlNet/IP-Adapter/Kontext extras — those are per-request structured
+conditionings, served via the request-level engine.
 
 No reference analogue: the reference (CloudEngineHub/FairyGen) has no
 serving layer at all; see continuous.py.

@@ -10,7 +10,11 @@ step, the number that feeds the training-throughput projection.
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train_step.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
