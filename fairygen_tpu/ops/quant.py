@@ -359,7 +359,9 @@ _SKIP_SUBSTRINGS = ("mod", "norm", "adaln", "emb")
 
 
 def quantize_blocks_tree(tree, skip_substrings=_SKIP_SUBSTRINGS,
-                         min_dim: int = 512, consume: bool = False) -> Any:
+                         min_dim: int = 512, consume: bool = False,
+                         act_amax: Any = None, alpha: float = 0.5,
+                         outlier_k: int = 0) -> Any:
     """Recursively swap every dense ({"w": 2-D/3-D}) in a block pytree to
     W8A8, skipping keys that contain any of ``skip_substrings``
     (modulation/AdaLN/embedding linears: FLOP-light, error-sensitive) and
@@ -369,13 +371,35 @@ def quantize_blocks_tree(tree, skip_substrings=_SKIP_SUBSTRINGS,
     input tree is destroyed — see _quantizers).
 
     This is the generic entry for the image DiTs (FLUX.1/FLUX.2, Qwen,
-    Z-Image) whose `_dense` helpers dispatch on "w_int8"."""
+    Z-Image) whose `_dense` helpers dispatch on "w_int8".
+
+    ``act_amax``: optional calibration pytree MIRRORING ``tree`` — at any
+    dense node, a {"amax": (L, K)/(K,) [, "outlier_k": int]} dict (extra
+    nodes are ignored; dense nodes without one stay plain W8A8).  Layers
+    with stats get the outlier-robust path (SmoothQuant migration at
+    ``alpha`` + bf16 fallback for the per-node or default ``outlier_k``
+    channels — see quantize_weight_int8_robust).  The Wan stack's
+    calibrate_wan_dit_act_amax is the reference calibration
+    implementation; any per-family collector that records per-channel
+    amax at dense inputs can feed this."""
     _check_int8_backend()
     qmap, qone = _quantizers(consume)
 
-    def rec(node, name=""):
+    def robust(w, amax, k):
+        def one(args):
+            return quantize_weight_int8_robust(args[0], args[1],
+                                               alpha=alpha, outlier_k=k)
+
+        if w.ndim == 3:
+            return jax.jit(lambda ws, am: jax.lax.map(one, (ws, am)))(
+                w, jnp.asarray(amax))
+        return jax.jit(lambda wv, am: one((wv, am)))(w, jnp.asarray(amax))
+
+    def rec(node, name="", cal=None):
         if isinstance(node, (list, tuple)):  # per-layer lists (refiners)
-            out = [rec(v, name) for v in node]
+            cals = cal if isinstance(cal, (list, tuple)) \
+                else [None] * len(node)
+            out = [rec(v, name, c) for v, c in zip(node, cals)]
             return type(node)(out) if isinstance(node, tuple) else out
         if not isinstance(node, dict):
             return node
@@ -386,15 +410,23 @@ def quantize_blocks_tree(tree, skip_substrings=_SKIP_SUBSTRINGS,
             w = out.pop("w")
             if consume:
                 node.pop("w")  # drop the tree's reference for donation
-            qw = qmap(w) if w.ndim == 3 else qone(w)
+            amax = cal.get("amax") if isinstance(cal, dict) else None
+            if amax is not None:
+                k = cal.get("outlier_k", outlier_k)
+                qw = robust(w, amax, k)
+                out.update(qw)
+            else:
+                qw = qmap(w) if w.ndim == 3 else qone(w)
+                out["w_int8"] = qw["w_int8"]
+                out["w_scale"] = qw["w_scale"]
             del w
-            out["w_int8"] = qw["w_int8"]
-            out["w_scale"] = qw["w_scale"]
             return out
         return {k: (v if any(s in k for s in skip_substrings)
-                    else rec(v, k)) for k, v in node.items()}
+                    else rec(v, k, cal.get(k) if isinstance(cal, dict)
+                             else None))
+                for k, v in node.items()}
 
-    return rec(tree)
+    return rec(tree, cal=act_amax)
 
 
 # image-DiT block sub-trees eligible for W8A8 (embedders/heads stay bf16)
@@ -412,7 +444,9 @@ _FIT_SKIP = ("norm", "emb")
 def quantize_image_dit_params(params, block_keys=_IMAGE_DIT_BLOCK_KEYS,
                               min_dim: int = 512,
                               consume: bool = False,
-                              skip_substrings=_SKIP_SUBSTRINGS) -> Any:
+                              skip_substrings=_SKIP_SUBSTRINGS,
+                              act_amax: Any = None, alpha: float = 0.5,
+                              outlier_k: int = 0) -> Any:
     """Swap the transformer-block projections of an image DiT
     (FLUX.1/FLUX.2/Qwen-Image/Z-Image) to W8A8, leaving the patch/text
     embedders, modulation linears, and the output head in bf16.  The
@@ -429,7 +463,9 @@ def quantize_image_dit_params(params, block_keys=_IMAGE_DIT_BLOCK_KEYS,
     params = dict(params)
     for k in block_keys:
         if k in params:
-            params[k] = quantize_blocks_tree(params[k], min_dim=min_dim,
-                                             consume=consume,
-                                             skip_substrings=skip_substrings)
+            params[k] = quantize_blocks_tree(
+                params[k], min_dim=min_dim, consume=consume,
+                skip_substrings=skip_substrings,
+                act_amax=None if act_amax is None else act_amax.get(k),
+                alpha=alpha, outlier_k=outlier_k)
     return params

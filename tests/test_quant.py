@@ -232,3 +232,38 @@ def test_host_load_and_staged_params():
     # host copy intact after the context exits
     assert all(cpu in a.devices() for a in jax.tree.leaves(staged.host_tree))
     assert to_accelerator(None) is None
+
+
+def test_quantize_image_dit_flux_with_outlier_robust_tree():
+    """The generic image-DiT quantizer accepts a calibration pytree
+    mirroring the params: dense nodes with {"amax": (L, K)} get the
+    outlier-robust path (migration + bf16 fallback), everything else
+    stays plain W8A8 — the same mechanism the Wan stack deploys
+    (test_quant_outlier.py), available to every family."""
+    from fairygen_tpu.models.flux.dit import (
+        FluxDiTConfig, flux_dit_forward, init_flux_dit_params)
+    from fairygen_tpu.ops.quant import quantize_image_dit_params
+
+    cfg = FluxDiTConfig.tiny()
+    params = init_flux_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 12)) * 0.3
+    emb = jax.random.normal(jax.random.key(2), (1, 5, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim))
+    args = (lat, jnp.asarray([500.0]), emb, pooled, jnp.asarray([4.0]))
+    ref = flux_dit_forward(params, cfg, *args)
+
+    L = cfg.num_double_blocks
+    amax_fc2 = np.abs(np.random.default_rng(0).normal(
+        size=(L, 4 * cfg.dim))).astype(np.float32) + 0.5
+    cal = {"double_blocks": {"ff_a": {"fc2": {"amax": amax_fc2,
+                                              "outlier_k": 4}}}}
+    qp = quantize_image_dit_params(params, min_dim=8, act_amax=cal)
+    fc2 = qp["double_blocks"]["ff_a"]["fc2"]
+    assert "act_smooth" in fc2 and "outlier_sel" in fc2 \
+        and "w_outlier" in fc2
+    assert fc2["outlier_sel"].shape == (L, 4 * cfg.dim, 4)
+    # uncalibrated neighbours stay plain
+    fc1 = qp["double_blocks"]["ff_a"]["fc1"]
+    assert "w_int8" in fc1 and "act_smooth" not in fc1
+    out = flux_dit_forward(qp, cfg, *args)
+    assert _rel(out, ref) < 0.06
