@@ -72,6 +72,13 @@ def main():
                         "slot batch over a data=N mesh (weights "
                         "replicated, one slot group per chip); mutually "
                         "exclusive with --usp")
+    p.add_argument("--router_buckets", type=int, default=0,
+                   help="with --continuous: serve MIXED-SHAPE traffic "
+                        "through one endpoint — requests route to "
+                        "per-(height,width,frames) engines created "
+                        "lazily and LRU-evicted beyond this budget "
+                        "(serving.BucketRouter; --bucket_* become the "
+                        "defaults for requests that omit shape params)")
     p.add_argument("--request_timeout", type=float, default=1800.0,
                    help="sync-request wall cap; use async for long clips")
     p.add_argument("--quantize", type=str, default=None,
@@ -93,6 +100,9 @@ def main():
             and args.continuous % args.slot_data:
         p.error(f"--continuous {args.continuous} must be a multiple of "
                 f"--slot_data {args.slot_data}")
+    if args.router_buckets > 0 and args.continuous <= 0:
+        p.error("--router_buckets routes between --continuous slot "
+                "engines; enable --continuous")
 
     from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
     from fairygen_tpu.serving import BatchingEngine, InferenceServer
@@ -138,16 +148,33 @@ def main():
 
             slot_mesh = make_mesh(data=args.slot_data,
                                   devices=jax.devices()[:args.slot_data])
-        engine = ContinuousEngine(
-            WanSlotStepper(pipe, height=args.bucket_height,
-                           width=args.bucket_width,
-                           num_frames=args.bucket_frames,
-                           slot_mesh=slot_mesh,
-                           # per-slot adapter gather inside the batched
-                           # step: mixed-LoRA traffic shares slots
-                           loras=loras),
-            num_slots=args.continuous,
-            default_params={"negative_prompt": args.negative_prompt})
+        def make_engine(key):
+            h, w, f = key
+            return ContinuousEngine(
+                WanSlotStepper(pipe, height=h, width=w, num_frames=f,
+                               slot_mesh=slot_mesh,
+                               # per-slot adapter gather inside the
+                               # batched step: mixed-LoRA traffic shares
+                               # slots
+                               loras=loras),
+                num_slots=args.continuous,
+                default_params={"negative_prompt": args.negative_prompt})
+
+        if args.router_buckets > 0:
+            import functools
+
+            from fairygen_tpu.serving import BucketRouter, wan_bucket_of
+
+            engine = BucketRouter(
+                make_engine,
+                bucket_of=functools.partial(
+                    wan_bucket_of,
+                    defaults=(args.bucket_height, args.bucket_width,
+                              args.bucket_frames)),
+                max_buckets=args.router_buckets)
+        else:
+            engine = make_engine((args.bucket_height, args.bucket_width,
+                                  args.bucket_frames))
     else:
         base_fn = video_generate_fn(pipe, fps=args.fps, loras=loras)
 

@@ -159,3 +159,52 @@ def test_concurrent_submitters_share_one_engine():
         router.shutdown()
     assert results["a"].shape == results["b"].shape
     assert np.abs(results["a"] - results["b"]).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_wan_mixed_shape_video_routing():
+    """The router drives Wan slot engines too (serve_video
+    --router_buckets): two (h, w, frames) shapes through one surface."""
+    from fairygen_tpu.models.wan.dit import WanDiTConfig, init_dit_params
+    from fairygen_tpu.models.wan.vae import WanVAEConfig
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.serving import WanSlotStepper, wan_bucket_of
+
+    cfg = WanDiTConfig(
+        dim=96, in_dim=16, ffn_dim=192, out_dim=16, text_dim=64,
+        freq_dim=32, patch_size=(1, 2, 2), num_heads=4, num_layers=2)
+    params = init_dit_params(jax.random.key(0), cfg)
+    pipe = WanVideoPipeline(dit_params=params, dit_cfg=cfg,
+                            vae_cfg=WanVAEConfig.wan21_16(),
+                            dtype=jnp.float32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 6, 64), jnp.float32)
+
+    def make_engine(key):
+        h, w, f = key
+        return ContinuousEngine(
+            WanSlotStepper(pipe, height=h, width=w, num_frames=f),
+            num_slots=2)
+
+    router = BucketRouter(make_engine, bucket_of=wan_bucket_of,
+                          max_buckets=2)
+    try:
+        r_a = router.submit(context=ctx, cfg_scale=1.0, seed=3,
+                            height=32, width=32, num_frames=5,
+                            num_inference_steps=2, output_type="latents")
+        r_b = router.submit(context=ctx, cfg_scale=1.0, seed=4,
+                            height=32, width=64, num_frames=5,
+                            num_inference_steps=2, output_type="latents")
+        out_a = np.asarray(r_a.wait(timeout=600))
+        out_b = np.asarray(r_b.wait(timeout=600))
+        stats = router.stats()
+    finally:
+        router.shutdown()
+    # wan21_16 VAE: 8x spatial factor (patch_size=1)
+    assert out_a.shape[-1] == 32 // 8 and out_b.shape[-1] == 64 // 8
+    assert stats["buckets_created"] == 2
+
+    want_a = np.asarray(pipe(context=ctx, cfg_scale=1.0, seed=3,
+                             height=32, width=32, num_frames=5,
+                             num_inference_steps=2,
+                             output_type="latents"))
+    np.testing.assert_allclose(out_a, want_a, atol=2e-4, rtol=1e-4)
