@@ -356,7 +356,8 @@ class WanVideoPipeline:
         self.sp_strategy = sp_strategy
         return self
 
-    def quantize(self, mode: str = "int8_ffn"):
+    def quantize(self, mode: str = "int8_ffn", *, act_amax=None,
+                 alpha: float = 0.5, outlier_k=0):
         """Swap DiT block projections to W8A8 int8 (the reference's
         FP8-linear capability, ``core/vram/layers.py:321-357``, as the
         TPU-native int8 port — ops/quant.py).  mode: "int8_ffn" (FFN
@@ -364,7 +365,18 @@ class WanVideoPipeline:
         projections).  Measured on v5e: block 20.7 -> 17.2 ("int8_ffn")
         -> 14.9 ms ("int8"); W8A8 uses dynamic per-row activation scales,
         validate quality on your weights before production use.  Call
-        AFTER load_lora (LoRA fuses into bf16 weights)."""
+        AFTER load_lora (LoRA fuses into bf16 weights).
+
+        ``act_amax``: per-channel calibration stats
+        ({group: {name: (L, K)}},
+        ``training.quant_experiment.calibrate_wan_dit_act_amax``)
+        enabling the OUTLIER-ROBUST path — SmoothQuant scale migration at
+        ``alpha`` plus a bf16 fallback for the ``outlier_k`` worst
+        channels (int, or a selective dict like
+        ``{"ffn": {"fc2": 8}}`` — the recommended placement, measured
+        +3.1% vs plain int8; see tests/test_quant_outlier.py for the
+        quality case).  With dual-expert pipelines the same stats apply
+        to both DiTs (calibrate on the primary)."""
         from ..ops.quant import quantize_wan_dit_linears
 
         if mode not in ("int8_ffn", "int8"):
@@ -372,11 +384,12 @@ class WanVideoPipeline:
                 f"quantize mode must be 'int8_ffn' or 'int8', got {mode!r}")
         groups = (("ffn",) if mode == "int8_ffn"
                   else ("ffn", "self_attn", "cross_attn"))
+        kw = dict(act_amax=act_amax, alpha=alpha, outlier_k=outlier_k)
         self.dit_params = quantize_wan_dit_linears(self.dit_params, groups,
-                                                   consume=True)
+                                                   consume=True, **kw)
         if self.dit2_params is not None:
             self.dit2_params = quantize_wan_dit_linears(
-                self.dit2_params, groups, consume=True)
+                self.dit2_params, groups, consume=True, **kw)
         return self
 
     def load_lora(self, lora_path_or_sd, alpha: float = 1.0,

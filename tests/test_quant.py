@@ -267,3 +267,33 @@ def test_quantize_image_dit_flux_with_outlier_robust_tree():
     assert "w_int8" in fc1 and "act_smooth" not in fc1
     out = flux_dit_forward(qp, cfg, *args)
     assert _rel(out, ref) < 0.06
+
+
+def test_pipeline_quantize_with_calibration_stats():
+    """pipe.quantize(act_amax=, outlier_k=) deploys the outlier-robust
+    path through the product API (selective placement form)."""
+    from fairygen_tpu.pipelines.wan_video import WanVideoPipeline
+    from fairygen_tpu.training.quant_experiment import (
+        calibrate_wan_dit_act_amax,
+    )
+
+    cfg = WanDiTConfig(
+        dim=48, in_dim=8, ffn_dim=96, out_dim=8, text_dim=16, freq_dim=16,
+        patch_size=(1, 2, 2), num_heads=2, num_layers=2)
+    params = init_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 8, 2, 4, 4))
+    ctx = jax.random.normal(jax.random.key(2), (1, 5, 16))
+    ref = wan_dit_forward(params, cfg, lat, jnp.asarray([500.0]), ctx)
+
+    amax = calibrate_wan_dit_act_amax(
+        params, cfg, [(lat, jnp.full((1,), 500.0, jnp.float32), ctx)])
+    pipe = WanVideoPipeline(dit_params=params, dit_cfg=cfg,
+                            dtype=jnp.float32)
+    pipe.quantize("int8", act_amax=amax,
+                  outlier_k={"ffn": {"fc2": 4}})
+    fc2 = pipe.dit_params["blocks"]["ffn"]["fc2"]
+    assert "outlier_sel" in fc2 and "act_smooth" in fc2
+    out = wan_dit_forward(pipe.dit_params, cfg, lat, jnp.asarray([500.0]),
+                          ctx)
+    assert float(jnp.sqrt(jnp.mean((out - ref) ** 2)
+                          / jnp.mean(ref ** 2))) < 0.1
