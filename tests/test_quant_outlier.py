@@ -188,3 +188,41 @@ def test_outlier_stressor_breaks_plain_int8_and_robust_recovers(
     assert r["psnr_deploy"] > 40.0, r["psnr_deploy"]
     assert r["psnr_deploy"] > r["psnr_plain"] + 10.0, (
         r["psnr_plain"], r["psnr_deploy"])
+
+
+def test_calibration_npz_roundtrip_feeds_quantize(tmp_path):
+    """tools/calibrate_quant.py's npz format round-trips into
+    pipe.quantize(act_amax=) — the real-weights day-one flow."""
+    import numpy as np
+
+    from fairygen_tpu.models.wan.dit import (
+        WanDiTConfig, init_dit_params, wan_dit_forward)
+    from fairygen_tpu.training.quant_experiment import (
+        calibrate_wan_dit_act_amax)
+    from tools.calibrate_quant import load_act_amax
+
+    cfg = WanDiTConfig(
+        dim=48, in_dim=8, ffn_dim=96, out_dim=8, text_dim=16, freq_dim=16,
+        patch_size=(1, 2, 2), num_heads=2, num_layers=2)
+    params = init_dit_params(jax.random.key(4), cfg)
+    lat = jax.random.normal(jax.random.key(5), (1, 8, 2, 4, 4))
+    ctx = jax.random.normal(jax.random.key(6), (1, 5, 16))
+    t = jnp.full((1,), 400.0, jnp.float32)
+    amax = calibrate_wan_dit_act_amax(params, cfg, [(lat, t, ctx)])
+
+    path = tmp_path / "act_amax.npz"
+    np.savez(path, **{f"{g}/{n}": np.asarray(a, np.float32)
+                      for g, layers in amax.items()
+                      for n, a in layers.items()})
+    loaded = load_act_amax(path)
+    assert set(loaded) == set(amax)
+    np.testing.assert_array_equal(loaded["ffn"]["fc2"], amax["ffn"]["fc2"])
+
+    from fairygen_tpu.ops.quant import quantize_wan_dit_linears
+
+    ref = wan_dit_forward(params, cfg, lat, t, ctx)
+    q = quantize_wan_dit_linears(params, ("ffn",), act_amax=loaded,
+                                 outlier_k={"ffn": {"fc2": 4}})
+    out = wan_dit_forward(q, cfg, lat, t, ctx)
+    rel = float(jnp.sqrt(jnp.mean((out - ref) ** 2) / jnp.mean(ref**2)))
+    assert rel < 0.1, rel
