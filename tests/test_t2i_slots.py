@@ -244,3 +244,44 @@ def test_flux_stepper_rejects_unknown_lora():
     pa, ppa = _emb(7)
     with pytest.raises(ValueError, match="unknown hot LoRA"):
         st.prepare(prompt_emb=pa, pooled_prompt_emb=ppa, lora="nope")
+
+
+def test_flux_slot_parallel_mesh_with_per_slot_lora():
+    """Slot-parallel (mesh) mode composes with the per-slot hot-LoRA
+    gather: mixed-adapter traffic on the data-sharded batch reproduces
+    the dedicated hot-runtime runs."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, ("data",))
+    pipe = _mk_pipe()
+    sd1 = _mk_flux_lora(41, DIT_CFG)
+    eng = ContinuousEngine(
+        FluxSlotStepper(pipe, height=H, width=W, slot_mesh=mesh,
+                        loras={"s1": sd1}),
+        num_slots=2)
+    (pa, ppa), (pb, ppb) = _emb(42), _emb(43)
+    try:
+        r_a = eng.submit(prompt_emb=pa, pooled_prompt_emb=ppa, seed=7,
+                         num_inference_steps=2, embedded_guidance=4.0,
+                         lora="s1", output_type="latent")
+        r_b = eng.submit(prompt_emb=pb, pooled_prompt_emb=ppb, seed=8,
+                         num_inference_steps=3, embedded_guidance=1.0,
+                         output_type="latent")
+        out_a = np.asarray(r_a.wait(timeout=600))
+        out_b = np.asarray(r_b.wait(timeout=600))
+    finally:
+        eng.shutdown()
+
+    p2 = _mk_pipe()
+    p2.load_hot_loras([sd1])
+    want_a = np.asarray(p2(
+        prompt_emb=pa, pooled_prompt_emb=ppa, seed=7, height=H, width=W,
+        num_inference_steps=2, embedded_guidance=4.0,
+        output_type="latent"))
+    want_b = np.asarray(pipe(
+        prompt_emb=pb, pooled_prompt_emb=ppb, seed=8, height=H, width=W,
+        num_inference_steps=3, embedded_guidance=1.0,
+        output_type="latent"))
+    np.testing.assert_allclose(out_a, want_a, atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_b, want_b, atol=2e-4, rtol=1e-4)
