@@ -76,10 +76,13 @@ class FluxDiTConfig:
 
 # ------------------------------------------------------------------ helpers
 def _dense(p, x):
-    if "w_int8" in p:  # W8A8 opt-in (ops/quant.quantize_blocks_tree)
-        from ...ops.quant import quantized_dense
+    from ...ops import quant as _q
 
-        return quantized_dense(p, x)
+    if _q._ACT_TAP is not None:  # calibration tap (no-op when inactive)
+        w = p.get("w", p.get("w_int8"))
+        _q.record_activation_stats(f"dense_{x.shape[-1]}x{w.shape[-1]}", x)
+    if "w_int8" in p:  # W8A8 opt-in (ops/quant.quantize_blocks_tree)
+        return _q.quantized_dense(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -503,3 +503,117 @@ def run_wan_outlier_experiment(
         qout = wan_rollout(q, cfg, noise, ctx, rollout_steps)
         out[f"psnr_{name}"] = rollout_psnr(np.asarray(qout), np.asarray(ref))
     return out
+
+
+# ---------------------------------------------------------------------------
+# FLUX calibration collector — fills the generic calibration-tree consumer
+# (ops/quant.quantize_image_dit_params(act_amax=)) the way
+# calibrate_wan_dit_act_amax fills the Wan one.
+# ---------------------------------------------------------------------------
+
+_FLUX_DOUBLE_ORDER = [
+    ("norm1_a",), ("norm1_b",),
+    ("attn", "a_qkv"), ("attn", "b_qkv"),
+    ("attn", "a_out"), ("attn", "b_out"),
+    ("ff_a", "fc1"), ("ff_a", "fc2"),
+    ("ff_b", "fc1"), ("ff_b", "fc2"),
+]
+_FLUX_SINGLE_ORDER = [("norm",), ("to_qkv_mlp",), ("proj_out",)]
+
+
+def calibrate_flux_dit_act_amax(params, cfg, samples):
+    """Per-channel activation amax at every FLUX block dense input.
+
+    samples: iterable of (latents (B,16,H,W), timestep (B,), prompt_emb,
+    pooled_prompt_emb[, guidance (B,)]) tuples.  Replays the forward's
+    pre-block stages, then runs each double/single block unrolled per
+    layer under the channel_amax tap (static call-order mapping,
+    shape-asserted like the Wan collector).
+
+    Returns the calibration pytree ``quantize_image_dit_params(act_amax=)``
+    consumes: {"double_blocks": {...{"amax": (L, K)}}, "single_blocks":
+    {...}} — set per-node "outlier_k" afterwards where the health check
+    warrants the bf16 fallback.
+    """
+    from ..models.flux.dit import (
+        _dense,
+        _mlp_embed,
+        _timestep_sinusoid,
+        flux_double_block,
+        flux_single_block,
+        patchify,
+        prepare_image_ids,
+        rope_table,
+    )
+    from ..ops.quant import activation_stats_tap as _tap_cm
+
+    def put(tree, path, i, amax, L):
+        node = tree
+        for kpart in path[:-1]:
+            node = node.setdefault(kpart, {})
+        slot = node.setdefault(path[-1], {"amax": np.zeros(
+            (L, amax.shape[0]), np.float32)})
+        slot["amax"][i] = np.maximum(slot["amax"][i], amax)
+
+    cal = {"double_blocks": {}, "single_blocks": {}}
+    for sample in samples:
+        latents, timestep, prompt_emb, pooled = sample[:4]
+        guidance = sample[4] if len(sample) > 4 else (
+            jnp.full((latents.shape[0],), 3.5, jnp.float32)
+            if cfg.guidance_embed else None)
+        b, c, h, w = latents.shape
+        dtype = latents.dtype
+        cond = _mlp_embed(params["time_embedder"],
+                          _timestep_sinusoid(timestep, cfg.time_freq_dim),
+                          dtype)
+        cond = cond + _mlp_embed(params["pooled_text_embedder"], pooled,
+                                 dtype)
+        if cfg.guidance_embed:
+            cond = cond + _mlp_embed(
+                params["guidance_embedder"],
+                _timestep_sinusoid(guidance * 1000.0, cfg.time_freq_dim),
+                dtype)
+        x = _dense(params["x_embedder"], patchify(latents))
+        ctx = _dense(params["context_embedder"], prompt_emb.astype(dtype))
+        ids = [np.zeros((prompt_emb.shape[1], 3), np.float64),
+               prepare_image_ids(h, w)]
+        cos, sin = rope_table(np.concatenate(ids, axis=0), cfg.axes_dim,
+                              cfg.theta)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+        xa, xb = x, ctx
+        Ld = cfg.num_double_blocks
+        for i in range(Ld):
+            layer = jax.tree.map(lambda a: a[i], params["double_blocks"])
+            tap = []
+            with _tap_cm(tap, mode="channel_amax"):
+                xa, xb = flux_double_block(layer, xa, xb, cond, cos, sin,
+                                           cfg)
+            assert len(tap) == len(_FLUX_DOUBLE_ORDER), (
+                len(tap), len(_FLUX_DOUBLE_ORDER))
+            for path, (_label, amax) in zip(_FLUX_DOUBLE_ORDER, tap):
+                node = layer
+                for kpart in path:
+                    node = node[kpart]
+                assert amax.shape[0] == node["w"].shape[0], (path,
+                                                             amax.shape)
+                put(cal["double_blocks"], path, i,
+                    np.asarray(amax, np.float32), Ld)
+        hh = jnp.concatenate([xb, xa], axis=1)
+        Ls = cfg.num_single_blocks
+        for i in range(Ls):
+            layer = jax.tree.map(lambda a: a[i], params["single_blocks"])
+            tap = []
+            with _tap_cm(tap, mode="channel_amax"):
+                hh = flux_single_block(layer, hh, cond, cos, sin, cfg)
+            assert len(tap) == len(_FLUX_SINGLE_ORDER), (
+                len(tap), len(_FLUX_SINGLE_ORDER))
+            for path, (_label, amax) in zip(_FLUX_SINGLE_ORDER, tap):
+                node = layer
+                for kpart in path:
+                    node = node[kpart]
+                assert amax.shape[0] == node["w"].shape[0], (path,
+                                                             amax.shape)
+                put(cal["single_blocks"], path, i,
+                    np.asarray(amax, np.float32), Ls)
+    return cal

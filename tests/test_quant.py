@@ -297,3 +297,45 @@ def test_pipeline_quantize_with_calibration_stats():
                           ctx)
     assert float(jnp.sqrt(jnp.mean((out - ref) ** 2)
                           / jnp.mean(ref ** 2))) < 0.1
+
+
+def test_flux_calibration_collector_feeds_generic_quantizer():
+    """calibrate_flux_dit_act_amax -> quantize_image_dit_params(act_amax=):
+    the FLUX counterpart of the Wan calibrate->quantize flow, with the
+    static call-order mapping shape-asserted per layer."""
+    from fairygen_tpu.models.flux.dit import (
+        FluxDiTConfig, flux_dit_forward, init_flux_dit_params)
+    from fairygen_tpu.ops.quant import quantize_image_dit_params
+    from fairygen_tpu.training.quant_experiment import (
+        calibrate_flux_dit_act_amax)
+
+    cfg = FluxDiTConfig.tiny()
+    params = init_flux_dit_params(jax.random.key(0), cfg)
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 12)) * 0.3
+    emb = jax.random.normal(jax.random.key(2), (1, 5, cfg.context_dim))
+    pooled = jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim))
+    t = jnp.asarray([500.0])
+    g = jnp.asarray([4.0])
+
+    cal = calibrate_flux_dit_act_amax(params, cfg,
+                                      [(lat, t, emb, pooled, g)])
+    Ld, Ls = cfg.num_double_blocks, cfg.num_single_blocks
+    assert cal["double_blocks"]["ff_a"]["fc2"]["amax"].shape == (
+        Ld, 4 * cfg.dim)
+    assert cal["double_blocks"]["attn"]["a_qkv"]["amax"].shape == (
+        Ld, cfg.dim)
+    assert cal["single_blocks"]["proj_out"]["amax"].shape == (
+        Ls, 5 * cfg.dim)
+    assert (cal["single_blocks"]["to_qkv_mlp"]["amax"] > 0).all()
+
+    # mark the worst layer for fallback, quantize, run
+    cal["double_blocks"]["ff_a"]["fc2"]["outlier_k"] = 4
+    ref = flux_dit_forward(params, cfg, lat, t, emb, pooled, g)
+    qp = quantize_image_dit_params(params, min_dim=8, act_amax=cal)
+    fc2 = qp["double_blocks"]["ff_a"]["fc2"]
+    assert "outlier_sel" in fc2 and "act_smooth" in fc2
+    # every calibrated dense got the smoothing (norm1_* excluded by the
+    # skip list, matching the quantizer's own placement rules)
+    assert "act_smooth" in qp["single_blocks"]["to_qkv_mlp"]
+    out = flux_dit_forward(qp, cfg, lat, t, emb, pooled, g)
+    assert _rel(out, ref) < 0.06
